@@ -1,0 +1,112 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{PropertyValue, PropValues}
+
+/** An immutable published version of the graph: `nodes` + `edges`
+  * DataFrames in the canonical snapshot schema (FIXTURES.md).
+  *
+  * The reference's record files (objects.db / relations.db /
+  * properties.db, HGraphStorage FileOps.hs:32-77) become two
+  * parquet-backed tables; the property linked lists become a map
+  * column; the intrusive adjacency lists disappear entirely — joins on
+  * `src`/`dst` replace chain walks. `srcLabel`/`dstLabel` are
+  * intentionally denormalized on the edge, mirroring the reference's
+  * `rFromType`/`rToType` (Types.hs:104-107): traversal type filters
+  * evaluate on the edge scan alone, before any node join.
+  *
+  * MVCC columns `tx_min`/`tx_max` version every row (LowLevelDB
+  * MVCC.hs:104-108); a plain read filters `tx_max IS NULL` (live
+  * rows); time-travel uses [[graft.operators.Mvcc]] predicates.
+  */
+final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
+
+  /** Live (undeleted, committed) rows only. */
+  def live: GraphSnapshot =
+    GraphSnapshot(nodes.filter(col("tx_max").isNull), edges.filter(col("tx_max").isNull))
+
+  /** Maintained-counter analogs (STMGraph API.hs:49-53). */
+  def nbNodes: Long = live.nodes.count()
+  def nbEdges: Long = live.edges.count()
+
+  /** Publish this snapshot version (checkpoint analog,
+    * STMGraph Raw.hs:105-109). Partitioned by label so label-filtered
+    * scans prune files; at cluster scale add bucketing by id/src.
+    */
+  def write(dir: String): Unit = {
+    nodes.write.mode("overwrite").partitionBy("label").parquet(s"$dir/nodes")
+    edges.write.mode("overwrite").partitionBy("label").parquet(s"$dir/edges")
+  }
+}
+
+object GraphSnapshot {
+  val nodeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("label", StringType, nullable = false),
+    StructField("props", PropValues.propsType),
+    StructField("tx_min", LongType, nullable = false),
+    StructField("tx_max", LongType)))
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("src", LongType, nullable = false),
+    StructField("srcLabel", StringType, nullable = false),
+    StructField("dst", LongType, nullable = false),
+    StructField("dstLabel", StringType, nullable = false),
+    StructField("label", StringType, nullable = false),
+    StructField("props", PropValues.propsType),
+    StructField("tx_min", LongType, nullable = false),
+    StructField("tx_max", LongType)))
+
+  /** Session open (HGraphStorage API.hs:57-75 `withGraphStorage`). */
+  def open(spark: SparkSession, dir: String): GraphSnapshot =
+    GraphSnapshot(spark.read.parquet(s"$dir/nodes"), spark.read.parquet(s"$dir/edges"))
+}
+
+/** Driver-side batch builder for small graphs (tests, examples) —
+  * the `createObject`/`createRelation` write path (HGraphStorage
+  * API.hs:157-167, 305-335) re-expressed as append-then-publish.
+  * IDs are allocated monotonically (no free-list reuse: snapshots are
+  * append-only; SURVEY §1.3).
+  */
+final class GraphBuilder {
+  import scala.collection.mutable.ArrayBuffer
+
+  private val nodeRows = ArrayBuffer.empty[Row]
+  private val edgeRows = ArrayBuffer.empty[Row]
+  private val labels   = scala.collection.mutable.Map.empty[Long, String]
+  private var nextNode = 1L
+  private var nextEdge = 1L
+
+  private def cells(vs: Seq[PropertyValue]): Seq[Row] = vs.map {
+    case PropertyValue.PVText(s)    => Row(0.toByte, s, null, null, null)
+    case PropertyValue.PVInteger(i) => Row(1.toByte, null, new java.math.BigDecimal(i.bigInteger), null, null)
+    case PropertyValue.PVBinary(b)  => Row(2.toByte, null, null, b, null)
+    case PropertyValue.PVJson(j)    => Row(3.toByte, null, null, null, j)
+  }
+
+  def addNode(label: String, props: Map[String, Seq[PropertyValue]] = Map.empty): Long = {
+    val id = nextNode; nextNode += 1
+    labels(id) = label
+    nodeRows += Row(id, label, props.map { case (k, v) => k -> cells(v) }, 0L, null)
+    id
+  }
+
+  def addEdge(src: Long, dst: Long, label: String,
+      props: Map[String, Seq[PropertyValue]] = Map.empty): Long = {
+    val id = nextEdge; nextEdge += 1
+    edgeRows += Row(id, src, labels(src), dst, labels(dst), label,
+      props.map { case (k, v) => k -> cells(v) }, 0L, null)
+    id
+  }
+
+  def snapshot(spark: SparkSession): GraphSnapshot = {
+    import scala.jdk.CollectionConverters._
+    GraphSnapshot(
+      spark.createDataFrame(nodeRows.toList.asJava, GraphSnapshot.nodeSchema),
+      spark.createDataFrame(edgeRows.toList.asJava, GraphSnapshot.edgeSchema))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.GraphSnapshot
+
+/** One-hop expansion with pushed-down filters — the reference's
+  * `queryStep :: ObjectID -> RelationStep -> m [StepResult]`
+  * (HGraphStorage Query.hs:42-82), distributed: it expands EVERY
+  * source node in one plan instead of one driver-side chain walk.
+  *
+  * Semantics preserved (SURVEY §2.3a):
+  *  - empty `relTypes`/`tgtTypes` = unrestricted (Query.hs:59-60);
+  *  - relation-type and target-type filters evaluate on the edge scan
+  *    alone via the denormalized labels (Query.hs:68) — no node join
+  *    until after filtering;
+  *  - `limit` counts matching results per source and returns the
+  *    NEWEST edges first (LIFO adjacency, QueryTest.hs:49-50) —
+  *    expressed as a per-group `row_number` window over edge id desc;
+  *  - BOTH = OUT results then IN results, concatenated, duplicates
+  *    preserved (Query.hs:51-57).
+  */
+object QueryStep {
+
+  sealed trait Direction
+  case object OUT  extends Direction
+  case object IN   extends Direction
+  case object BOTH extends Direction
+
+  /** RelationStep (Query.hs:19-25). `tgtFilter` is the reference's
+    * arbitrary host-language predicate seam (`rsTgtFilter`,
+    * Query.hs:23): an opaque Column predicate over the joined target
+    * node's columns (`tgt_*`). Prefer plain column predicates so
+    * Catalyst can push them; a typed closure would kill codegen.
+    */
+  final case class RelationStep(
+      relTypes: Seq[String] = Nil,
+      direction: Direction = OUT,
+      tgtTypes: Seq[String] = Nil,
+      tgtFilter: Option[Column] = None,
+      limit: Option[Int] = None)
+
+  /** Expand from source nodes. `sources` must expose column `id`
+    * (any node DataFrame or an id list via `idList`).
+    * Output: src_id, rel_id, direction, rel_label, rel_props,
+    * tgt_id, tgt_label, tgt_props.
+    */
+  def apply(g: GraphSnapshot, sources: DataFrame, step: RelationStep): DataFrame = {
+    val live = g.live
+
+    def half(dir: Direction): DataFrame = {
+      val (fromCol, toCol, toLabel) = dir match {
+        case IN => ("dst", "src", "srcLabel")
+        case _  => ("src", "dst", "dstLabel")
+      }
+      var e = live.edges
+      if (step.relTypes.nonEmpty) e = e.filter(col("label").isin(step.relTypes: _*))
+      if (step.tgtTypes.nonEmpty) e = e.filter(col(toLabel).isin(step.tgtTypes: _*))
+
+      val srcIds = sources.select(col("id").as("src_id"))
+      // one row per (source, matching edge); the join keeps the edge
+      // scan filtered before any node lookup, like Query.hs:68
+      var out = e.join(srcIds, e(fromCol) === col("src_id"), "inner")
+        .select(
+          col("src_id"),
+          e("id").as("rel_id"),
+          lit(dir.toString).as("direction"),
+          e("label").as("rel_label"),
+          e("props").as("rel_props"),
+          e(toCol).as("tgt_id"),
+          e(toLabel).as("tgt_label"))
+
+      // materialize the target object (getObject, Query.hs:74)
+      val tgt = live.nodes.select(col("id").as("tgt_id"), col("props").as("tgt_props"))
+      out = out.join(tgt, Seq("tgt_id"), "left")
+
+      step.tgtFilter.foreach(p => out = out.filter(p))
+      out.select("src_id", "rel_id", "direction", "rel_label", "rel_props",
+        "tgt_id", "tgt_label", "tgt_props")
+    }
+
+    val expanded = step.direction match {
+      case BOTH => half(OUT).unionAll(half(IN))
+      case d    => half(d)
+    }
+
+    step.limit match {
+      case Some(k) =>
+        // newest-first per source; in BOTH the OUT half wins ties by
+        // direction ordering, matching OUT-then-IN concatenation
+        val w = Window.partitionBy(col("src_id"))
+          .orderBy(col("direction").desc, col("rel_id").desc)
+        expanded.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+      case None => expanded
+    }
+  }
+
+  /** Convenience: expand from an explicit id list (the reference's
+    * single-ObjectID entry point).
+    */
+  def fromIds(g: GraphSnapshot, ids: Seq[Long], step: RelationStep): DataFrame =
+    apply(g, g.nodes.filter(col("id").isin(ids: _*)).select("id"), step)
+}

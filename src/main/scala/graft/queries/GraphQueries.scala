@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.TpchGraph
+import graft.model.PropertyValue.PVText
+import graft.operators.{QueryStep, Traversal}
+import graft.operators.QueryStep.{RelationStep, IN, OUT, BOTH}
+import graft.operators.Traversal._
+
+/** Graph operators (queryStep + Traversal DSL) exercised over the
+  * deterministic [[TpchGraph]] view, each with a DuckDB SQL oracle
+  * derived from the same arithmetic (SURVEY §2.3).
+  */
+object GraphQueries extends QueryModule {
+
+  import TpchGraph._
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ---- queryStep OUT with per-source newest-first limit ----
+    // The reference's rsLimit semantics: newest edge (highest id)
+    // wins per source (QueryTest.hs:49-50).
+    QueryDef(
+      "q_step_out_limit",
+      "1-hop OUT expansion, per-source limit 2, newest first",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        QueryStep(g, g.nodes.filter(col("label") === "customer"),
+          RelationStep(relTypes = Seq("placed"), direction = OUT, limit = Some(2)))
+          .select(col("src_id"), col("rel_id"), col("tgt_id"))
+      },
+      Some(s"""SELECT o_custkey + $CUST AS src_id,
+              |       o_orderkey + $E_PLACED AS rel_id,
+              |       o_orderkey + $ORDER AS tgt_id
+              |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+              |      FROM orders) WHERE rn <= 2""".stripMargin)
+    ),
+
+    // ---- queryStep IN with target-type filter on the edge scan ----
+    QueryDef(
+      "q_step_in",
+      "1-hop IN expansion into nation nodes, filtered on edge labels only",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        QueryStep(g, g.nodes.filter(col("label") === "nation"),
+          RelationStep(relTypes = Seq("in_nation"), direction = IN,
+            tgtTypes = Seq("customer", "supplier")))
+          .groupBy(col("src_id"), col("tgt_label"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT c_nationkey + $NATION AS src_id, 'customer' AS tgt_label, count(*) AS n
+              |FROM customer GROUP BY c_nationkey
+              |UNION ALL
+              |SELECT s_nationkey + $NATION AS src_id, 'supplier' AS tgt_label, count(*) AS n
+              |FROM supplier GROUP BY s_nationkey""".stripMargin)
+    ),
+
+    // ---- queryStep BOTH: concatenation, duplicates preserved ----
+    QueryDef(
+      "q_step_both",
+      "BOTH = OUT ++ IN concatenated per order node",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        QueryStep(g, g.nodes.filter(col("label") === "order"), RelationStep(direction = BOTH))
+          .groupBy(col("src_id"), col("direction"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT l_orderkey + $ORDER AS src_id, 'OUT' AS direction, count(*) AS n
+              |FROM lineitem GROUP BY l_orderkey
+              |UNION ALL
+              |SELECT o_orderkey + $ORDER AS src_id, 'IN' AS direction, 1 AS n
+              |FROM orders""".stripMargin)
+    ),
+
+    // ---- traversal: Ns >> Has >> OutE >> Values ----
+    QueryDef(
+      "q_trav_has_oute",
+      "traversal: customers in BUILDING segment -> placed edges, status prop",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        val t = Composed(Seq(Ns, Has("mktsegment", PVText("BUILDING")), OutE(Seq("placed")),
+          Values(Seq("status"))))
+        Traversal.run(g, t).df.select(col("id"), col("name"), col("vText"))
+      },
+      Some(s"""SELECT o.o_orderkey + $E_PLACED AS id, 'status' AS name, o.o_orderstatus AS vText
+              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+    ),
+
+    // ---- traversal: Out with wildcard vs named types ----
+    QueryDef(
+      "q_trav_out_wildcard",
+      "traversal: one customer's OUT neighbors over all edge types ('*')",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        val t = Composed(Seq(Ns, NID(Seq(CUST + 1L)), Out(Seq("*"))))
+        Traversal.run(g, t).df.select(col("id"), col("label"))
+      },
+      Some(s"""SELECT o_orderkey + $ORDER AS id, 'order' AS label FROM orders WHERE o_custkey = 1
+              |UNION ALL
+              |SELECT c_nationkey + $NATION AS id, 'nation' AS label FROM customer WHERE c_custkey = 1""".stripMargin)
+    ),
+
+    // ---- traversal: Both preserves duplicates ----
+    // nation 1 <- customers/suppliers (IN over in_nation) ++ -> region
+    // (OUT over in_region): a multiset — counted to make it stable.
+    QueryDef(
+      "q_trav_both_dups",
+      "traversal: Both concatenates In ++ Out preserving duplicates",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        val t = Composed(Seq(Ns, NID(Seq(NATION + 1L)), Both(Seq("*"))))
+        Traversal.run(g, t).df.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT label, count(*) AS n FROM (
+              |  SELECT 'customer' AS label FROM customer WHERE c_nationkey = 1
+              |  UNION ALL SELECT 'supplier' FROM supplier WHERE s_nationkey = 1
+              |  UNION ALL SELECT 'region') GROUP BY label""".stripMargin)
+    ),
+
+    // ---- traversal: Values with unknown names -> empty lists ----
+    QueryDef(
+      "q_trav_values",
+      "traversal: Values keeps entities; unknown names yield null rows",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        val t = Composed(Seq(Ns, NID(Seq(REGION + 0L, REGION + 1L)),
+          Values(Seq("name", "no_such_prop"))))
+        Traversal.run(g, t).df.select(col("id"), col("name"), col("vText"))
+      },
+      Some(s"""SELECT r_regionkey + $REGION AS id, 'name' AS name, r_name AS vText
+              |FROM region WHERE r_regionkey IN (0, 1)""".stripMargin)
+    ),
+
+    // ---- traversal: node counts by label (nbNodes analog) ----
+    QueryDef(
+      "q_graph_counts",
+      "graph view: node and edge counts by label",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        g.nodes.groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .select(concat(lit("node:"), col("label")).as("entity"), col("n"))
+          .unionAll(
+            g.edges.groupBy(col("label")).agg(count(lit(1)).as("n"))
+              .select(concat(lit("edge:"), col("label")).as("entity"), col("n")))
+      },
+      Some("""SELECT 'node:customer' AS entity, count(*) AS n FROM customer
+             |UNION ALL SELECT 'node:nation', count(*) FROM nation
+             |UNION ALL SELECT 'node:supplier', count(*) FROM supplier
+             |UNION ALL SELECT 'node:order', count(*) FROM orders
+             |UNION ALL SELECT 'node:part', count(*) FROM part
+             |UNION ALL SELECT 'node:region', count(*) FROM region
+             |UNION ALL SELECT 'edge:placed', count(*) FROM orders
+             |UNION ALL SELECT 'edge:in_nation', (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+             |UNION ALL SELECT 'edge:contains', count(*) FROM lineitem
+             |UNION ALL SELECT 'edge:supplies', count(*) FROM lineitem
+             |UNION ALL SELECT 'edge:in_region', count(*) FROM nation""".stripMargin)
+    )
+  )
+}

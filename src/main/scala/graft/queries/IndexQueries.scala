@@ -1,0 +1,6 @@
+package graft.queries
+
+/** Placeholder — filled in by its milestone. */
+object IndexQueries extends QueryModule {
+  override def queries: Seq[QueryDef] = Seq.empty
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named, driver-verifiable query.
+  *
+  * `build` produces the Spark plan over the parquet tables in `dir`;
+  * `oracle`, when present, is the equivalent ANSI SQL that DuckDB runs
+  * over the same parquet files (driver correctness gate). Column names
+  * MUST match between the two — the compare sorts columns by name and
+  * hashes values.
+  */
+final case class QueryDef(
+    name: String,
+    doc: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryModule {
+  def queries: Seq[QueryDef]
+
+  /** DuckDB-side table reference: the driver exposes each parquet
+    * table under its bare name (`lineitem`, `orders`, ...).
+    */
+  protected def tbl(name: String): String = name
+}
+
+/** Registry of every query module in the engine. */
+object Catalog {
+  def modules: Seq[QueryModule] = Seq(
+    RelationalQueries,
+    GraphQueries,
+    MvccQueries,
+    IndexQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TextQueries,
+    MultimodalQueries,
+    AnalyticsQueries,
+    StreamingQueries
+  )
+
+  lazy val all: Seq[QueryDef] = {
+    val qs = modules.flatMap(_.queries)
+    val dup = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
+    qs
+  }
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraphBuilder
+import graft.model.PropertyValue._
+import graft.operators.QueryStep
+import graft.operators.QueryStep.{RelationStep, IN, OUT, BOTH}
+
+/** Conformance with HGraphStorage QueryTest.hs:17-52 on the movies
+  * graph (FIXTURES.md §1): directions, per-direction counts, and
+  * limit-returns-newest.
+  */
+class QueryStepSpec extends GraftSuite {
+
+  private lazy val fixture = {
+    val b = new GraphBuilder
+    val th = b.addNode("Actor", Map("name" -> Seq(PVText("Tom Hanks")), "age" -> Seq(PVInteger(60))))
+    val fg = b.addNode("Movie", Map("name" -> Seq(PVText("Forrest Gump")), "year" -> Seq(PVInteger(1990))))
+    val ss = b.addNode("Movie", Map("name" -> Seq(PVText("Sleepless in Seattle")), "year" -> Seq(PVInteger(1990))))
+    val e1 = b.addEdge(th, fg, "Played", Map("role" -> Seq(PVText("Forrest Gump"))))
+    val e2 = b.addEdge(th, ss, "Played", Map("role" -> Seq(PVText("Sam Baldwin"))))
+    (b.snapshot(spark), th, fg, ss, e1, e2)
+  }
+
+  test("OUT from Tom Hanks returns both movies") {
+    val (g, th, fg, ss, _, _) = fixture
+    val rows = QueryStep.fromIds(g, Seq(th), RelationStep(direction = OUT)).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("tgt_id")).toSet == Set(fg, ss))
+    assert(rows.forall(_.getAs[String]("rel_label") == "Played"))
+    assert(rows.forall(_.getAs[String]("direction") == "OUT"))
+    assert(rows.forall(_.getAs[String]("tgt_label") == "Movie"))
+  }
+
+  test("IN to Tom Hanks is empty; IN to Forrest Gump is Tom Hanks") {
+    val (g, th, fg, _, _, _) = fixture
+    assert(QueryStep.fromIds(g, Seq(th), RelationStep(direction = IN)).count() == 0)
+    val rows = QueryStep.fromIds(g, Seq(fg), RelationStep(direction = IN)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("tgt_id") == th)
+    assert(rows.head.getAs[String]("direction") == "IN")
+  }
+
+  test("BOTH from Tom Hanks = OUT ++ IN = 2") {
+    val (g, th, _, _, _, _) = fixture
+    assert(QueryStep.fromIds(g, Seq(th), RelationStep(direction = BOTH)).count() == 2)
+  }
+
+  test("limit 1 returns the NEWEST edge (QueryTest.hs:49-50)") {
+    val (g, th, _, ss, _, e2) = fixture
+    val rows = QueryStep.fromIds(g, Seq(th), RelationStep(direction = OUT, limit = Some(1))).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("rel_id") == e2, "newest = last created")
+    assert(rows.head.getAs[Long]("tgt_id") == ss)
+  }
+
+  test("relation-type and target-type filters restrict on edge scan") {
+    val (g, th, _, _, _, _) = fixture
+    assert(QueryStep.fromIds(g, Seq(th), RelationStep(relTypes = Seq("Nope"))).count() == 0)
+    assert(QueryStep.fromIds(g, Seq(th), RelationStep(tgtTypes = Seq("Movie"))).count() == 2)
+    assert(QueryStep.fromIds(g, Seq(th), RelationStep(tgtTypes = Seq("Actor"))).count() == 0)
+  }
+
+  test("tgtFilter arbitrary predicate over target props") {
+    val (g, th, fg, _, _, _) = fixture
+    val pred = graft.model.PropValues.hasValue(col("tgt_props"), "name", PVText("Forrest Gump"))
+    val rows = QueryStep.fromIds(g, Seq(th), RelationStep(tgtFilter = Some(pred))).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("tgt_id") == fg)
+  }
+}

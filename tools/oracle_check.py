@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle SQL in DuckDB with the parquet tables of <sfDir> registered under
+their bare names, and compares against the Spark result parquet in
+<verifyOutDir>/<name>/. Compare = sort columns by name, sort rows,
+compare values (exact; floats via repr).
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows):
+    def cell(v):
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, bytes):
+            return v.hex()
+        if isinstance(v, list):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+    return sorted(tuple(cell(v) for v in r) for r in rows)
+
+
+def read_spark(outdir, name):
+    files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        return None, None
+    t = pq.read_table(files[0])
+    cols = sorted(t.column_names)
+    t = t.select(cols)
+    return cols, [tuple(r[c] for c in cols) for r in t.to_pylist()]
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for tb in TABLES:
+        p = os.path.join(sfdir, f"{tb}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        scols, srows = read_spark(outdir, name)
+        if scols is None:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = sorted(d[0] for d in res.description)
+            raw = res.fetchall()
+            names = [d[0] for d in res.description]
+            idx = [names.index(c) for c in ocols]
+            orows = [tuple(r[i] for i in idx) for r in raw]
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        cs, co = canon(srows), canon(orows)
+        if cs == co:
+            print(f"PASS {name} ({len(cs)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows spark={len(cs)} oracle={len(co)}")
+            for a, b in list(zip(cs, co))[:200]:
+                if a != b:
+                    print(f"  spark : {a}\n  oracle: {b}")
+                    break
+    # queries with no oracle: rows-only check
+    for name in glob.glob(os.path.join(outdir, "*", "")):
+        qn = os.path.basename(name.rstrip("/"))
+        if qn not in oracles:
+            _, rows = read_spark(outdir, qn)
+            print(f"INFO {qn}: no oracle, {len(rows) if rows is not None else 0} rows")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
