@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MVCC over version-columned DataFrames — the LowLevelDB transaction
+  * surface (MVCC.hs:104-108, 228-298) re-expressed as pure Catalyst
+  * predicates over `tx_min`/`tx_max` columns on immutable snapshots.
+  *
+  * Every logical row is a chain of versions: `tx_min` = creating
+  * transaction, `tx_max` = deleting transaction (null = live). This is
+  * the natural fit for append-only parquet: an UPDATE closes the old
+  * version and appends a new one (copy-on-write), a DELETE just
+  * closes. No custom execution — the visibility check is a single
+  * codegen-friendly boolean expression, so it pushes into scans and
+  * costs nothing at 100 TB.
+  */
+object Mvcc {
+
+  /** PostgreSQL-style snapshot visibility (MVCC.hs:286-298):
+    * a version is visible to transaction `tx` given a set of
+    * transactions committed before `tx` started iff
+    *   - it was created by `tx` itself and not deleted by `tx`, or
+    *   - its creator committed, and it is not deleted (or its deleter
+    *     is a different, uncommitted transaction).
+    *
+    * `committed` maps a tx-id column to a boolean column (broadcast
+    * set membership or a monotonic `< snapshotTx` bound).
+    */
+  def visible(tx: Long, committed: Column => Column): Column = {
+    val txMin = col("tx_min")
+    val txMax = col("tx_max")
+    (txMin === tx && txMax.isNull) ||
+      (committed(txMin) && (txMax.isNull || (txMax =!= tx && !committed(txMax))))
+  }
+
+  /** Visibility for the common serial history: every tx with a lower
+    * id committed before `tx` began (MVCCSpec's serialized scenarios).
+    */
+  def visibleAt(tx: Long): Column = visible(tx, c => c < tx)
+
+  /** Snapshot read (readRecord, MVCC.hs:271-275). */
+  def readAsOf(versioned: DataFrame, tx: Long): DataFrame =
+    versioned.filter(visibleAt(tx))
+
+  /** Begin a versioned table: stamp unversioned rows as created by
+    * `tx` (bulk-load analog).
+    */
+  def init(df: DataFrame, tx: Long): DataFrame =
+    df.withColumn("tx_min", lit(tx)).withColumn("tx_max", lit(null).cast("long"))
+
+  /** writeRecord (MVCC.hs:228-248) as a copy-on-write transform:
+    * visible rows matching `pred` get closed (`tx_max = tx`) and a
+    * transformed copy appended with `tx_min = tx`. `mutate` maps the
+    * matched rows to their new values (same schema, pre-version cols).
+    */
+  def update(versioned: DataFrame, pred: Column, tx: Long,
+      mutate: DataFrame => DataFrame): DataFrame = {
+    val vis     = visibleAt(tx)
+    val hit     = vis && pred
+    val closed  = versioned.withColumn("tx_max", when(hit, lit(tx)).otherwise(col("tx_max")))
+    val dataCols = versioned.columns.filterNot(c => c == "tx_min" || c == "tx_max")
+    val fresh = mutate(versioned.filter(hit).selectExpr(dataCols: _*))
+      .withColumn("tx_min", lit(tx))
+      .withColumn("tx_max", lit(null).cast("long"))
+      .select(versioned.columns.map(col): _*)
+    closed.unionAll(fresh)
+  }
+
+  /** deleteRecord (MVCC.hs:251-268): close matching visible versions. */
+  def delete(versioned: DataFrame, pred: Column, tx: Long): DataFrame =
+    versioned.withColumn("tx_max",
+      when(visibleAt(tx) && pred, lit(tx)).otherwise(col("tx_max")))
+
+  /** Cascading node delete (APITest.hs:55-68 semantics): closing a
+    * node version also closes every live incident edge — the
+    * reference's chain-repair walk (API.hs:363-429) becomes one
+    * predicate over the edge endpoints.
+    */
+  def deleteNodeCascade(nodes: DataFrame, edges: DataFrame, nodePred: Column, tx: Long)
+      : (DataFrame, DataFrame) = {
+    val closedNodes = delete(nodes, nodePred, tx)
+    val victims = nodes.filter(visibleAt(tx) && nodePred)
+      .select(col("id").as("__vid")).distinct()
+    // two equi-joins (src, dst) rather than one OR-join: an OR-join
+    // would duplicate edges whose both endpoints die, and equi-joins
+    // stay broadcast-hash at scale
+    val closedEdges = edges
+      .join(broadcast(victims.withColumnRenamed("__vid", "__s")), col("src") === col("__s"), "left")
+      .join(broadcast(victims.withColumnRenamed("__vid", "__d")), col("dst") === col("__d"), "left")
+      .withColumn("tx_max",
+        when(visibleAt(tx) && (col("__s").isNotNull || col("__d").isNotNull), lit(tx))
+          .otherwise(col("tx_max")))
+      .drop("__s", "__d")
+    (closedNodes, closedEdges)
+  }
+}

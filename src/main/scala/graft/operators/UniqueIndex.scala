@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's index surface (SURVEY §2.8) without the trie: on
+  * columnar storage an "index" is a derived, optionally bucketed
+  * key→id table plus predicates that push into the scan. Point
+  * lookups become pruned scans (min-max/dictionary/bloom in parquet),
+  * prefix queries become `startsWith` (pushable as >= / < bounds),
+  * and unique enforcement is a groupBy-count check.
+  */
+object UniqueIndex {
+
+  /** Raised on unique-key violation — the `DuplicateIndexKey` analog
+    * (HGraphStorage Types.hs:423, API.hs:217-229).
+    */
+  final class DuplicateIndexKeyException(msg: String) extends RuntimeException(msg)
+
+  /** Index metadata (IndexInfo, HGraphStorage API.hs:49-53). */
+  final case class IndexInfo(name: String, labels: Seq[String], property: String)
+
+  /** Keys occurring more than once (checkDuplicates,
+    * API.hs:217-229) — empty means the unique constraint holds.
+    */
+  def duplicates(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Enforce uniqueness; throws DuplicateIndexKeyException listing a
+    * sample of offending keys. This is an action (drives a job) —
+    * call at commit/publish time, not per-row.
+    */
+  def requireUnique(df: DataFrame, keyCols: Seq[String]): Unit = {
+    val dups = duplicates(df, keyCols).limit(5).collect()
+    if (dups.nonEmpty)
+      throw new DuplicateIndexKeyException(
+        s"duplicate keys on (${keyCols.mkString(",")}): ${dups.mkString("; ")}")
+  }
+
+  /** Build the index table for a node snapshot: (key, id) for nodes
+    * whose label is applicable (`isIndexApplicable`, API.hs:543-546)
+    * — the backfill path (addIndex, API.hs:494-516) is the same
+    * expression run over pre-existing rows.
+    */
+  def build(nodes: DataFrame, info: IndexInfo): DataFrame = {
+    val applicable =
+      if (info.labels.isEmpty) nodes else nodes.filter(col("label").isin(info.labels: _*))
+    applicable
+      .select(element_at(col("props").getItem(info.property), 1).getField("vText").as("key"),
+        col("id"))
+      .filter(col("key").isNotNull)
+  }
+
+  /** Exact-key point query (Trie.hs:225-239 lookup). */
+  def lookup(index: DataFrame, key: String): DataFrame =
+    index.filter(col("key") === key)
+
+  /** All entries under a prefix (Trie.hs:242-261 prefix). */
+  def prefix(index: DataFrame, p: String): DataFrame =
+    index.filter(col("key").startsWith(p))
+
+  /** Prefix as an explicit sargable range — what `startsWith`
+    * becomes after pushdown; exposed for callers building manual
+    * bounds over sorted/bucketed layouts.
+    */
+  def prefixRange(keyCol: Column, p: String): Column = {
+    val next = p.init + (p.last + 1).toChar
+    keyCol >= p && keyCol < next
+  }
+}

@@ -1,6 +1,121 @@
 package graft.queries
 
-/** Placeholder — filled in by its milestone. */
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mvcc
+import graft.sources.Tables
+
+/** MVCC snapshot reads and copy-on-write mutation, driven over a
+  * deterministic versioned view of `events` so DuckDB can replay the
+  * exact same visibility arithmetic (SURVEY §2.7).
+  */
 object MvccQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq.empty
+
+  /** events → versioned rows: tx_min = event_id % 97,
+    * tx_max = tx_min + 5 for every third event (deleted later),
+    * null otherwise. Pure arithmetic, SQL-replicable.
+    */
+  private def versionedEvents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir).events
+      .withColumn("tx_min", col("event_id") % 97)
+      .withColumn("tx_max",
+        when(col("event_id") % 3 === 0, col("event_id") % 97 + 5).cast("long"))
+
+  private val versionedSql =
+    """SELECT *, event_id % 97 AS tx_min,
+      |  CASE WHEN event_id % 3 = 0 THEN event_id % 97 + 5 END AS tx_max
+      |FROM events""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ---- snapshot read at a transaction id ----
+    QueryDef(
+      "q_mvcc_snapshot",
+      "snapshot visibility predicate at tx=50 (serial history)",
+      (s, dir) =>
+        Mvcc.readAsOf(versionedEvents(s, dir), 50L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_visible")),
+      Some(s"""SELECT event_type, count(*) AS n_visible FROM ($versionedSql)
+              |WHERE (tx_min = 50 AND tx_max IS NULL)
+              |   OR (tx_min < 50 AND (tx_max IS NULL OR (tx_max <> 50 AND tx_max >= 50)))
+              |GROUP BY event_type""".stripMargin)
+    ),
+
+    // ---- time travel: visible-row counts across snapshots ----
+    QueryDef(
+      "q_mvcc_time_travel",
+      "row counts as of tx 10/50/90 over the same version chains",
+      (s, dir) => {
+        val v = versionedEvents(s, dir)
+        def at(tx: Long) =
+          Mvcc.readAsOf(v, tx).agg(count(lit(1)).as("n")).select(lit(tx).as("as_of"), col("n"))
+        at(10L).unionAll(at(50L)).unionAll(at(90L))
+      },
+      Some(s"""WITH v AS ($versionedSql)
+              |SELECT t.as_of, (SELECT count(*) FROM v
+              |  WHERE (tx_min = t.as_of AND tx_max IS NULL)
+              |     OR (tx_min < t.as_of AND (tx_max IS NULL OR (tx_max <> t.as_of AND tx_max >= t.as_of)))) AS n
+              |FROM (VALUES (10), (50), (90)) AS t(as_of)""".stripMargin)
+    ),
+
+    // ---- copy-on-write update: close old version, append new ----
+    // tx 200 doubles the value of 'purchase' events; as-of 300 the new
+    // versions are visible, the closed ones are not.
+    QueryDef(
+      "q_mvcc_update_cow",
+      "copy-on-write update then snapshot read of the new versions",
+      (s, dir) => {
+        val v  = versionedEvents(s, dir)
+        val v2 = Mvcc.update(v, col("event_type") === "purchase", 200L,
+          df => df.withColumn("value", col("value") * 2))
+        Mvcc.readAsOf(v2, 300L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      },
+      Some(s"""WITH v AS ($versionedSql),
+              |vis AS (SELECT * FROM v
+              |  WHERE (tx_min < 200 AND (tx_max IS NULL OR tx_max >= 200))),
+              |v2 AS (
+              |  SELECT event_type, value, tx_min,
+              |         CASE WHEN event_type = 'purchase' AND (tx_max IS NULL OR tx_max >= 200)
+              |              THEN 200 ELSE tx_max END AS tx_max
+              |  FROM v
+              |  UNION ALL
+              |  SELECT event_type, value * 2 AS value, 200 AS tx_min, NULL AS tx_max
+              |  FROM vis WHERE event_type = 'purchase')
+              |SELECT event_type, count(*) AS n,
+              |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+              |FROM v2
+              |WHERE (tx_min = 300 AND tx_max IS NULL)
+              |   OR (tx_min < 300 AND (tx_max IS NULL OR (tx_max <> 300 AND tx_max >= 300)))
+              |GROUP BY event_type""".stripMargin)
+    ),
+
+    // ---- delete: closed versions disappear from later snapshots ----
+    QueryDef(
+      "q_mvcc_delete",
+      "MVCC delete of error events at tx 200; before/after counts",
+      (s, dir) => {
+        val v  = versionedEvents(s, dir)
+        val v2 = Mvcc.delete(v, col("event_type") === "error", 200L)
+        Mvcc.readAsOf(v2, 199L).agg(count(lit(1)).as("n"))
+          .select(lit("before").as("phase"), col("n"))
+          .unionAll(Mvcc.readAsOf(v2, 300L).agg(count(lit(1)).as("n"))
+            .select(lit("after").as("phase"), col("n")))
+      },
+      Some(s"""WITH v AS ($versionedSql),
+              |v2 AS (SELECT event_type, tx_min,
+              |         CASE WHEN event_type = 'error'
+              |                   AND (tx_min < 200 AND (tx_max IS NULL OR tx_max >= 200))
+              |              THEN 200 ELSE tx_max END AS tx_max FROM v)
+              |SELECT 'before' AS phase, count(*) AS n FROM v2
+              |WHERE (tx_min = 199 AND tx_max IS NULL)
+              |   OR (tx_min < 199 AND (tx_max IS NULL OR (tx_max <> 199 AND tx_max >= 199)))
+              |UNION ALL
+              |SELECT 'after', count(*) FROM v2
+              |WHERE (tx_min = 300 AND tx_max IS NULL)
+              |   OR (tx_min < 300 AND (tx_max IS NULL OR (tx_max <> 300 AND tx_max >= 300)))""".stripMargin)
+    )
+  )
 }

@@ -19,7 +19,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** `ts` is parquet TIMESTAMP(NANOS), which Spark's converter
+    * rejects; read it as a LONG of epoch nanos instead (runtime conf,
+    * effective in any session). Convert with `tsAsTimestamp`.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events")
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
