@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: media as opaque BINARY plus typed metadata.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub — but the Spark-side plumbing is
+  * real: binary column, metadata struct at scan speed, batched
+  * per-partition feature extraction with a fixed output schema (the
+  * Scala analog of a pandas-batch UDF), partition-count preserved.
+  * Swap `decodeStub` for a codec call and nothing else changes.
+  */
+object Multimodal {
+
+  /** Metadata over any binary payload — pure expressions. */
+  def mediaMeta(bin: Column, chunkBytes: Int = 1024): Seq[(String, Column)] = Seq(
+    "byte_len" -> length(bin).cast("long"),
+    "n_chunks" -> ceil(length(bin).cast("double") / chunkBytes).cast("long"),
+    "header_hex" -> substring(lower(hex(bin)), 1, 16))
+
+  final case class MediaFeature(id: Long, byteLen: Long, f0: Double, f1: Double, f2: Double)
+
+  /** STUB decode: a real implementation would decode the codec frame
+    * here (JPEG/PCM/...). Deterministic fake features derived from
+    * the raw bytes keep the pipeline testable end-to-end.
+    */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaFeature = {
+    val len = bytes.length.toLong
+    val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    val last  = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
+    MediaFeature(id, len, (len % 251).toDouble / 250.0, first / 255.0, last / 255.0)
+  }
+
+  /** Batched feature extraction: one decoder instance per partition,
+    * rows streamed through it — the shape a GPU/codec batch UDF needs
+    * (init cost amortized per partition, not per row).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      idCol: String, binCol: String): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: token
+  * ops, shingling, deterministic hashing, fingerprinting, language
+  * scoring, quality features.
+  *
+  * Everything here is a pure Column expression (whole-stage codegen,
+  * no UDFs, no shuffles) so it runs at scan speed over 100 TB — and
+  * every function is reproducible in ANSI SQL for the DuckDB oracle
+  * (md5-based hashing rather than engine-private hash functions).
+  */
+object TextOps {
+
+  /** Whitespace tokens of a single-space-normalized text. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Deterministic 32-bit hash of a string, seeded: first 8 hex chars
+    * of md5("<seed>|<s>") as a long. Cross-engine reproducible
+    * (DuckDB: CAST('0x'||substr(md5(...),1,8) AS BIGINT)).
+    */
+  def hash32(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit("|"), s)), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles. For texts shorter than n tokens,
+    * one shingle = the whole text.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Bag-of-words document fingerprint: md5 over the sorted distinct
+    * token set — exact-dup detection modulo word order/multiplicity.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(sort_array(array_distinct(tokens(text))), " "))
+
+  /** Number of tokens from a lexicon occurring in the text (with
+    * multiplicity) — the language-ID / stopword-ratio primitive.
+    */
+  def lexiconHits(text: Column, lexicon: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(lexicon: _*)))
+
+  /** Per-language stopword lexicons for the n-gram-free language-ID
+    * heuristic. Tiny by design: langid at corpus scale is a
+    * scan-speed scoring pass, not a model.
+    */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+
+  /** Predicted language: argmax of lexicon hits, ties broken by
+    * lexicon order (first wins). Returns "und" when no lexicon hits.
+    */
+  def langId(text: Column): Column = {
+    val scored = lexicons.map { case (lang, lex) => (lang, lexiconHits(text, lex)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality features: exact integer counts (cross-engine safe) plus
+    * a rounded composite. Assumes single-space-separated text.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val n    = size(tokens(text))
+    val sumLen = length(text) - (n - 1) // total token chars
+    val stop = lexiconHits(text, lexicons.head._2)
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "n_chars_tok" -> sumLen.cast("long"),
+      "n_stopwords" -> stop.cast("long"),
+      "mean_word_len" -> round(sumLen.cast("double") / n, 4),
+      "stopword_ratio" -> round(stop.cast("double") / n, 4))
+  }
+}

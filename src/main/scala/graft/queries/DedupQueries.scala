@@ -1,6 +1,117 @@
 package graft.queries
 
-/** Placeholder — filled in by its milestone. */
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+import graft.sources.Tables
+
+/** Deduplication over the `documents` table. Hashing is md5-based so
+  * every stage — shingles, minhash, banding, jaccard — is replayed
+  * exactly by the DuckDB oracle.
+  */
 object DedupQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq.empty
+
+  /** Shared SQL fragments (DuckDB): tokens, shingles, hash. */
+  private val shinglesSql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s FROM pos)""".stripMargin
+
+  private def h(seed: String, expr: String) =
+    s"CAST(('0x' || substr(md5($seed || '|' || $expr), 1, 8)) AS BIGINT)"
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ---- exact dedup by content hash ----
+    QueryDef(
+      "q_dedup_exact",
+      "exact duplicate groups by md5(text); doc_id kept per group",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        docs.groupBy(md5(col("text")).as("content_hash"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      },
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n, min(doc_id) AS keep_id
+             |FROM documents GROUP BY md5(text)""".stripMargin)
+    ),
+
+    // ---- n-gram Jaccard near-dup pairs (verification-grade) ----
+    QueryDef(
+      "q_dedup_jaccard",
+      "word-3-gram Jaccard pairs >= 0.8 via shared-shingle join",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", col("text"), 0.8),
+      Some(s"""$shinglesSql,
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+              |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+              |WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8""".stripMargin)
+    ),
+
+    // ---- MinHash signatures (the scan-speed, shuffle-free stage) ----
+    QueryDef(
+      "q_dedup_minhash_sig",
+      "16-hash MinHash signature checksum per document",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        // checksum = sum of signature entries: stable scalar per doc
+        docs.select(col("doc_id"),
+          aggregate(Dedup.minhashSig(col("text"), 16), lit(0L), (a, x) => a + x).as("sig_sum"))
+      },
+      Some({
+        val mins = (0 until 16)
+          .map(j => s"min(${h(s"'$j'", "s")})")
+          .mkString(" + ")
+        s"""$shinglesSql
+           |SELECT doc_id, $mins AS sig_sum FROM sh GROUP BY doc_id""".stripMargin
+      })
+    ),
+
+    // ---- full MinHash-LSH near-dup pipeline ----
+    QueryDef(
+      "q_dedup_minhash_lsh",
+      "LSH candidates (4 bands x 4 rows) verified by true Jaccard >= 0.7",
+      (s, dir) =>
+        Dedup.nearDuplicates(Tables(s, dir).documents, "doc_id", col("text"), 0.7),
+      Some({
+        val sigCols = (0 until 16).map(j => s"min(${h(s"'$j'", "s")}) AS h$j").mkString(", ")
+        val bandKeys = (0 until 4).map { b =>
+          val parts = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
+          s"md5('$b' || ',' || $parts)"
+        }.mkString(", ")
+        s"""$shinglesSql,
+           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+           |bands AS (SELECT doc_id, unnest([$bandKeys]) AS band FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT c.da, c.db, count(*) AS i
+           |          FROM cand c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND x.s = y.s
+           |          GROUP BY c.da, c.db)
+           |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+           |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+           |WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.7""".stripMargin
+      })
+    ),
+
+    // ---- SimHash fingerprints ----
+    QueryDef(
+      "q_dedup_simhash",
+      "16-bit SimHash per document + collision groups",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+          .groupBy(col("simhash")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+      },
+      Some({
+        val bits = (0 until 16).map { i =>
+          s"CASE WHEN 2 * len(list_filter(ts, t -> ((${h("'0'", "t")} >> $i) & 1) = 1)) > len(ts) THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |sh AS (SELECT doc_id, ($bits) AS simhash FROM tok)
+           |SELECT simhash, count(*) AS n, min(doc_id) AS min_doc FROM sh GROUP BY simhash""".stripMargin
+      })
+    )
+  )
 }

@@ -1,6 +1,51 @@
 package graft.queries
 
-/** Placeholder — filled in by its milestone. */
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Multimodal
+import graft.sources.Tables
+
+/** Multimodal-column plumbing driven over a synthesized binary
+  * payload (documents' text bytes — the container ships no codecs;
+  * see [[graft.pipeline.Multimodal]] for the stub boundary).
+  */
 object MultimodalQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq.empty
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ---- metadata over a binary column, scan-speed ----
+    QueryDef(
+      "q_multimodal_meta",
+      "binary payload metadata: byte length, chunk count, header hex",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val bin  = encode(col("text"), "UTF-8")
+        val meta = Multimodal.mediaMeta(bin).map { case (n, c) => c.as(n) }
+        docs.select(col("doc_id") +: meta: _*)
+      },
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text)) AS byte_len,
+             |  CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks,
+             |  substr(lower(hex(encode(text))), 1, 16) AS header_hex
+             |FROM documents""".stripMargin)
+    ),
+
+    // ---- batched per-partition feature extraction (decode stub) ----
+    QueryDef(
+      "q_multimodal_features",
+      "per-partition batched decode (stub) -> fixed feature schema",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.extractFeatures(s, docs, "doc_id", "payload").toDF()
+          .select(col("id").as("doc_id"), col("byteLen").as("byte_len"),
+            round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
+            round(col("f2"), 6).as("f2"))
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |  round((octet_length(encode(text)) % 251) / 250.0, 6) AS f0,
+             |  round(ascii(substr(text, 1, 1)) / 255.0, 6) AS f1,
+             |  round(ascii(substr(text, -1, 1)) / 255.0, 6) AS f2
+             |FROM documents""".stripMargin)
+    )
+  )
 }

@@ -1,6 +1,85 @@
 package graft.queries
 
-/** Placeholder — filled in by its milestone. */
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+import graft.sources.Tables
+
+/** Similarity search over `embeddings` (ARRAY<FLOAT> x 64). Scores
+  * are rounded to 6 decimals before ranking so results are
+  * reproducible across engines that sum in element order.
+  */
 object SimilarityQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq.empty
+
+  private val DIM = 64
+
+  /** DuckDB-side deterministic hyperplane sign for (p, d). */
+  private def signSql(p: Int, d: Int) =
+    s"(CASE WHEN CAST(('0x' || substr(md5('${p}_$d'), 1, 2)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ---- brute-force cosine top-k against a stored query vector ----
+    QueryDef(
+      "q_ann_bruteforce",
+      "top-10 cosine neighbors of vec 0, brute force over the corpus",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        // fetch the query vector once (tiny driver action), then one scan
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        Similarity.topK(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10)
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /
+             |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ---- embedding near-duplicate pairs (cosine >= 0.99) ----
+    // brute-force pair scan at small SF; the scale path buckets by
+    // LSH first (next query) and verifies within buckets.
+    QueryDef(
+      "q_dedup_embed",
+      "embedding near-dup pairs: cosine >= 0.99 (label-blocked join)",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"), col("label").as("la"))
+        val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("label").as("lb"))
+        a.join(b, col("la") === col("lb") && col("va") < col("vb"))
+          .withColumn("cos", round(Similarity.cosine(col("ea"), col("eb")), 6))
+          .filter(col("cos") >= 0.99)
+          .select(col("va"), col("vb"), col("cos"))
+      },
+      Some("""SELECT a.vec_id AS va, b.vec_id AS vb,
+             |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.99""".stripMargin)
+    ),
+
+    // ---- LSH bucket assignment (the scale path's partitioner) ----
+    QueryDef(
+      "q_ann_lsh_buckets",
+      "8-hyperplane LSH bucket histogram over the embedding corpus",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        emb.select(Similarity.lshBucket(col("embedding"), 8, DIM).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+      },
+      Some({
+        val bits = (0 until 8).map { p =>
+          val terms = (0 until DIM).map(d => s"e[${d + 1}] * ${signSql(p, d)}").mkString(" + ")
+          s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+           |SELECT ($bits) AS bucket, count(*) AS n FROM v GROUP BY 1""".stripMargin
+      })
+    )
+  )
 }

@@ -1,6 +1,82 @@
 package graft.queries
 
-/** Placeholder — filled in by its milestone. */
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextOps
+import graft.sources.Tables
+
+/** Text analysis at scan speed over `documents`: token stats, quality
+  * features, language-ID scoring, bag-of-words fingerprints.
+  */
 object TextQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq.empty
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ---- token counting ----
+    QueryDef(
+      "q_text_tokens",
+      "token and character counts per document",
+      (s, dir) =>
+        Tables(s, dir).documents.select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_text")),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |length(text) AS n_chars_text FROM documents""".stripMargin)
+    ),
+
+    // ---- quality features ----
+    QueryDef(
+      "q_text_quality",
+      "quality features: token stats, stopword ratio, mean word length",
+      (s, dir) => {
+        val cols = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+        Tables(s, dir).documents.select(col("doc_id") +: cols: _*)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts, length(text) AS lc FROM documents)
+             |SELECT doc_id,
+             |  len(ts) AS n_tokens,
+             |  lc - (len(ts) - 1) AS n_chars_tok,
+             |  len(list_filter(ts, x -> x IN ('the','a','of','and','to','in'))) AS n_stopwords,
+             |  round((lc - (len(ts) - 1)) * 1.0 / len(ts), 4) AS mean_word_len,
+             |  round(len(list_filter(ts, x -> x IN ('the','a','of','and','to','in'))) * 1.0 / len(ts), 4) AS stopword_ratio
+             |FROM t""".stripMargin)
+    ),
+
+    // ---- language-ID scoring ----
+    QueryDef(
+      "q_text_langid",
+      "stopword-lexicon language ID vs the labeled lang column",
+      (s, dir) =>
+        Tables(s, dir).documents
+          .select(col("lang"), TextOps.langId(col("text")).as("pred"))
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n")),
+      Some({
+        val scores = TextOps.lexicons.map { case (lang, lex) =>
+          val inList = lex.map(w => s"'$w'").mkString(",")
+          s"len(list_filter(ts, x -> x IN ($inList))) AS s_$lang"
+        }.mkString(", ")
+        val bestExpr = TextOps.lexicons.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+        // ties: first lexicon in TextOps.lexicons order wins
+        val pick = TextOps.lexicons.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+          s"CASE WHEN s_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
+        }
+        s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+           |sc AS (SELECT doc_id, lang, $scores FROM t),
+           |sb AS (SELECT *, $bestExpr AS best FROM sc)
+           |SELECT lang, $pick AS pred, count(*) AS n FROM sb GROUP BY 1, 2""".stripMargin
+      })
+    ),
+
+    // ---- document fingerprinting ----
+    QueryDef(
+      "q_text_fingerprint",
+      "bag-of-words md5 fingerprint per document",
+      (s, dir) =>
+        Tables(s, dir).documents
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |FROM documents""".stripMargin)
+    )
+  )
 }
