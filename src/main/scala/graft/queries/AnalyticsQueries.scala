@@ -1,6 +1,100 @@
 package graft.queries
 
-/** Placeholder — filled in by its milestone. */
+import org.apache.spark.sql.functions._
+
+import graft.analytics.GraphAnalytics
+import graft.core.{GraphSnapshot, TpchGraph}
+import graft.sources.Tables
+
+/** GraphX analytics over the geography subgraph of [[TpchGraph]]
+  * (customer/supplier -[in_nation]-> nation -[in_region]-> region):
+  * a DAG whose components and ranks have closed forms, so even
+  * iterative results are DuckDB-checkable.
+  */
 object AnalyticsQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq.empty
+
+  import TpchGraph._
+
+  /** Geography-only subgraph: label-pruned scans, no lineitem fan-in. */
+  private def geo(s: org.apache.spark.sql.SparkSession, dir: String): GraphSnapshot = {
+    val g = TpchGraph.snapshot(s, dir)
+    GraphSnapshot(
+      g.nodes.filter(col("label").isin("customer", "supplier", "nation", "region")),
+      g.edges.filter(col("label").isin("in_nation", "in_region")))
+  }
+
+  override def queries: Seq[QueryDef] = Seq(
+    // ---- connected components: one component per region tree ----
+    // GraphX returns min vertex id per component = 1e9 + min custkey
+    // in the region (customers own the smallest id space).
+    QueryDef(
+      "q_cc_components",
+      "connected components of the geography subgraph (one per region)",
+      (s, dir) =>
+        GraphAnalytics.connectedComponents(s, geo(s, dir))
+          .groupBy(col("component")).agg(count(lit(1)).as("n_nodes")),
+      Some(s"""WITH cr AS (SELECT c_custkey, r_regionkey
+              |           FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |                          JOIN region ON n_regionkey = r_regionkey),
+              |sr AS (SELECT s_suppkey, r_regionkey
+              |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |                      JOIN region ON n_regionkey = r_regionkey)
+              |SELECT $CUST + (SELECT min(c_custkey) FROM cr WHERE cr.r_regionkey = r.r_regionkey) AS component,
+              |       (SELECT count(*) FROM cr WHERE cr.r_regionkey = r.r_regionkey)
+              |     + (SELECT count(*) FROM sr WHERE sr.r_regionkey = r.r_regionkey)
+              |     + (SELECT count(*) FROM nation WHERE n_regionkey = r.r_regionkey)
+              |     + 1 AS n_nodes
+              |FROM region r""".stripMargin)
+    ),
+
+    // ---- fixed-iteration PageRank on the DAG (closed form) ----
+    QueryDef(
+      "q_pagerank",
+      "5-iteration PageRank; nation/region ranks vs closed form",
+      (s, dir) =>
+        GraphAnalytics.pageRank(s, geo(s, dir), 5)
+          .filter((col("id") >= NATION && col("id") < SUPP) || col("id") >= REGION)
+          .select(col("id"), round(col("rank"), 6).as("rank")),
+      // Spark's staticPageRank normalizes final ranks to sum = |V|;
+      // the DAG closed form is r_cust = 0.15, r_nation = 0.15 +
+      // 0.85*0.15*(members), r_region = 0.15 + 0.85*sum(r_nation),
+      // then scaled by |V| / sum(all ranks).
+      Some(s"""WITH nr AS (
+              |  SELECT n_nationkey, n_regionkey,
+              |         0.15 + 0.85 * 0.15 * (
+              |           (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+              |         + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)) AS r
+              |  FROM nation),
+              |rr AS (
+              |  SELECT r_regionkey,
+              |         0.15 + 0.85 * (SELECT sum(r) FROM nr WHERE n_regionkey = r_regionkey) AS r
+              |  FROM region),
+              |tot AS (
+              |  SELECT ((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+              |        + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)) AS nv,
+              |         (0.15 * ((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier))
+              |        + (SELECT sum(r) FROM nr) + (SELECT sum(r) FROM rr)) AS sr)
+              |SELECT n_nationkey + $NATION AS id, round(r * nv / sr, 6) AS rank FROM nr, tot
+              |UNION ALL
+              |SELECT r_regionkey + $REGION AS id, round(r * nv / sr, 6) AS rank FROM rr, tot""".stripMargin)
+    ),
+
+    // ---- Pregel multi-hop BFS: hop-distance histogram ----
+    // sources = region nodes, edges reversed: dist 0 = regions,
+    // 1 = nations, 2 = customers+suppliers.
+    QueryDef(
+      "q_pregel_hops",
+      "Pregel BFS from all regions over reversed edges: distance histogram",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val regionIds = t.region.select(col("r_regionkey").cast("long") + REGION)
+          .collect().map(_.getLong(0)).toSet
+        GraphAnalytics.hopDistances(s, geo(s, dir), regionIds, maxHops = 2, reverse = true)
+          .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 0 AS dist, count(*) AS n FROM region
+             |UNION ALL SELECT 1, count(*) FROM nation
+             |UNION ALL SELECT 2, (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)""".stripMargin)
+    )
+  )
 }

@@ -1,6 +1,35 @@
 package graft.queries
 
-/** Placeholder — filled in by its milestone. */
+import graft.sources.Tables
+import graft.streaming.EventStream
+
+/** Streaming-surface queries. The driver gate runs the batch form of
+  * the exact transformation the streaming job uses (same function).
+  */
 object StreamingQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq.empty
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_stream_window",
+      "tumbling 1h window counts/sums per event type (batch == stream)",
+      (s, dir) => EventStream.windowedCounts(Tables(s, dir).events),
+      Some("""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+             |  event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_stream_json_props",
+      "JSON property extraction from the event props column",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables(s, dir).events
+          .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+             |FROM events GROUP BY 1""".stripMargin)
+    )
+  )
 }

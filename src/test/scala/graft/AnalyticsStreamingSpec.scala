@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.GraphAnalytics
+import graft.core.GraphBuilder
+import graft.model.PropertyValue._
+import graft.streaming.EventStream
+
+class AnalyticsStreamingSpec extends GraftSuite {
+
+  private lazy val g = {
+    // two components: (a-b-c) and (d-e)
+    val b = new GraphBuilder
+    val a1 = b.addNode("t"); val a2 = b.addNode("t"); val a3 = b.addNode("t")
+    val d = b.addNode("t"); val e = b.addNode("t")
+    b.addEdge(a1, a2, "r"); b.addEdge(a2, a3, "r"); b.addEdge(d, e, "r")
+    b.snapshot(spark)
+  }
+
+  test("connected components find both components with min-id labels") {
+    val cc = GraphAnalytics.connectedComponents(spark, g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(4L) == 4L && cc(5L) == 4L)
+  }
+
+  test("pageRank: normalized static ranks match the DAG closed form") {
+    val pr = GraphAnalytics.pageRank(spark, g, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // unnormalized closed form 0.15 / 0.2775 / 0.385875, scaled to sum=|V|
+    val un = Map(1L -> 0.15, 2L -> 0.2775, 3L -> 0.385875, 4L -> 0.15, 5L -> 0.2775)
+    val scale = 5.0 / un.values.sum
+    un.foreach { case (id, r) =>
+      assert(math.abs(pr(id) - r * scale) < 1e-9, s"vertex $id")
+    }
+  }
+
+  test("Pregel hop distances, forward and reverse, bounded") {
+    val d = GraphAnalytics.hopDistances(spark, g, Set(1L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    val r = GraphAnalytics.hopDistances(spark, g, Set(3L), maxHops = 2, reverse = true)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(3L -> 0, 2L -> 1, 1L -> 2))
+    val bounded = GraphAnalytics.hopDistances(spark, g, Set(1L), maxHops = 1)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(bounded == Map(1L -> 0, 2L -> 1), "maxHops bounds the frontier")
+  }
+
+  test("streaming windowed counts equal the batch transformation") {
+    val q = EventStream.runToMemory(spark, sf0001, "ev_counts")
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_counts")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStream.windowedCounts(graft.sources.Tables(spark, sf0001).events)
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
