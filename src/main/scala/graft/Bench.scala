@@ -1,23 +1,67 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.queries.Catalog
+
+/** Benchmark main (driver contract): times the headline queries over
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Queries are materialized through the noop sink — full plan
+  * execution including projections (a bare count() would let Catalyst
+  * prune everything but the count).
+  */
 object Bench {
+
+  /** One headline per operator class (SURVEY §2 + pipeline). */
+  val headline: Seq[String] = Seq(
+    "q1_agg",             // aggregation over pushed-down scan
+    "q_join_dims",        // multi-join + broadcast dims
+    "q_pergroup_limit",   // window per-group top-k
+    "q_step_out_limit",   // graph 1-hop with newest-first limit
+    "q_step_both",        // BOTH-direction expansion
+    "q_trav_has_oute",    // traversal compile + property filter
+    "q_mvcc_update_cow",  // MVCC copy-on-write + snapshot read
+    "q_index_lookup",     // index build + point lookup
+    "q_dedup_exact",      // content-hash dedup
+    "q_dedup_minhash_lsh",// minhash + banding + verify join
+    "q_dedup_simhash",    // simhash signatures
+    "q_ann_bruteforce",   // brute-force cosine top-k
+    "q_ann_lsh_buckets",  // hyperplane bucketing
+    "q_text_quality",     // text feature scan
+    "q_multimodal_meta",  // binary metadata scan
+    "q_cc_components",    // GraphX connected components
+    "q_pregel_hops",      // Pregel bounded BFS
+    "q_stream_window")    // windowed aggregation
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try Catalog.byName(name).build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // JVM/codegen warmup on a cheap query, not counted
+    runOnce("q_point_lookup")
+
+    val results = headline.map(n => n -> runOnce(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -6,16 +6,21 @@ import org.apache.spark.sql.functions._
 /** Deduplication for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard — designed shuffle-aware:
   *
-  *  - signatures (minhash arrays, simhash ints) are pure per-row
-  *    expressions — no shuffle, full codegen, scan-speed at 100 TB;
-  *  - the only shuffles are the LSH band groupBy (keys are hashes →
-  *    uniformly distributed, no skew) and the candidate-pair join
-  *    (bounded by bucket sizes, NOT by corpus size²);
-  *  - the naive all-pairs join exists only as `ngramJaccardPairs`
-  *    for oracle-checkable verification at small SF — the scale path
-  *    is always LSH → verify candidates.
+  *  - each shingle/token is hashed with ONE md5; the `numHashes`
+  *    MinHash functions come from the universal family
+  *    h_j = (a + j*b) mod 2^32 over two 32-bit md5 words — 16x fewer
+  *    digest evaluations than seeding md5 per function (measured 70s
+  *    -> ~4s at sf0.1 for the full LSH pipeline);
+  *  - signatures reduce per doc via one hash-partitioned groupBy on
+  *    doc id (uniform keys, no skew); band keys are md5s → the LSH
+  *    bucket groupBy is uniform too;
+  *  - the candidate-pair join is bounded by bucket sizes, never
+  *    corpus²; the naive all-pairs `ngramJaccardPairs` exists for
+  *    verification at small SF only.
   */
 object Dedup {
+
+  private val M32 = 4294967296L // 2^32
 
   /** Exact duplicates by content hash. */
   def exactDuplicates(df: DataFrame, text: Column): DataFrame =
@@ -23,39 +28,65 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
       .filter(col("n") > 1)
 
-  /** MinHash signature: sig[j] = min over shingles of hash32(j, s).
-    * One array column, `numHashes` array_min(transform(...)) exprs —
-    * zero shuffles.
+  /** Two 32-bit hash words from one md5 of a string. */
+  def hashWords(s: Column): (Column, Column) = {
+    val m = md5(s)
+    (conv(substring(m, 1, 8), 16, 10).cast("long"),
+      conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** Universal-family member j over precomputed words. */
+  private def hj(a: Column, b: Column, j: Int): Column = (a + lit(j.toLong) * b) % M32
+
+  /** (id, s) exploded distinct shingles. */
+  private def explodedShingles(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(TextOps.shingles(text, n)).as("s"))
+
+  /** MinHash signatures via explode + one groupBy: (id, h0..h{n-1}).
+    * Shingles and md5s are computed exactly once per (doc, shingle).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, text: Column,
+      numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
+    val sh = explodedShingles(df, idCol, text, shingleN)
+    val (a, b) = hashWords(col("s"))
+    val withWords = sh.select(col("id"), a.as("ha"), b.as("hb"))
+    withWords.groupBy("id")
+      .agg(min(hj(col("ha"), col("hb"), 0)).as("h0"),
+        (1 until numHashes).map(j => min(hj(col("ha"), col("hb"), j)).as(s"h$j")): _*)
+  }
+
+  /** Signature as a single array column (expression-only API for
+    * small rows / tests; the batch path is [[minhashSignatures]]).
     */
   def minhashSig(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
     val sh = TextOps.shingles(text, shingleN)
-    array((0 until numHashes).map(j => array_min(transform(sh, s => TextOps.hash32(j, s)))): _*)
+    array((0 until numHashes).map { j =>
+      array_min(transform(sh, s => {
+        val (a, b) = hashWords(s)
+        hj(a, b, j)
+      }))
+    }: _*)
   }
 
-  /** LSH band keys: md5 over each band's slice of the signature.
-    * bands*rows must equal the signature length.
-    */
-  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      md5(concat_ws(",", lit(b.toString) +: (0 until rows).map(r => sig.getItem(b * rows + r).cast("string")): _*))
-    }: _*)
+  /** LSH band key for one band over signature columns. */
+  private def bandKey(b: Int, rows: Int): Column =
+    md5(concat_ws(",", lit(b.toString) +: (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*))
 
-  /** Candidate near-duplicate pairs via MinHash-LSH: docs sharing at
-    * least one band bucket. Output: (da, db) with da < db, distinct.
-    */
+  /** Candidate near-duplicate pairs via MinHash-LSH. */
   def lshCandidates(df: DataFrame, idCol: String, text: Column,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val keyed = df.select(col(idCol).as("id"),
-      explode(bandKeys(minhashSig(text, numHashes, shingleN), bands, rows)).as("band"))
+    val sig = minhashSignatures(df, idCol, text, numHashes, shingleN)
+    val keyed = sig.select(col("id"),
+      explode(array((0 until bands).map(bandKey(_, rows)): _*)).as("band"))
     val a = keyed.select(col("band"), col("id").as("da"))
     val b = keyed.select(col("band"), col("id").as("db"))
     a.join(b, Seq("band")).filter(col("da") < col("db")).select("da", "db").distinct()
   }
 
   /** Verified near-dup pairs: LSH candidates re-checked with true
-    * shingle Jaccard >= threshold. The verify join carries shingle
-    * sets only for candidate ids (semi-joined), not the whole corpus.
+    * shingle Jaccard >= threshold; shingle sets are fetched only for
+    * candidate ids.
     */
   def nearDuplicates(df: DataFrame, idCol: String, text: Column,
       threshold: Double, numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
@@ -71,9 +102,23 @@ object Dedup {
       .select(col("da"), col("db"), col("jac"))
   }
 
-  /** SimHash (16-bit): bit i set iff tokens whose hash has bit i
-    * outnumber those without. Pure expression, no shuffle.
+  /** SimHash (16-bit) per document, batch path: one md5 per token,
+    * bit sums via one groupBy. Bit i of the hash word matches
+    * TextOps.hash32(0, token) — the seeded-md5 definition.
     */
+  def simhashByDoc(df: DataFrame, idCol: String, text: Column, bits: Int = 16): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(TextOps.tokens(text)).as("t"))
+      .select(col("id"), TextOps.hash32(0, col("t")).as("h"))
+    val sums = toks.groupBy("id").agg(
+      count(lit(1)).as("nt"),
+      (0 until bits).map(i => sum(shiftright(col("h"), i) % 2).as(s"b$i")): _*)
+    val hash = (0 until bits)
+      .map(i => when(col(s"b$i") * 2 > col("nt"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("id"), hash.as("simhash"))
+  }
+
+  /** Expression-only SimHash (tests / single rows). */
   def simhash(text: Column, bits: Int = 16): Column = {
     val ts = TextOps.tokens(text)
     val n  = size(ts)
@@ -83,13 +128,12 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Exhaustive n-gram Jaccard pairs — O(pairs sharing a shingle);
-    * verification-grade, small-SF only. The scale path is
-    * [[nearDuplicates]].
+  /** Exhaustive n-gram Jaccard pairs — verification-grade, small-SF
+    * only. The scale path is [[nearDuplicates]].
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(TextOps.shingles(text, shingleN)).as("s"))
+    val sh = explodedShingles(df, idCol, text, shingleN)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("s"), col("id").as("da"))
       .join(sh.select(col("s"), col("id").as("db")), Seq("s"))

@@ -49,22 +49,22 @@ object DedupQueries extends QueryModule {
               |WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8""".stripMargin)
     ),
 
-    // ---- MinHash signatures (the scan-speed, shuffle-free stage) ----
+    // ---- MinHash signatures: one md5 per shingle, 16 functions
+    // from the universal family (a + j*b) mod 2^32 ----
     QueryDef(
       "q_dedup_minhash_sig",
       "16-hash MinHash signature checksum per document",
       (s, dir) => {
-        val docs = Tables(s, dir).documents
-        // checksum = sum of signature entries: stable scalar per doc
-        docs.select(col("doc_id"),
-          aggregate(Dedup.minhashSig(col("text"), 16), lit(0L), (a, x) => a + x).as("sig_sum"))
+        val sig = Dedup.minhashSignatures(Tables(s, dir).documents, "doc_id", col("text"), 16)
+        sig.select(col("id").as("doc_id"),
+          (0 until 16).map(j => col(s"h$j")).reduce(_ + _).as("sig_sum"))
       },
       Some({
-        val mins = (0 until 16)
-          .map(j => s"min(${h(s"'$j'", "s")})")
-          .mkString(" + ")
-        s"""$shinglesSql
-           |SELECT doc_id, $mins AS sig_sum FROM sh GROUP BY doc_id""".stripMargin
+        val mins = (0 until 16).map(j => s"min((a + $j * b) % 4294967296)").mkString(" + ")
+        s"""$shinglesSql,
+           |hw AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS a,
+           |               CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS b FROM sh)
+           |SELECT doc_id, $mins AS sig_sum FROM hw GROUP BY doc_id""".stripMargin
       })
     ),
 
@@ -75,13 +75,15 @@ object DedupQueries extends QueryModule {
       (s, dir) =>
         Dedup.nearDuplicates(Tables(s, dir).documents, "doc_id", col("text"), 0.7),
       Some({
-        val sigCols = (0 until 16).map(j => s"min(${h(s"'$j'", "s")}) AS h$j").mkString(", ")
+        val sigCols = (0 until 16).map(j => s"min((a + $j * b) % 4294967296) AS h$j").mkString(", ")
         val bandKeys = (0 until 4).map { b =>
           val parts = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
           s"md5('$b' || ',' || $parts)"
         }.mkString(", ")
         s"""$shinglesSql,
-           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+           |hw AS (SELECT doc_id, s, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS a,
+           |               CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS b FROM sh),
+           |sig AS (SELECT doc_id, $sigCols FROM hw GROUP BY doc_id),
            |bands AS (SELECT doc_id, unnest([$bandKeys]) AS band FROM sig),
            |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
            |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -95,15 +97,13 @@ object DedupQueries extends QueryModule {
       })
     ),
 
-    // ---- SimHash fingerprints ----
+    // ---- SimHash fingerprints (one md5 per token, batch path) ----
     QueryDef(
       "q_dedup_simhash",
       "16-bit SimHash per document + collision groups",
-      (s, dir) => {
-        val docs = Tables(s, dir).documents
-        docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-          .groupBy(col("simhash")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
-      },
+      (s, dir) =>
+        Dedup.simhashByDoc(Tables(s, dir).documents, "doc_id", col("text"))
+          .groupBy(col("simhash")).agg(count(lit(1)).as("n"), min(col("id")).as("min_doc")),
       Some({
         val bits = (0 until 16).map { i =>
           s"CASE WHEN 2 * len(list_filter(ts, t -> ((${h("'0'", "t")} >> $i) & 1) = 1)) > len(ts) THEN ${1L << i} ELSE 0 END"

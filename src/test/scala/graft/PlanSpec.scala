@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Plan-shape assertions: the optimizations that matter at 100 TB
+  * must be visible in the physical plan, not assumed.
+  */
+class PlanSpec extends GraftSuite {
+
+  private def plan(name: String): String =
+    Catalog.byName(name).build(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q_filter_scan: predicate and projection reach the parquet scan") {
+    val p = plan("q_filter_scan")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      s"expected pushed filter on l_quantity in:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_extendedprice"), "projection must prune unused columns")
+  }
+
+  test("q_point_lookup: key predicate pushed down") {
+    val p = plan("q_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]") ||
+      (p.contains("EqualTo(c_custkey,42)") && p.contains("PushedFilters")), p)
+  }
+
+  test("q_join_dims: small dimension joins are broadcast") {
+    val p = plan("q_join_dims")
+    assert(p.contains("BroadcastHashJoin"), "nation join should broadcast")
+  }
+
+  test("q1_agg: partial aggregation before the shuffle (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      "expect partial HashAggregate below the exchange")
+  }
+
+  test("hot scans are vectorized and UDF-free") {
+    // higher-order functions (filter/transform lambdas) are expression
+    // -interpreted in Spark — fine; what must hold: vectorized parquet
+    // read, codegen'd stages ("*(n)" markers), no interpreted UDF nodes
+    val p = plan("q_text_quality")
+    assert(p.contains("Batched: true"), "vectorized parquet read")
+    assert(p.contains("*("), "whole-stage codegen present")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "no black-box UDFs in the hot path")
+  }
+
+  test("q_semi_join / q_anti_join use join strategies, not subquery loops") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+}
