@@ -59,7 +59,17 @@ object Bench {
     // JVM/codegen warmup on a cheap query, not counted
     runOnce("q_point_lookup")
 
-    val results = headline.map(n => n -> runOnce(n))
+    // bulk-ingest analog (BASELINE.md: trie-insert rate): build the
+    // full graph snapshot and publish it as label-partitioned parquet
+    def ingest(): Double = {
+      val t0  = System.nanoTime()
+      val out = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+      try graft.core.TpchGraph.snapshot(spark, sfDir).write(out)
+      catch { case e: Throwable => System.err.println(s"[bench] ingest failed: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = headline.map(n => n -> runOnce(n)) :+ ("ingest" -> ingest())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -11,9 +11,12 @@ import graft.queries.Catalog
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. A traversal — the engine's core custom surface: property
+    * filter, edge expansion, property projection in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Catalog.byName("q_join_dims").build(spark, "/root/testdata/sf0.001")
+    Catalog.byName("q_trav_has_oute").build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

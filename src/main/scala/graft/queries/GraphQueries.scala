@@ -132,6 +132,47 @@ object GraphQueries extends QueryModule {
               |FROM region WHERE r_regionkey IN (0, 1)""".stripMargin)
     ),
 
+    // ---- traversal: AllValues over customers (union of names) ----
+    QueryDef(
+      "q_trav_allvalues",
+      "traversal: AllValues materializes every property of the entity",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        val t = Composed(Seq(Ns, NID(Seq(CUST + 1L, CUST + 2L)), AllValues))
+        Traversal.run(g, t).df.select(col("id"), col("name"), col("vText"))
+      },
+      Some(s"""SELECT c_custkey + $CUST AS id, 'name' AS name, c_name AS vText
+              |FROM customer WHERE c_custkey IN (1, 2)
+              |UNION ALL
+              |SELECT c_custkey + $CUST, 'mktsegment', c_mktsegment
+              |FROM customer WHERE c_custkey IN (1, 2)
+              |UNION ALL
+              |SELECT c_custkey + $CUST, 'acctbal', CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+              |FROM customer WHERE c_custkey IN (1, 2)""".stripMargin)
+    ),
+
+    // ---- model dictionary (type dictionaries, SURVEY §1.1.4) ----
+    QueryDef(
+      "q_model_dict",
+      "type dictionary derived from the snapshot: kinds, names, ids",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        graft.core.Model.fromSnapshot(s, g)
+          .select(col("kind"), col("id"), col("name"),
+            coalesce(col("dataType").cast("int"), lit(-1)).as("data_type"))
+      },
+      // the dictionary is a pure function of the graph mapping: same
+      // entries at every scale factor
+      Some("""SELECT kind, CAST(row_number() OVER (PARTITION BY kind ORDER BY name, dt) AS INT) AS id,
+             |       name, dt AS data_type
+             |FROM (
+             |  SELECT 'node' AS kind, x.name, -1 AS dt FROM (VALUES ('customer'),('nation'),('order'),('part'),('region'),('supplier')) x(name)
+             |  UNION ALL
+             |  SELECT 'edge', x.name, -1 FROM (VALUES ('contains'),('in_nation'),('in_region'),('placed'),('supplies')) x(name)
+             |  UNION ALL
+             |  SELECT 'prop', x.name, 0 FROM (VALUES ('acctbal'),('brand'),('linestatus'),('mktsegment'),('name'),('priority'),('returnflag'),('status'),('via')) x(name))""".stripMargin)
+    ),
+
     // ---- traversal: node counts by label (nbNodes analog) ----
     QueryDef(
       "q_graph_counts",
