@@ -53,6 +53,25 @@ object UniqueIndex {
       .filter(col("key").isNotNull)
   }
 
+  /** insert-if-absent (Trie.hs:165-205 `insertNew`): entries whose
+    * key already exists — in the index or earlier in the batch — are
+    * rejected and returned with the winning id. Returns
+    * (newIndex, rejected(key, existing_id, attempted_id)).
+    */
+  def insertNew(index: DataFrame, entries: DataFrame): (DataFrame, DataFrame) = {
+    val existing = index.select(col("key"), col("id").as("existing_id"))
+    val probed = entries.join(existing, Seq("key"), "left")
+    val fresh = probed.filter(col("existing_id").isNull).drop("existing_id")
+    // first-wins within the batch: min id per key
+    val winners = fresh.groupBy("key").agg(min(col("id")).as("id"))
+    val batchLosers = fresh.join(winners.withColumnRenamed("id", "existing_id"), Seq("key"))
+      .filter(col("id") =!= col("existing_id"))
+      .select(col("key"), col("existing_id"), col("id").as("attempted_id"))
+    val indexLosers = probed.filter(col("existing_id").isNotNull)
+      .select(col("key"), col("existing_id"), col("id").as("attempted_id"))
+    (index.unionAll(winners.select("key", "id")), indexLosers.unionAll(batchLosers))
+  }
+
   /** Exact-key point query (Trie.hs:225-239 lookup). */
   def lookup(index: DataFrame, key: String): DataFrame =
     index.filter(col("key") === key)

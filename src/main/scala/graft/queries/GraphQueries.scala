@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.TpchGraph
 import graft.model.PropertyValue.PVText
+import graft.model.PropValues
 import graft.operators.{QueryStep, Traversal}
 import graft.operators.QueryStep.{RelationStep, IN, OUT, BOTH}
 import graft.operators.Traversal._
@@ -130,6 +131,28 @@ object GraphQueries extends QueryModule {
       },
       Some(s"""SELECT r_regionkey + $REGION AS id, 'name' AS name, r_name AS vText
               |FROM region WHERE r_regionkey IN (0, 1)""".stripMargin)
+    ),
+
+    // ---- filterRelations: both endpoints materialized + predicate ----
+    // HGraphStorage API.hs:339-351: relation joined to both endpoint
+    // objects, arbitrary predicate over all three.
+    QueryDef(
+      "q_filter_relations",
+      "edges with both endpoint nodes joined and prop predicates on each side",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir).live
+        val e = g.edges.filter(col("label") === "contains" &&
+          PropValues.hasValue(col("props"), "returnflag", PVText("R")))
+        val src = g.nodes.select(col("id").as("src"), col("props").as("src_props"))
+        val dst = g.nodes.select(col("id").as("dst"), col("props").as("dst_props"))
+        e.join(src, "src").join(dst, "dst")
+          .filter(PropValues.hasValue(col("dst_props"), "brand", PVText("Brand#13")))
+          .select(e("id").as("rel_id"), col("src").as("src_id"), col("dst").as("dst_id"))
+      },
+      Some(s"""SELECT l_orderkey * 8 + l_linenumber + $E_CONTAINS AS rel_id,
+              |       l_orderkey + $ORDER AS src_id, l_partkey + $PART AS dst_id
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_returnflag = 'R' AND p_brand = 'Brand#13'""".stripMargin)
     ),
 
     // ---- traversal: AllValues over customers (union of names) ----

@@ -20,6 +20,22 @@ object StreamingQueries extends QueryModule {
     ),
 
     QueryDef(
+      "q_sessionize",
+      "session assignment (30-min gap) via window boundary flags",
+      (s, dir) =>
+        graft.streaming.Sessionize.sessionsSql(Tables(s, dir).events, 1800L),
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |b AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+             |                       OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS boundary
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+             |sx AS (SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |                                     ROWS UNBOUNDED PRECEDING) AS session_idx FROM b)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |       min(sec) AS start_sec, max(sec) AS end_sec
+             |FROM sx GROUP BY user_id, session_idx""".stripMargin)
+    ),
+
+    QueryDef(
       "q_stream_json_props",
       "JSON property extraction from the event props column",
       (s, dir) => {

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Session assignment over the event stream — the custom-state
+  * streaming operator (SURVEY §2.10 extension; the batch form is the
+  * declarative window formulation, used by the correctness gate).
+  *
+  * A session = consecutive events of one user with gaps <= `gapSec`.
+  */
+object Sessionize {
+
+  final case class Ev(user_id: Long, sec: Long)
+  final case class Session(user_id: Long, session_idx: Long, n_events: Long,
+      start_sec: Long, end_sec: Long)
+
+  /** Declarative batch form: boundary flags via lag, session index as
+    * a running sum — two window passes over (user, time) ordering,
+    * one shuffle on user_id. This is the 100 TB path: no state, no
+    * driver involvement, AQE-splittable.
+    */
+  def sessionsSql(events: DataFrame, gapSec: Long): DataFrame = {
+    val sec = expr("ts div 1000000000").as("sec") // epoch nanos -> seconds
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), sec)
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("boundary")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec"))
+  }
+
+  /** Typed per-group form (KeyValueGroupedDataset): same result via
+    * an in-group sort — the shape a custom stateful operator takes.
+    */
+  def sessionsTyped(spark: SparkSession, events: DataFrame, gapSec: Long): Dataset[Session] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "ts div 1000000000 AS sec").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        sessionsOf(uid, it.map(_.sec).toSeq.sorted, gapSec).iterator
+      }
+  }
+
+  private def sessionsOf(uid: Long, sorted: Seq[Long], gapSec: Long): Seq[Session] = {
+    if (sorted.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var idx = 1L; var start = sorted.head; var prev = sorted.head; var n = 1L
+    sorted.tail.foreach { s =>
+      if (s - prev > gapSec) {
+        out += Session(uid, idx, n, start, prev)
+        idx += 1; start = s; n = 1L
+      } else n += 1
+      prev = s
+    }
+    out += Session(uid, idx, n, start, prev)
+    out.toSeq
+  }
+
+  /** Streaming form with explicit group state: events accumulate per
+    * user; sessions emit on flush (finite source: the state flush at
+    * the end of the batch). Watermark-bounded state at scale.
+    */
+  def sessionsStreaming(spark: SparkSession, dir: String, gapSec: Long): Dataset[Session] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .selectExpr("user_id", "ts div 1000000000 AS sec").as[Ev]
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) {
+            // flush: emit this user's sessions and clear
+            val secs = state.getOption.getOrElse(Nil)
+            state.remove()
+            sessionsOf(uid, secs.sorted, gapSec).iterator
+          } else {
+            val secs = state.getOption.getOrElse(Nil) ++ it.map(_.sec)
+            state.update(secs)
+            state.setTimeoutDuration(100) // flush shortly after quiescence
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Skew, UniqueIndex}
+import graft.streaming.Sessionize
+
+class SkewAndInsertSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("salted per-group top-k equals the plain window") {
+    val t = graft.sources.Tables(spark, sf001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_custkey", "o_orderkey").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = canon(Skew.perGroupTopK(t.orders, col("o_custkey"), col("o_orderkey"), 3))
+    val salted = canon(Skew.saltedPerGroupTopK(t.orders, col("o_custkey"), col("o_orderkey"), 3, 8))
+    assert(plain == salted && plain.nonEmpty)
+  }
+
+  test("insertNew: existing and in-batch duplicate keys are rejected, first wins") {
+    val index = Seq(("a", 1L), ("b", 2L)).toDF("key", "id")
+    val entries = Seq(("a", 10L), ("c", 3L), ("c", 4L), ("d", 5L)).toDF("key", "id")
+    val (newIdx, rejected) = UniqueIndex.insertNew(index, entries)
+    val idx = newIdx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx == Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 5L))
+    val rej = rejected.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rej == Set(("a", 1L, 10L), ("c", 3L, 4L)))
+  }
+
+  test("typed and streaming sessionization agree with the SQL window form") {
+    val events = graft.sources.Tables(spark, sf0001).events
+    def canon(rows: Array[(Long, Long, Long, Long, Long)]) = rows.toSet
+    val sql = canon(Sessionize.sessionsSql(events, 1800L)
+      .select("user_id", "session_idx", "n_events", "start_sec", "end_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val typed = canon(Sessionize.sessionsTyped(spark, events, 1800L)
+      .collect().map(s => (s.user_id, s.session_idx, s.n_events, s.start_sec, s.end_sec)))
+    assert(typed == sql && sql.nonEmpty)
+
+    val q = Sessionize.sessionsStreaming(spark, sf0001, 1800L)
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200)).start()
+    // two triggers: batch 1 ingests + sets timeouts, batch 2 flushes
+    Thread.sleep(100)
+    var waited = 0
+    while (waited < 60000 && spark.table("sess").count() < sql.size) {
+      Thread.sleep(1000); waited += 1000
+    }
+    q.stop()
+    val streamed = canon(spark.table("sess")
+      .select("user_id", "session_idx", "n_events", "start_sec", "end_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(streamed == sql)
+  }
+}
