@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions: injects graft's native functions so any
+  * session created with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` — or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` on a
+  * cluster — gets them in both the Column and SQL surfaces.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(CosineSim.NAME),
+      new ExpressionInfo(classOf[CosineSim].getName, CosineSim.NAME),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+  }
+}

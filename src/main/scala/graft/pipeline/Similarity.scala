@@ -28,12 +28,16 @@ object Similarity {
   /** Top-k nearest neighbors of `query` by cosine, deterministic:
     * ordered by (rounded score desc, id). Rounding makes the ordering
     * reproducible across engines summing in the same element order.
+    * `cosFn` selects the scorer — default is the composable HOF form;
+    * pass `graft.functions.CosineSim.col` (after registering) for the
+    * codegen'd single-pass loop (bit-identical results).
     */
   def topK(embeddings: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int): DataFrame = {
+      query: Seq[Float], k: Int,
+      cosFn: (Column, Column) => Column = cosine): DataFrame = {
     val q = typedLit(query)
     embeddings
-      .withColumn("cos", round(cosine(col(vecCol), q), 6))
+      .withColumn("cos", round(cosFn(col(vecCol), q), 6))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"))

@@ -23,11 +23,13 @@ object SimilarityQueries extends QueryModule {
       "q_ann_bruteforce",
       "top-10 cosine neighbors of vec 0, brute force over the corpus",
       (s, dir) => {
+        graft.functions.CosineSim.register(s)
         val emb = Tables(s, dir).embeddings
         // fetch the query vector once (tiny driver action), then one scan
         val q = emb.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
-        Similarity.topK(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10)
+        Similarity.topK(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10,
+          graft.functions.CosineSim.col)
       },
       Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
              |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /
@@ -44,11 +46,12 @@ object SimilarityQueries extends QueryModule {
       "q_dedup_embed",
       "embedding near-dup pairs: cosine >= 0.99 (label-blocked join)",
       (s, dir) => {
+        graft.functions.CosineSim.register(s)
         val emb = Tables(s, dir).embeddings
         val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"), col("label").as("la"))
         val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("label").as("lb"))
         a.join(b, col("la") === col("lb") && col("va") < col("vb"))
-          .withColumn("cos", round(Similarity.cosine(col("ea"), col("eb")), 6))
+          .withColumn("cos", round(graft.functions.CosineSim.col(col("ea"), col("eb")), 6))
           .filter(col("cos") >= 0.99)
           .select(col("va"), col("vb"), col("cos"))
       },
