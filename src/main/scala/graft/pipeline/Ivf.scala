@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotFloat
+
+/** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+  * corpus into nlist cells; a query probes only its nprobe nearest
+  * cells. The complement to [[Similarity.lshBucket]]: data-adaptive
+  * cells instead of data-oblivious hyperplanes.
+  *
+  * Scale shape: training touches the corpus iters+1 times (assignment
+  * is a scan with nlist fused dot products per row — no shuffle;
+  * the centroid update is one groupBy over (cell, dim)). The trained
+  * centroids are KBs on the driver and become plan literals — search
+  * is a partition-prunable cell filter + in-cell top-k. At 100 TB the
+  * corpus is written bucketed/partitioned by `cell` so a probe reads
+  * only nprobe/nlist of the data.
+  */
+object Ivf {
+
+  final case class IvfIndex(centroids: Array[Array[Float]]) {
+    def nlist: Int = centroids.length
+  }
+
+  private def centLit(c: Array[Float]): Column = typedLit(c.toSeq)
+
+  /** Cell assignment: argmin_c ||v - c||² = argmin_c (|c|² - 2 v·c).
+    * Ties break to the lower cell id (struct ordering).
+    */
+  def assign(vec: Column, index: IvfIndex): Column = {
+    val scored = index.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(c2) - lit(2.0) * DotFloat.col(vec, centLit(c))).as("d"), lit(i).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
+  }
+
+  /** Lloyd's algorithm with deterministic init (the first nlist
+    * vectors in id order). Centroid averages are exact enough that
+    * ulp-level shuffle nondeterminism cannot move assignments except
+    * for exactly equidistant vectors.
+    */
+  def train(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): IvfIndex = {
+    DotFloat.register(spark)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    var centroids = emb.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+
+    (1 to iters).foreach { _ =>
+      val assigned = emb.select(col(vecCol).as("v"), assign(col(vecCol), IvfIndex(centroids)).as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
+    }
+    IvfIndex(centroids)
+  }
+
+  /** Search: probe the query's nprobe nearest cells, cosine top-k
+    * within them (native expression), deterministic ordering.
+    */
+  def topK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex, query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    DotFloat.register(spark)
+    val q2 = (c: Array[Float]) => {
+      var d = 0.0; var i = 0
+      while (i < c.length) { d += (query(i).toDouble - c(i)) * (query(i).toDouble - c(i)); i += 1 }
+      d
+    }
+    val probeCells = index.centroids.zipWithIndex
+      .sortBy { case (c, i) => (q2(c), i) }.take(nprobe).map(_._2).toSeq
+    emb
+      .withColumn("cell", assign(col(vecCol), index))
+      .filter(col("cell").isin(probeCells: _*))
+      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"), col("cell"))
+  }
+}

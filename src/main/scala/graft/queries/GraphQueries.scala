@@ -133,6 +133,20 @@ object GraphQueries extends QueryModule {
               |FROM region WHERE r_regionkey IN (0, 1)""".stripMargin)
     ),
 
+    // ---- traversal rooted at Es: edge scan + Has + projection ----
+    QueryDef(
+      "q_trav_es_has",
+      "traversal: all edges filtered by typed property, id projection",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        val t = Composed(Seq(Es, Has("via", PVText("supplier"))))
+        Traversal.run(g, t).df.select(col("id"), col("src"), col("dst"))
+      },
+      Some(s"""SELECT s_suppkey + $E_SUPP_NAT AS id, s_suppkey + $SUPP AS src,
+              |       s_nationkey + $NATION AS dst
+              |FROM supplier""".stripMargin)
+    ),
+
     // ---- filterRelations: both endpoints materialized + predicate ----
     // HGraphStorage API.hs:339-351: relation joined to both endpoint
     // objects, arbitrary predicate over all three.

@@ -66,6 +66,24 @@ object SimilarityQueries extends QueryModule {
              |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.99""".stripMargin)
     ),
 
+    // ---- IVF ANN: coarse k-means cells + probed search ----
+    // trained centroids are ulp-sensitive to shuffle order, so this
+    // is a rows-only gate entry (no SQL oracle); recall vs brute
+    // force is asserted in IvfSpec.
+    QueryDef(
+      "q_ann_ivf",
+      "IVF top-10: train 8 cells (2 Lloyd iters), probe 3",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val idx = graft.pipeline.Ivf.train(s, emb, "vec_id", "embedding", nlist = 8)
+        val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+          .head().getSeq[Float](0).toArray
+        graft.pipeline.Ivf.topK(s, emb.filter(col("vec_id") =!= 0L),
+          "vec_id", "embedding", idx, q, k = 10, nprobe = 3)
+      },
+      None
+    ),
+
     // ---- LSH bucket assignment (the scale path's partitioner) ----
     QueryDef(
       "q_ann_lsh_buckets",
