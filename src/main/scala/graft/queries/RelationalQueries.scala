@@ -54,6 +54,62 @@ object RelationalQueries extends QueryModule {
              |GROUP BY l_returnflag, l_linestatus""".stripMargin)
     ),
 
+    // ---- TPC-H Q3 shape: selective join pipeline + grouped top-k ----
+    QueryDef(
+      "q3_shipping",
+      "unshipped-order revenue: 3-way join, group, deterministic top-10",
+      (s, dir) => {
+        val t   = Tables(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1997-03-15 00:00:00")
+        t.customer.filter(col("c_mktsegment") === "BUILDING")
+          .join(t.orders.filter(col("o_orderdate") < lit(cut)),
+            col("c_custkey") === col("o_custkey"))
+          .join(t.lineitem.filter(col("l_shipdate") > lit(cut)),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+             |  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ---- TPC-H Q5 shape: star join across 5 tables ----
+    QueryDef(
+      "q5_local_volume",
+      "revenue by nation where customer and supplier share the nation",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)
+    ),
+
     // ---- point lookup (readOne / getObject) ----
     // HGraphStorage FileOps.hs:311-314: ID -> record. Here the key
     // predicate reaches the parquet scan (PushedFilters) so only the
