@@ -133,6 +133,38 @@ object GraphQueries extends QueryModule {
               |FROM region WHERE r_regionkey IN (0, 1)""".stripMargin)
     ),
 
+    // ---- 2-hop traversal composition ----
+    QueryDef(
+      "q_trav_2hop",
+      "traversal: customer -> placed orders -> contained parts (2 hops)",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        val t = Composed(Seq(Ns, NID(Seq(CUST + 1L, CUST + 2L, CUST + 3L)),
+          Out(Seq("placed")), Out(Seq("contains"))))
+        // duplicates preserved (a part in two orders appears twice)
+        Traversal.run(g, t).df.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT l_partkey + $PART AS id, count(*) AS n
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE o_custkey IN (1, 2, 3)
+              |GROUP BY l_partkey""".stripMargin)
+    ),
+
+    // ---- EID: edge-id membership; nonexistent ids dropped ----
+    QueryDef(
+      "q_trav_eid",
+      "traversal: EID filters the edge set; missing ids are dropped",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        val ids = (1 to 7).map(ln => E_CONTAINS + 1L * 8 + ln) :+ 999L
+        val t = Composed(Seq(Es, EID(ids)))
+        Traversal.run(g, t).df.select(col("id"), col("dst"))
+      },
+      Some(s"""SELECT l_orderkey * 8 + l_linenumber + $E_CONTAINS AS id,
+              |       l_partkey + $PART AS dst
+              |FROM lineitem WHERE l_orderkey = 1""".stripMargin)
+    ),
+
     // ---- traversal rooted at Es: edge scan + Has + projection ----
     QueryDef(
       "q_trav_es_has",

@@ -46,6 +46,14 @@ class PlanSpec extends GraftSuite {
       "no black-box UDFs in the hot path")
   }
 
+  test("per-group limit uses the window-group-limit pushdown") {
+    // Spark 3.5+ inserts WindowGroupLimit below the window for
+    // rank/row_number <= k filters — top-k per group without ranking
+    // every row. Load-bearing for newest-first limits on hot nodes.
+    val p = plan("q_pergroup_limit")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+
   test("q_semi_join / q_anti_join use join strategies, not subquery loops") {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))
