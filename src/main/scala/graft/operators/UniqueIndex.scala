@@ -47,9 +47,11 @@ object UniqueIndex {
   def build(nodes: DataFrame, info: IndexInfo): DataFrame = {
     val applicable =
       if (info.labels.isEmpty) nodes else nodes.filter(col("label").isin(info.labels: _*))
+    // multi-valued properties index EVERY value (the reference's
+    // getObjectValues indexes the whole list, API.hs:184-238)
     applicable
-      .select(element_at(col("props").getItem(info.property), 1).getField("vText").as("key"),
-        col("id"))
+      .select(col("id"), explode(coalesce(col("props").getItem(info.property), array())).as("v"))
+      .select(col("v").getField("vText").as("key"), col("id"))
       .filter(col("key").isNotNull)
   }
 

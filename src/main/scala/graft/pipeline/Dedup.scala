@@ -23,9 +23,9 @@ object Dedup {
   private val M32 = 4294967296L // 2^32
 
   /** Exact duplicates by content hash. */
-  def exactDuplicates(df: DataFrame, text: Column): DataFrame =
+  def exactDuplicates(df: DataFrame, text: Column, idCol: String = "doc_id"): DataFrame =
     df.groupBy(md5(text).as("content_hash"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
       .filter(col("n") > 1)
 
   /** Two 32-bit hash words from one md5 of a string. */

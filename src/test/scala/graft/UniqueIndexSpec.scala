@@ -45,6 +45,15 @@ class UniqueIndexSpec extends GraftSuite {
     assert(UniqueIndex.prefix(idx, "Z").count() == 0)
   }
 
+  test("multi-valued properties index every value") {
+    val b = new GraphBuilder
+    val n = b.addNode("Actor", Map("lastName" -> Seq(PVText("Hanks"), PVText("Wilson"))))
+    val idx = UniqueIndex.build(b.snapshot(spark).nodes,
+      IndexInfo("LastName", Seq("Actor"), "lastName"))
+    val keys = idx.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(keys == Set(("Hanks", n), ("Wilson", n)))
+  }
+
   test("prefixRange matches startsWith semantics") {
     val idx = UniqueIndex.build(g.nodes, IndexInfo("LastName", Seq("Actor"), "lastName"))
     val viaRange = idx.filter(UniqueIndex.prefixRange(col("key"), "Fish")).count()
