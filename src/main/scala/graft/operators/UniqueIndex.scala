@@ -47,12 +47,20 @@ object UniqueIndex {
   def build(nodes: DataFrame, info: IndexInfo): DataFrame = {
     val applicable =
       if (info.labels.isEmpty) nodes else nodes.filter(col("label").isin(info.labels: _*))
-    // multi-valued properties index EVERY value (the reference's
-    // getObjectValues indexes the whole list, API.hs:184-238)
+    // multi-valued properties index EVERY value (getObjectValues,
+    // API.hs:184-238) across all datatypes (valueToIndex,
+    // Types.hs:391-394 keys text, integer AND binary); a value
+    // repeated on one owner is one entry (trie stores one per key)
+    val v = col("v")
+    val key = when(v.getField("vType") === 0, v.getField("vText"))
+      .when(v.getField("vType") === 1, v.getField("vInt").cast("string"))
+      .when(v.getField("vType") === 2, lower(hex(v.getField("vBin"))))
+      .otherwise(v.getField("vJson"))
     applicable
-      .select(col("id"), explode(coalesce(col("props").getItem(info.property), array())).as("v"))
-      .select(col("v").getField("vText").as("key"), col("id"))
+      .select(col("id"), explode(col("props").getItem(info.property)).as("v"))
+      .select(v.getField("vType").as("vType"), key.as("key"), col("id"))
       .filter(col("key").isNotNull)
+      .distinct()
   }
 
   /** insert-if-absent (Trie.hs:165-205 `insertNew`): entries whose
@@ -74,13 +82,29 @@ object UniqueIndex {
     (index.unionAll(winners.select("key", "id")), indexLosers.unionAll(batchLosers))
   }
 
-  /** Exact-key point query (Trie.hs:225-239 lookup). */
+  /** Exact-key point query (Trie.hs:225-239 lookup) — text keys.
+    * The (vType, key) pair is the index key, so text "42" and
+    * integer 42 are distinct entries, as in the reference's per-type
+    * key encodings.
+    */
   def lookup(index: DataFrame, key: String): DataFrame =
-    index.filter(col("key") === key)
+    index.filter(col("vType") === 0 && col("key") === key)
 
-  /** All entries under a prefix (Trie.hs:242-261 prefix). */
+  /** Typed exact-key lookup for any value kind. */
+  def lookupValue(index: DataFrame, v: graft.model.PropertyValue): DataFrame = {
+    import graft.model.PropertyValue._
+    val (t, k) = v match {
+      case PVText(s)    => (0, s)
+      case PVInteger(i) => (1, i.toString)
+      case PVBinary(b)  => (2, b.map("%02x".format(_)).mkString)
+      case PVJson(j)    => (3, j)
+    }
+    index.filter(col("vType") === t && col("key") === k)
+  }
+
+  /** All text entries under a prefix (Trie.hs:242-261 prefix). */
   def prefix(index: DataFrame, p: String): DataFrame =
-    index.filter(col("key").startsWith(p))
+    index.filter(col("vType") === 0 && col("key").startsWith(p))
 
   /** Prefix as an explicit sargable range — what `startsWith`
     * becomes after pushdown; exposed for callers building manual

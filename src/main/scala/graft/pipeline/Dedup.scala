@@ -23,7 +23,7 @@ object Dedup {
   private val M32 = 4294967296L // 2^32
 
   /** Exact duplicates by content hash. */
-  def exactDuplicates(df: DataFrame, text: Column, idCol: String = "doc_id"): DataFrame =
+  def exactDuplicates(df: DataFrame, idCol: String, text: Column): DataFrame =
     df.groupBy(md5(text).as("content_hash"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
       .filter(col("n") > 1)

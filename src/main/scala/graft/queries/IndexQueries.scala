@@ -30,7 +30,7 @@ object IndexQueries extends QueryModule {
       (s, dir) => {
         val g   = TpchGraph.snapshot(s, dir)
         val idx = UniqueIndex.build(g.nodes, IndexInfo("PartName", Seq("part"), "name"))
-        UniqueIndex.lookup(idx, "red widget")
+        UniqueIndex.lookup(idx, "red widget").select("key", "id")
       },
       Some(s"""SELECT p_name AS key, p_partkey + ${TpchGraph.PART} AS id
               |FROM part WHERE p_name = 'red widget'""".stripMargin)
@@ -43,7 +43,7 @@ object IndexQueries extends QueryModule {
       (s, dir) => {
         val g   = TpchGraph.snapshot(s, dir)
         val idx = UniqueIndex.build(g.nodes, IndexInfo("PartName", Seq("part"), "name"))
-        UniqueIndex.prefix(idx, "red ")
+        UniqueIndex.prefix(idx, "red ").select("key", "id")
       },
       Some(s"""SELECT p_name AS key, p_partkey + ${TpchGraph.PART} AS id
               |FROM part WHERE p_name LIKE 'red %'""".stripMargin)

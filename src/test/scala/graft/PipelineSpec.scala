@@ -16,7 +16,7 @@ class PipelineSpec extends GraftSuite {
   ).toDF("doc_id", "text")
 
   test("exact dedup groups identical texts") {
-    val d = Dedup.exactDuplicates(docs, col("text")).collect()
+    val d = Dedup.exactDuplicates(docs, "doc_id", col("text")).collect()
     assert(d.length == 1)
     assert(d.head.getAs[Long]("n") == 2 && d.head.getAs[Long]("keep_id") == 1L)
   }

@@ -29,11 +29,24 @@ class UniqueIndexSpec extends GraftSuite {
 
   test("requireUnique passes on unique keys, raises on duplicates") {
     val actorIdx = UniqueIndex.build(g.nodes, IndexInfo("LastName", Seq("Actor"), "lastName"))
-    UniqueIndex.requireUnique(actorIdx, Seq("key")) // no throw
+    UniqueIndex.requireUnique(actorIdx, Seq("vType", "key")) // no throw
     val allIdx = UniqueIndex.build(g.nodes, IndexInfo("LastName", Nil, "lastName"))
     intercept[DuplicateIndexKeyException] {
-      UniqueIndex.requireUnique(allIdx, Seq("key"))
+      UniqueIndex.requireUnique(allIdx, Seq("vType", "key"))
     }
+  }
+
+  test("typed keys: repeated value = one entry; int and text keys distinct") {
+    val b = new GraphBuilder
+    val n1 = b.addNode("T", Map("k" -> Seq(PVText("Hanks"), PVText("Hanks"), PVInteger(42))))
+    val n2 = b.addNode("T", Map("k" -> Seq(PVText("42"))))
+    val idx = UniqueIndex.build(b.snapshot(spark).nodes, IndexInfo("K", Seq("T"), "k"))
+    // dup value on one owner -> single entry -> no false duplicate
+    UniqueIndex.requireUnique(idx, Seq("vType", "key"))
+    assert(idx.count() == 3)
+    assert(UniqueIndex.lookupValue(idx, PVInteger(42)).collect().map(_.getAs[Long]("id")).toSeq == Seq(n1))
+    assert(UniqueIndex.lookup(idx, "42").collect().map(_.getAs[Long]("id")).toSeq == Seq(n2),
+      "text '42' and integer 42 are distinct keys")
   }
 
   test("lookup and prefix") {
@@ -50,7 +63,7 @@ class UniqueIndexSpec extends GraftSuite {
     val n = b.addNode("Actor", Map("lastName" -> Seq(PVText("Hanks"), PVText("Wilson"))))
     val idx = UniqueIndex.build(b.snapshot(spark).nodes,
       IndexInfo("LastName", Seq("Actor"), "lastName"))
-    val keys = idx.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val keys = idx.collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("id"))).toSet
     assert(keys == Set(("Hanks", n), ("Wilson", n)))
   }
 
