@@ -52,6 +52,17 @@ object EventStream {
       .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"), col("n"))
   }
 
+  /** Streaming exact dedup: duplicates dropped by key with state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark`) —
+    * the streaming leg of the dedup surface: at-least-once upstream
+    * delivery becomes exactly-once rows downstream, with state that
+    * expires instead of growing with the corpus.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withColumn("ets", tsCol)
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the streaming query to completion against the (finite)
     * parquet source into a named memory sink; returns the query.
     */

@@ -48,6 +48,24 @@ class AnalyticsStreamingSpec extends GraftSuite {
     assert(bounded == Map(1L -> 0, 2L -> 1), "maxHops bounds the frontier")
   }
 
+  test("streaming dedup drops duplicate deliveries within the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0001)
+    // simulate at-least-once delivery: every event arrives twice
+    val doubled = src.union(src)
+    val q = EventStream.dedupedEvents(doubled)
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory").queryName("dedup_ev")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_ev").collect().head.getLong(0)
+    val distinct = graft.sources.Tables(spark, sf0001).events.count()
+    assert(streamed == distinct, s"doubled deliveries must dedup to $distinct, got $streamed")
+  }
+
   test("streaming windowed counts equal the batch transformation") {
     val q = EventStream.runToMemory(spark, sf0001, "ev_counts")
     q.awaitTermination(120000)
