@@ -227,6 +227,19 @@ object RelationalQueries extends QueryModule {
              |  FROM orders) WHERE rn <= 2""".stripMargin)
     ),
 
+    // ---- rollup (beyond reference: hierarchies "for free") ----
+    QueryDef(
+      "q_rollup",
+      "rollup over (returnflag, linestatus): subtotals + grand total",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast(D18)).as("sum_qty"), count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+    ),
+
     // ---- distinct (ordNub analog, STMGraph APITypes.hs:199-204) ----
     QueryDef(
       "q_distinct",

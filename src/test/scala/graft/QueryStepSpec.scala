@@ -68,4 +68,15 @@ class QueryStepSpec extends GraftSuite {
     val rows = QueryStep.fromIds(g, Seq(th), RelationStep(tgtFilter = Some(pred))).collect()
     assert(rows.length == 1 && rows.head.getAs[Long]("tgt_id") == fg)
   }
+
+  test("limit counts MATCHING results: filter applies before the limit (Query.hs:63-64)") {
+    val (g, th, fg, _, e1, _) = fixture
+    // newest edge targets Sleepless in Seattle; with a filter matching
+    // only Forrest Gump, limit 1 must return the FG edge, not nothing
+    val pred = graft.model.PropValues.hasValue(col("tgt_props"), "name", PVText("Forrest Gump"))
+    val rows = QueryStep.fromIds(g, Seq(th),
+      RelationStep(tgtFilter = Some(pred), limit = Some(1))).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("tgt_id") == fg && rows.head.getAs[Long]("rel_id") == e1)
+  }
 }
