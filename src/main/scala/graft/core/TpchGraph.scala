@@ -91,17 +91,28 @@ object TpchGraph {
     val suppNat = edge(t.supplier, col("s_suppkey") + E_SUPP_NAT,
       col("s_suppkey") + SUPP, "supplier", col("s_nationkey") + NATION, "nation", "in_nation",
       propsMap("via" -> pvText(lit("supplier"))))
-    val contains = edge(t.lineitem, col("l_orderkey") * 8 + col("l_linenumber") + E_CONTAINS,
-      col("l_orderkey") + ORDER, "order", col("l_partkey") + PART, "part", "contains",
-      propsMap("returnflag" -> pvText(col("l_returnflag"))))
-    val supplies = edge(t.lineitem, col("l_orderkey") * 8 + col("l_linenumber") + E_SUPPLIES,
-      col("l_suppkey") + SUPP, "supplier", col("l_partkey") + PART, "part", "supplies",
-      propsMap("linestatus" -> pvText(col("l_linestatus"))))
+    // contains + supplies both derive from lineitem: ONE scan, two
+    // edges per row via explode — a plain union would read the fact
+    // table (the dominant IO at scale) twice
+    def lineEdge(idBase: Long, src: org.apache.spark.sql.Column, srcLabel: String,
+        label: String, props: org.apache.spark.sql.Column) =
+      struct(
+        (col("l_orderkey") * 8 + col("l_linenumber") + idBase).cast("long").as("id"),
+        src.cast("long").as("src"), lit(srcLabel).as("srcLabel"),
+        (col("l_partkey") + PART).cast("long").as("dst"), lit("part").as("dstLabel"),
+        lit(label).as("label"), props.as("props"),
+        lit(0L).as("tx_min"), lit(null).cast("long").as("tx_max"))
+    val lineEdges = t.lineitem
+      .select(explode(array(
+        lineEdge(E_CONTAINS, col("l_orderkey") + ORDER, "order", "contains",
+          propsMap("returnflag" -> pvText(col("l_returnflag")))),
+        lineEdge(E_SUPPLIES, col("l_suppkey") + SUPP, "supplier", "supplies",
+          propsMap("linestatus" -> pvText(col("l_linestatus")))))).as("e"))
+      .select(col("e.*"))
     val natReg = edge(t.nation, col("n_nationkey") + E_NAT_REG,
       col("n_nationkey") + NATION, "nation", col("n_regionkey") + REGION, "region", "in_region",
       propsMap("via" -> pvText(lit("nation"))))
-    placed.unionAll(custNat).unionAll(suppNat).unionAll(contains)
-      .unionAll(supplies).unionAll(natReg)
+    placed.unionAll(custNat).unionAll(suppNat).unionAll(lineEdges).unionAll(natReg)
   }
 
   def snapshot(spark: SparkSession, dir: String): GraphSnapshot = {
