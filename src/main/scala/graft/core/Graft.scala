@@ -31,6 +31,17 @@ object Graft {
       .config("spark.driver.host", "127.0.0.1")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
     spark
+  }
+
+  /** Register graft's native functions on an existing session (the
+    * cluster path is `spark.sql.extensions=graft.functions.
+    * GraftExtensions`; this covers sessions built elsewhere, e.g. the
+    * driver's Verify/Bench mains).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.CosineSim.register(spark)
+    graft.functions.DotFloat.register(spark)
   }
 }

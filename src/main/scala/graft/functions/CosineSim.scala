@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   * lambdas per element in interpreted mode — fine for one query,
   * measurable at ANN-scan scale. This expression generates a tight
   * fused loop (dot product + both norms in one pass) inside
-  * whole-stage codegen. Element order and arithmetic
-  * (float→double promote, multiply, sequential add, dot/(√a·√b))
-  * exactly match the composable form, so results are bit-identical
-  * and the DuckDB oracles are unaffected.
+  * whole-stage codegen. For equal-length inputs the element order and
+  * arithmetic (float→double promote, multiply, sequential add,
+  * dot/(√a·√b)) exactly match the composable form, so results are
+  * bit-identical and the DuckDB oracles are unaffected. Mismatched
+  * lengths differ by design: this expression computes over the
+  * min-length prefix, while zip_with null-pads and aggregates to null.
   *
   * Custom-operator ladder (SURVEY §7.3): this is tier (b) — a scalar
   * `Expression` with `doGenCode` — chosen because built-ins can
@@ -82,8 +84,10 @@ object CosineSim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NAME, exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
 
-  /** Column API (session must have [[register]]ed the function —
-    * Graft.session and GraftExtensions both do).
+  /** Column API. The session must have the function registered:
+    * `Graft.session` / `Graft.registerFunctions(spark)` /
+    * GraftExtensions all do; callers building their own bare session
+    * must call [[register]] first.
     */
   def col(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(NAME, a, b)

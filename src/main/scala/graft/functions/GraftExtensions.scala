@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CosineSim.NAME),
       new ExpressionInfo(classOf[CosineSim].getName, CosineSim.NAME),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(DotFloat.NAME),
+      new ExpressionInfo(classOf[DotFloat].getName, DotFloat.NAME),
+      (exprs: Seq[Expression]) => DotFloat(exprs(0), exprs(1))))
   }
 }

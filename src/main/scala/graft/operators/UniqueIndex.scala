@@ -65,21 +65,27 @@ object UniqueIndex {
 
   /** insert-if-absent (Trie.hs:165-205 `insertNew`): entries whose
     * key already exists — in the index or earlier in the batch — are
-    * rejected and returned with the winning id. Returns
-    * (newIndex, rejected(key, existing_id, attempted_id)).
+    * rejected and returned with the winning id. `keyCols` names the
+    * index key; for [[build]]-produced indexes that is the typed
+    * (vType, key) pair. Both frames must expose keyCols + `id`.
+    * Returns (newIndex, rejected(keyCols..., existing_id,
+    * attempted_id)).
     */
-  def insertNew(index: DataFrame, entries: DataFrame): (DataFrame, DataFrame) = {
-    val existing = index.select(col("key"), col("id").as("existing_id"))
-    val probed = entries.join(existing, Seq("key"), "left")
+  def insertNew(index: DataFrame, entries: DataFrame,
+      keyCols: Seq[String] = Seq("vType", "key")): (DataFrame, DataFrame) = {
+    val cols = keyCols :+ "id"
+    val existing = index.select(cols.map(col): _*).withColumnRenamed("id", "existing_id")
+    val probed = entries.select(cols.map(col): _*).join(existing, keyCols, "left")
     val fresh = probed.filter(col("existing_id").isNull).drop("existing_id")
     // first-wins within the batch: min id per key
-    val winners = fresh.groupBy("key").agg(min(col("id")).as("id"))
-    val batchLosers = fresh.join(winners.withColumnRenamed("id", "existing_id"), Seq("key"))
+    val winners = fresh.groupBy(keyCols.map(col): _*).agg(min(col("id")).as("id"))
+    val batchLosers = fresh.join(winners.withColumnRenamed("id", "existing_id"), keyCols)
       .filter(col("id") =!= col("existing_id"))
-      .select(col("key"), col("existing_id"), col("id").as("attempted_id"))
+      .select(keyCols.map(col) :+ col("existing_id") :+ col("id").as("attempted_id"): _*)
     val indexLosers = probed.filter(col("existing_id").isNotNull)
-      .select(col("key"), col("existing_id"), col("id").as("attempted_id"))
-    (index.unionAll(winners.select("key", "id")), indexLosers.unionAll(batchLosers))
+      .select(keyCols.map(col) :+ col("existing_id") :+ col("id").as("attempted_id"): _*)
+    (index.select(cols.map(col): _*).unionAll(winners.select(cols.map(col): _*)),
+      indexLosers.unionAll(batchLosers))
   }
 
   /** Exact-key point query (Trie.hs:225-239 lookup) — text keys.
@@ -110,8 +116,11 @@ object UniqueIndex {
     * becomes after pushdown; exposed for callers building manual
     * bounds over sorted/bucketed layouts.
     */
-  def prefixRange(keyCol: Column, p: String): Column = {
-    val next = p.init + (p.last + 1).toChar
-    keyCol >= p && keyCol < next
-  }
+  def prefixRange(keyCol: Column, p: String): Column =
+    if (p.isEmpty) keyCol.isNotNull // empty prefix matches everything
+    else if (p.last == Char.MaxValue) keyCol.startsWith(p) // no successor char
+    else {
+      val next = p.init + (p.last + 1).toChar
+      keyCol >= p && keyCol < next
+    }
 }

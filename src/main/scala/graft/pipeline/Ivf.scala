@@ -45,7 +45,6 @@ object Ivf {
   def train(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): IvfIndex = {
     DotFloat.register(spark)
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     var centroids = emb.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
 

@@ -38,6 +38,9 @@ object Similarity {
     val q = typedLit(query)
     embeddings
       .withColumn("cos", round(cosFn(col(vecCol), q), 6))
+      // a zero-norm vector scores NaN (0/0) and NaN sorts ABOVE every
+      // double under desc order — drop it rather than return garbage
+      .filter(!isnan(col("cos")) && col("cos").isNotNull)
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"))

@@ -35,7 +35,10 @@ object RelationalQueries extends QueryModule {
       "groupBy aggregate with decimal-exact sums, filter pushed to scan",
       (s, dir) => {
         val li = Tables(s, dir).lineitem
-        li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        // to_timestamp parses in the session time zone (UTC) —
+        // java.sql.Timestamp.valueOf would use the JVM default zone
+        // and silently shift the cut on non-UTC machines
+        li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sum(col("l_quantity").cast(D18)).as("sum_qty"),
@@ -60,11 +63,11 @@ object RelationalQueries extends QueryModule {
       "unshipped-order revenue: 3-way join, group, deterministic top-10",
       (s, dir) => {
         val t   = Tables(s, dir)
-        val cut = java.sql.Timestamp.valueOf("1997-03-15 00:00:00")
+        val cut = to_timestamp(lit("1997-03-15 00:00:00")) // session-tz (UTC) parse
         t.customer.filter(col("c_mktsegment") === "BUILDING")
-          .join(t.orders.filter(col("o_orderdate") < lit(cut)),
+          .join(t.orders.filter(col("o_orderdate") < cut),
             col("c_custkey") === col("o_custkey"))
-          .join(t.lineitem.filter(col("l_shipdate") > lit(cut)),
+          .join(t.lineitem.filter(col("l_shipdate") > cut),
             col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))

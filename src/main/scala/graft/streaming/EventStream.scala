@@ -18,7 +18,9 @@ object EventStream {
   /** `ts` arrives as epoch nanos (see Tables.events); expose as a
     * proper timestamp column.
     */
-  def tsCol: Column = timestamp_micros((col("ts") / 1000).cast("long"))
+  // integer division: epoch nanos ~1.7e18 exceed double's exact range,
+  // so `/ 1000` in double arithmetic is off by 1us on ~1.5% of rows
+  def tsCol: Column = timestamp_micros(expr("ts div 1000"))
 
   /** Tumbling-window counts per event type. `window_start` is epoch
     * seconds (integer — timezone-proof for the oracle).

@@ -63,9 +63,19 @@ object Sessionize {
     out.toSeq
   }
 
-  /** Streaming form with explicit group state: events accumulate per
-    * user; sessions emit on flush (finite source: the state flush at
-    * the end of the batch). Watermark-bounded state at scale.
+  /** Streaming state per user: sessions already emitted (index
+    * offset) plus pending event times. The offset survives flushes so
+    * session indexes never restart mid-stream.
+    */
+  final case class UserState(base: Long, pending: Seq[Long])
+
+  /** Streaming form with explicit group state. Two-phase flush on
+    * processing-time quiescence: the first timeout emits every CLOSED
+    * session and retains the newest (still-open) one; a second
+    * timeout with no new events emits it too and clears the state.
+    * A user returning within the gap between the two timeouts keeps
+    * extending the open session — indexes stay continuous via the
+    * carried base offset.
     */
   def sessionsStreaming(spark: SparkSession, dir: String, gapSec: Long): Dataset[Session] = {
     import spark.implicits._
@@ -76,17 +86,26 @@ object Sessionize {
       .selectExpr("user_id", "ts div 1000000000 AS sec").as[Ev]
 
     src.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[Long], Session](
+      .flatMapGroupsWithState[UserState, Session](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (uid: Long, it: Iterator[Ev], state: GroupState[Seq[Long]]) =>
+        (uid: Long, it: Iterator[Ev], state: GroupState[UserState]) =>
+          val st = state.getOption.getOrElse(UserState(0L, Nil))
           if (state.hasTimedOut) {
-            // flush: emit this user's sessions and clear
-            val secs = state.getOption.getOrElse(Nil)
-            state.remove()
-            sessionsOf(uid, secs.sorted, gapSec).iterator
+            val sessions = sessionsOf(uid, st.pending.sorted, gapSec)
+              .map(s => s.copy(session_idx = s.session_idx + st.base))
+            if (sessions.size <= 1) {
+              state.remove() // final open session emits now
+              sessions.iterator
+            } else {
+              // emit closed sessions, keep the open one pending
+              val open = sessions.last
+              state.update(UserState(open.session_idx - 1,
+                st.pending.sorted.takeRight(open.n_events.toInt)))
+              state.setTimeoutDuration(100)
+              sessions.init.iterator
+            }
           } else {
-            val secs = state.getOption.getOrElse(Nil) ++ it.map(_.sec)
-            state.update(secs)
+            state.update(st.copy(pending = st.pending ++ it.map(_.sec)))
             state.setTimeoutDuration(100) // flush shortly after quiescence
             Iterator.empty
           }

@@ -20,11 +20,26 @@ class SkewAndInsertSpec extends GraftSuite {
   test("insertNew: existing and in-batch duplicate keys are rejected, first wins") {
     val index = Seq(("a", 1L), ("b", 2L)).toDF("key", "id")
     val entries = Seq(("a", 10L), ("c", 3L), ("c", 4L), ("d", 5L)).toDF("key", "id")
-    val (newIdx, rejected) = UniqueIndex.insertNew(index, entries)
+    val (newIdx, rejected) = UniqueIndex.insertNew(index, entries, Seq("key"))
     val idx = newIdx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(idx == Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 5L))
     val rej = rejected.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(rej == Set(("a", 1L, 10L), ("c", 3L, 4L)))
+  }
+
+  test("insertNew composes with build-produced typed indexes") {
+    import graft.core.GraphBuilder
+    import graft.model.PropertyValue._
+    import graft.operators.UniqueIndex.IndexInfo
+    val b = new GraphBuilder
+    b.addNode("T", Map("k" -> Seq(PVText("x"))))
+    val idx = UniqueIndex.build(b.snapshot(spark).nodes, IndexInfo("K", Seq("T"), "k"))
+    val entries = Seq((0.toByte, "x", 50L), (0.toByte, "y", 51L), (1.toByte, "x", 52L))
+      .toDF("vType", "key", "id")
+    val (newIdx, rejected) = UniqueIndex.insertNew(idx, entries) // default (vType, key)
+    assert(newIdx.count() == 3, "y and typed int-x inserted; text-x rejected")
+    val rej = rejected.collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("attempted_id"))).toSet
+    assert(rej == Set(("x", 50L)), "text 'x' exists; integer key 'x' is a different typed key")
   }
 
   test("typed and streaming sessionization agree with the SQL window form") {
