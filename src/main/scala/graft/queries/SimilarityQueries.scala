@@ -66,6 +66,20 @@ object SimilarityQueries extends QueryModule {
              |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.99""".stripMargin)
     ),
 
+    // ---- vector norms (feature hygiene: catch zero/degenerate) ----
+    QueryDef(
+      "q_embed_norms",
+      "L2 norm per embedding, rounded — degenerate-vector detection",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        emb.select(col("vec_id"),
+          round(Similarity.norm(col("embedding")), 6).as("l2"))
+      },
+      Some("""SELECT vec_id,
+             |round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
+             |FROM embeddings""".stripMargin)
+    ),
+
     // ---- IVF ANN: coarse k-means cells + probed search ----
     // trained centroids are ulp-sensitive to shuffle order, so this
     // is a rows-only gate entry (no SQL oracle); recall vs brute

@@ -67,6 +67,24 @@ object TextQueries extends QueryModule {
       })
     ),
 
+    // ---- corpus n-gram frequency (vocabulary analysis) ----
+    QueryDef(
+      "q_text_bigrams",
+      "top-20 word bigrams corpus-wide, deterministic tie-break",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        docs.select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts), 2))) AS i FROM tok),
+             |bg AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+1], ' ') AS bigram FROM pos)
+             |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+             |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin)
+    ),
+
     // ---- document fingerprinting ----
     QueryDef(
       "q_text_fingerprint",
