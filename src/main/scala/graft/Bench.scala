@@ -65,7 +65,20 @@ object Bench {
       if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
     }
 
-    val results = headline.map(n => n -> best(n)) :+ ("ingest" -> ingest())
+    // index maintenance analog (BASELINE.md: trie key-insert rate):
+    // full label-scoped typed index build + count
+    def indexBuild(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val g = graft.core.TpchGraph.snapshot(spark, sfDir)
+        graft.operators.UniqueIndex.build(g.nodes,
+          graft.operators.UniqueIndex.IndexInfo("PartName", Seq("part"), "name")).count()
+      } catch { case e: Throwable => System.err.println(s"[bench] index failed: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = headline.map(n => n -> best(n)) :+
+      ("ingest" -> ingest()) :+ ("index_build" -> indexBuild())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -72,6 +72,16 @@ object Mvcc {
     versioned.withColumn("tx_max",
       when(visibleAt(tx) && pred, lit(tx)).otherwise(col("tx_max")))
 
+  /** Compaction (the snapshot-file analog of the reference's
+    * free-space defrag, SURVEY §4): drop versions invisible to every
+    * snapshot at or after `horizon` — rows deleted before the oldest
+    * reader anyone still needs. Visibility for tx >= horizon is
+    * unchanged; storage shrinks by the dead-version count. Run as a
+    * maintenance rewrite of the snapshot files.
+    */
+  def compact(versioned: DataFrame, horizon: Long): DataFrame =
+    versioned.filter(col("tx_max").isNull || col("tx_max") >= horizon)
+
   /** Cascading node delete (APITest.hs:55-68 semantics): closing a
     * node version also closes every live incident edge — the
     * reference's chain-repair walk (API.hs:363-429) becomes one

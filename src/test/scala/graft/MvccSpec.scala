@@ -83,6 +83,35 @@ class MvccSpec extends GraftSuite {
     assert(values(Mvcc.readAsOf(t, 1)) == Set((1L, 1L), (2L, 2L)))
   }
 
+  test("disjoint transactions compose in either order (RawSpec concurrency analog)") {
+    val t = table((1L, 10L, 1L, None), (2L, 20L, 1L, None), (3L, 30L, 1L, None))
+    def upd(df: DataFrame, key: Long, tx: Long) =
+      Mvcc.update(df, col("key") === key, tx, _.withColumn("value", col("value") * 10))
+    // tx 5 touches key 1, tx 6 touches key 2 — application order must
+    // not matter for any later snapshot
+    val ab = upd(upd(t, 1L, 5L), 2L, 6L)
+    val ba = upd(upd(t, 2L, 6L), 1L, 5L)
+    (7L to 9L).foreach { tx =>
+      assert(values(Mvcc.readAsOf(ab, tx)) == values(Mvcc.readAsOf(ba, tx)))
+    }
+    assert(values(Mvcc.readAsOf(ab, 9)) == Set((1L, 100L), (2L, 200L), (3L, 30L)))
+  }
+
+  test("compaction drops dead versions without changing post-horizon reads") {
+    var t = table((1L, 10L, 1L, None), (2L, 20L, 1L, None))
+    t = Mvcc.update(t, col("key") === 1L, 3L, _.withColumn("value", lit(11L)))
+    t = Mvcc.delete(t, col("key") === 2L, 4L)
+    t = Mvcc.update(t, col("key") === 1L, 6L, _.withColumn("value", lit(12L)))
+    val compacted = Mvcc.compact(t, horizon = 5L)
+    assert(compacted.count() < t.count(), "dead versions removed")
+    (5L to 8L).foreach { tx =>
+      assert(values(Mvcc.readAsOf(compacted, tx)) == values(Mvcc.readAsOf(t, tx)),
+        s"snapshot at tx=$tx unchanged by compaction")
+    }
+    // pre-horizon time travel is (by design) no longer served
+    assert(values(Mvcc.readAsOf(compacted, 2)) != values(Mvcc.readAsOf(t, 2)))
+  }
+
   test("cascading node delete closes incident edges (APITest.hs:55-68)") {
     import graft.core.GraphBuilder
     import graft.model.PropertyValue._
