@@ -35,10 +35,21 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
   /** Publish this snapshot version (checkpoint analog,
     * STMGraph Raw.hs:105-109). Partitioned by label so label-filtered
     * scans prune files; at cluster scale add bucketing by id/src.
+    * A manifest records counts and the max tx id — the reference's
+    * root-node metadata (`getExtra`/`setExtra`, Trie.hs:114-123) and
+    * maintained counters in one place, so `nbNodes`-style reads can
+    * come from metadata instead of a scan.
     */
   def write(dir: String): Unit = {
     nodes.write.mode("overwrite").partitionBy("label").parquet(s"$dir/nodes")
     edges.write.mode("overwrite").partitionBy("label").parquet(s"$dir/edges")
+    val maxRow = nodes.select(col("tx_min")).unionAll(edges.select(col("tx_min")))
+      .unionAll(nodes.select(col("tx_max"))).unionAll(edges.select(col("tx_max")))
+      .agg(max(col("tx_min"))).head()
+    val maxTx = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val manifest =
+      s"""{"n_nodes": ${live.nodes.count()}, "n_edges": ${live.edges.count()}, "max_tx": $maxTx}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_manifest.json"), manifest)
   }
 }
 
@@ -61,9 +72,21 @@ object GraphSnapshot {
     StructField("tx_min", LongType, nullable = false),
     StructField("tx_max", LongType)))
 
-  /** Session open (HGraphStorage API.hs:57-75 `withGraphStorage`). */
+  /** Session open (HGraphStorage API.hs:57-75 `withGraphStorage`).
+    * Reads with the canonical schemas: an empty table (a partitioned
+    * write of zero rows leaves no parquet files) opens as an empty
+    * frame instead of failing schema inference.
+    */
   def open(spark: SparkSession, dir: String): GraphSnapshot =
-    GraphSnapshot(spark.read.parquet(s"$dir/nodes"), spark.read.parquet(s"$dir/edges"))
+    GraphSnapshot(
+      spark.read.schema(nodeSchema).parquet(s"$dir/nodes"),
+      spark.read.schema(edgeSchema).parquet(s"$dir/edges"))
+
+  /** Snapshot metadata without touching data files. */
+  def readManifest(dir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(s"$dir/_manifest.json")
+    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p)) else None
+  }
 }
 
 /** Driver-side batch builder for small graphs (tests, examples) —

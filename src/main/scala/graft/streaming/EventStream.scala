@@ -65,6 +65,58 @@ object EventStream {
       .withWatermark("ets", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming graph ingestion — the reference's write-behind writer
+    * (WriteEvent queue -> files, STMGraph Raw.hs:253-306) as a
+    * foreachBatch upsert sink: each micro-batch's events become user
+    * nodes merged into the snapshot under one MVCC transaction
+    * (existing versions closed, fresh ones appended), then the new
+    * snapshot version is published. Batch id doubles as the tx id —
+    * exactly-once via Structured Streaming's batch-id replay contract.
+    */
+  def upsertUsersIntoSnapshot(spark: SparkSession, srcDir: String,
+      snapshotDir: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(srcDir)
+
+    src.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tx = batchId + 1
+      val incoming = batch.groupBy(col("user_id")).agg(cnt(lit(1)).as("n"))
+        .select(col("user_id").as("id"), lit("user").as("label"),
+          graft.model.PropValues.propsMap(
+            "events" -> graft.model.PropValues.pvInt(col("n"))).as("props"))
+      // localCheckpoint materializes the current version and cuts its
+      // lineage to the files we are about to overwrite (Spark rejects
+      // reading and overwriting the same path in one plan)
+      val current =
+        if (graft.core.GraphSnapshot.readManifest(snapshotDir).isDefined)
+          graft.core.GraphSnapshot.open(batch.sparkSession, snapshotDir).nodes
+            .localCheckpoint(true)
+        else batch.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          graft.core.GraphSnapshot.nodeSchema)
+      // close existing versions of arriving users (broadcast join, no
+      // driver collect), append fresh ones
+      val arriving = broadcast(incoming.select(col("id").as("__a")))
+      val closed = current.join(arriving, col("id") === col("__a"), "left")
+        .withColumn("tx_max",
+          when(col("__a").isNotNull && col("tx_max").isNull, lit(tx))
+            .otherwise(col("tx_max")))
+        .drop("__a")
+      val fresh = incoming
+        .withColumn("tx_min", lit(tx)).withColumn("tx_max", lit(null).cast("long"))
+        .select(current.columns.map(col): _*)
+      graft.core.GraphSnapshot(
+        closed.unionAll(fresh),
+        batch.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          graft.core.GraphSnapshot.edgeSchema)).write(snapshotDir)
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+  }
+
   /** Run the streaming query to completion against the (finite)
     * parquet source into a named memory sink; returns the query.
     */

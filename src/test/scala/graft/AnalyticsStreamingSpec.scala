@@ -66,6 +66,24 @@ class AnalyticsStreamingSpec extends GraftSuite {
     assert(streamed == distinct, s"doubled deliveries must dedup to $distinct, got $streamed")
   }
 
+  test("foreachBatch upsert sink publishes an MVCC snapshot with manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val q = EventStream.upsertUsersIntoSnapshot(spark, sf0001, dir)
+    q.awaitTermination(120000)
+    val g = graft.core.GraphSnapshot.open(spark, dir)
+    val users = graft.sources.Tables(spark, sf0001).events
+      .select("user_id").distinct().count()
+    assert(g.nbNodes == users, "one live user node per distinct user")
+    val manifest = graft.core.GraphSnapshot.readManifest(dir)
+    assert(manifest.exists(_.contains(s""""n_nodes": $users""")), s"manifest: $manifest")
+    // re-running the same finite stream into the same snapshot upserts
+    // (closes + re-appends) rather than duplicating live rows
+    val q2 = EventStream.upsertUsersIntoSnapshot(spark, sf0001, dir)
+    q2.awaitTermination(120000)
+    val g2 = graft.core.GraphSnapshot.open(spark, dir)
+    assert(g2.nbNodes == users, "second delivery upserts, not duplicates")
+  }
+
   test("streaming windowed counts equal the batch transformation") {
     val q = EventStream.runToMemory(spark, sf0001, "ev_counts")
     q.awaitTermination(120000)
