@@ -20,15 +20,36 @@ import graft.core.GraphSnapshot
   */
 object GraphAnalytics {
 
-  /** Live snapshot -> GraphX graph. Vertex attr = label. */
+  // DataFrame -> GraphX conversion deserializes the whole graph; doing
+  // it per analytics call multiplies that cost into every query (it
+  // was 30%+ of the round-1 bench). Converted graphs are memoized by
+  // the SEMANTIC hash of their snapshot plans (same snapshot read
+  // twice -> same cached graph, even across fresh DataFrame objects)
+  // and their RDDs cached, so repeated analytics over one snapshot pay
+  // the conversion once per JVM.
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Graph[String, String]]
+
+  /** Live snapshot -> GraphX graph. Vertex attr = label. Memoized +
+    * RDD-cached per (SparkContext, snapshot plan) — see above.
+    */
   def toGraphX(g: GraphSnapshot): Graph[String, String] = {
-    val live = g.live
-    val vs: RDD[(VertexId, String)] =
-      live.nodes.select("id", "label").rdd.map(r => (r.getLong(0), r.getString(1)))
-    val es: RDD[Edge[String]] =
-      live.edges.select("src", "dst", "label").rdd
-        .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
-    Graph(vs, es)
+    val key = (System.identityHashCode(g.nodes.sparkSession.sparkContext),
+      g.nodes.queryExecution.analyzed.semanticHash(),
+      g.edges.queryExecution.analyzed.semanticHash())
+    graphCache.getOrElseUpdate(key, {
+      if (graphCache.size >= 8) { // bound the cache; evicted graphs release executor memory
+        graphCache.values.foreach(_.unpersist(blocking = false))
+        graphCache.clear()
+      }
+      val live = g.live
+      val vs: RDD[(VertexId, String)] =
+        live.nodes.select("id", "label").rdd.map(r => (r.getLong(0), r.getString(1)))
+      val es: RDD[Edge[String]] =
+        live.edges.select("src", "dst", "label").rdd
+          .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+      Graph(vs, es).cache()
+    })
   }
 
   /** Connected components: (id, component) where component = the
@@ -51,9 +72,42 @@ object GraphAnalytics {
       .toDF("id", "rank")
   }
 
+  /** Bounded-hop BFS as iterative DataFrame joins — the fast path for
+    * small `maxHops`. Each hop is one equi-join frontier⋈edges plus an
+    * anti-join against the reached set: no DataFrame→RDD conversion,
+    * no Pregel superstep scheduling, and Catalyst prunes the edge scan
+    * to (src,dst). Semantics match [[hopDistances]]: minimum hop
+    * distance from `sources` within `maxHops`, sources restricted to
+    * live node ids. Use the Pregel form for genuinely iterative depths
+    * (unknown diameter), this one when hops are bounded and small.
+    */
+  def hopDistancesDF(spark: SparkSession, g: GraphSnapshot, sources: Set[Long],
+      maxHops: Int, reverse: Boolean = false): DataFrame = {
+    val live = g.live
+    val edges =
+      if (reverse) live.edges.select(col("dst").as("es"), col("src").as("ed"))
+      else live.edges.select(col("src").as("es"), col("dst").as("ed"))
+    var frontier = live.nodes.select(col("id"))
+      .filter(col("id").isInCollection(sources)).distinct()
+    var reached = frontier.withColumn("dist", lit(0))
+    (1 to maxHops).foreach { d =>
+      // localCheckpoint cuts the per-iteration lineage (each level is
+      // small relative to the corpus; at cluster scale checkpoint to
+      // reliable storage instead of executor-local blocks)
+      val next = frontier.join(edges, col("id") === col("es"))
+        .select(col("ed").as("id")).distinct()
+        .join(reached, Seq("id"), "left_anti")
+        .localCheckpoint()
+      frontier = next
+      reached = reached.unionAll(next.withColumn("dist", lit(d)))
+    }
+    reached
+  }
+
   /** Multi-hop BFS from a source set via Pregel: minimum hop distance
     * within `maxHops`. The n-step generalization of queryStep — each
     * superstep is the distributed version of one chain-walk round.
+    * Prefer [[hopDistancesDF]] when `maxHops` is small.
     */
   def hopDistances(spark: SparkSession, g: GraphSnapshot, sources: Set[Long],
       maxHops: Int, reverse: Boolean = false): DataFrame = {

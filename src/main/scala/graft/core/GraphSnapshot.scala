@@ -43,12 +43,22 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
   def write(dir: String): Unit = {
     nodes.write.mode("overwrite").partitionBy("label").parquet(s"$dir/nodes")
     edges.write.mode("overwrite").partitionBy("label").parquet(s"$dir/edges")
-    val maxRow = nodes.select(col("tx_min")).unionAll(edges.select(col("tx_min")))
-      .unionAll(nodes.select(col("tx_max"))).unionAll(edges.select(col("tx_max")))
-      .agg(max(col("tx_min"))).head()
-    val maxTx = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    // Manifest stats come from the just-written parquet — a
+    // column-pruned scan of the two tx columns — NOT from re-executing
+    // the input plans (which may be arbitrarily expensive upstream
+    // queries; re-running them three times multiplies publish cost).
+    val spark = nodes.sparkSession
+    def stats(path: String, schema: StructType): Row =
+      spark.read.schema(schema).parquet(path).agg(
+        count(when(col("tx_max").isNull, 1)).as("live"),
+        max(col("tx_min")).as("max_min"),
+        max(col("tx_max")).as("max_max")).head()
+    def at(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val ns = stats(s"$dir/nodes", GraphSnapshot.nodeSchema)
+    val es = stats(s"$dir/edges", GraphSnapshot.edgeSchema)
+    val maxTx = Seq(at(ns, 1), at(ns, 2), at(es, 1), at(es, 2)).max
     val manifest =
-      s"""{"n_nodes": ${live.nodes.count()}, "n_edges": ${live.edges.count()}, "max_tx": $maxTx}"""
+      s"""{"n_nodes": ${ns.getLong(0)}, "n_edges": ${es.getLong(0)}, "max_tx": $maxTx}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_manifest.json"), manifest)
   }
 }

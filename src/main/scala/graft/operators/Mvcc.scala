@@ -20,9 +20,13 @@ object Mvcc {
   /** PostgreSQL-style snapshot visibility (MVCC.hs:286-298):
     * a version is visible to transaction `tx` given a set of
     * transactions committed before `tx` started iff
-    *   - it was created by `tx` itself and not deleted by `tx`, or
-    *   - its creator committed, and it is not deleted (or its deleter
-    *     is a different, uncommitted transaction).
+    *   - its creator is `tx` itself or a committed transaction, AND
+    *   - it is not deleted, or its deleter is a different,
+    *     uncommitted transaction.
+    *
+    * The delete check is identical for self-created and committed
+    * rows: a row `tx` created but some *other uncommitted* tx deleted
+    * stays visible until that deleter commits (PG semantics).
     *
     * `committed` maps a tx-id column to a boolean column (broadcast
     * set membership or a monotonic `< snapshotTx` bound).
@@ -30,8 +34,8 @@ object Mvcc {
   def visible(tx: Long, committed: Column => Column): Column = {
     val txMin = col("tx_min")
     val txMax = col("tx_max")
-    (txMin === tx && txMax.isNull) ||
-      (committed(txMin) && (txMax.isNull || (txMax =!= tx && !committed(txMax))))
+    (txMin === tx || committed(txMin)) &&
+      (txMax.isNull || (txMax =!= tx && !committed(txMax)))
   }
 
   /** Visibility for the common serial history: every tx with a lower

@@ -75,6 +75,9 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash-LSH. */
   def lshCandidates(df: DataFrame, idCol: String, text: Column,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): leftover signature " +
+        "columns would be silently dropped, weakening recall")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, text, numHashes, shingleN)
     val keyed = sig.select(col("id"),

@@ -79,17 +79,20 @@ object AnalyticsQueries extends QueryModule {
               |SELECT r_regionkey + $REGION AS id, round(r * nv / sr, 6) AS rank FROM rr, tot""".stripMargin)
     ),
 
-    // ---- Pregel multi-hop BFS: hop-distance histogram ----
+    // ---- bounded multi-hop BFS: hop-distance histogram ----
     // sources = region nodes, edges reversed: dist 0 = regions,
-    // 1 = nations, 2 = customers+suppliers.
+    // 1 = nations, 2 = customers+suppliers. maxHops=2 is bounded and
+    // small, so this takes the iterative-DataFrame-join path (2 joins)
+    // rather than Pregel — same semantics (AnalyticsStreamingSpec
+    // asserts DF == Pregel), none of the RDD-conversion overhead.
     QueryDef(
       "q_pregel_hops",
-      "Pregel BFS from all regions over reversed edges: distance histogram",
+      "bounded BFS from all regions over reversed edges: distance histogram",
       (s, dir) => {
         val t = Tables(s, dir)
         val regionIds = t.region.select(col("r_regionkey").cast("long") + REGION)
           .collect().map(_.getLong(0)).toSet
-        GraphAnalytics.hopDistances(s, geo(s, dir), regionIds, maxHops = 2, reverse = true)
+        GraphAnalytics.hopDistancesDF(s, geo(s, dir), regionIds, maxHops = 2, reverse = true)
           .groupBy(col("dist")).agg(count(lit(1)).as("n"))
       },
       Some("""SELECT 0 AS dist, count(*) AS n FROM region

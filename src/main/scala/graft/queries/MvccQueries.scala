@@ -35,9 +35,10 @@ object MvccQueries extends QueryModule {
         Mvcc.readAsOf(versionedEvents(s, dir), 50L)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_visible")),
+      // serial-case visibility (committed ≡ tx_min < T, plus the row's
+      // own creator): tx_min <= T AND (tx_max IS NULL OR tx_max > T)
       Some(s"""SELECT event_type, count(*) AS n_visible FROM ($versionedSql)
-              |WHERE (tx_min = 50 AND tx_max IS NULL)
-              |   OR (tx_min < 50 AND (tx_max IS NULL OR (tx_max <> 50 AND tx_max >= 50)))
+              |WHERE tx_min <= 50 AND (tx_max IS NULL OR tx_max > 50)
               |GROUP BY event_type""".stripMargin)
     ),
 
@@ -53,8 +54,7 @@ object MvccQueries extends QueryModule {
       },
       Some(s"""WITH v AS ($versionedSql)
               |SELECT t.as_of, (SELECT count(*) FROM v
-              |  WHERE (tx_min = t.as_of AND tx_max IS NULL)
-              |     OR (tx_min < t.as_of AND (tx_max IS NULL OR (tx_max <> t.as_of AND tx_max >= t.as_of)))) AS n
+              |  WHERE tx_min <= t.as_of AND (tx_max IS NULL OR tx_max > t.as_of)) AS n
               |FROM (VALUES (10), (50), (90)) AS t(as_of)""".stripMargin)
     ),
 
@@ -71,24 +71,24 @@ object MvccQueries extends QueryModule {
         Mvcc.readAsOf(v2, 300L)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
       },
       Some(s"""WITH v AS ($versionedSql),
               |vis AS (SELECT * FROM v
-              |  WHERE (tx_min < 200 AND (tx_max IS NULL OR tx_max >= 200))),
+              |  WHERE tx_min <= 200 AND (tx_max IS NULL OR tx_max > 200)),
               |v2 AS (
               |  SELECT event_type, value, tx_min,
-              |         CASE WHEN event_type = 'purchase' AND (tx_max IS NULL OR tx_max >= 200)
+              |         CASE WHEN event_type = 'purchase' AND tx_min <= 200
+              |                   AND (tx_max IS NULL OR tx_max > 200)
               |              THEN 200 ELSE tx_max END AS tx_max
               |  FROM v
               |  UNION ALL
               |  SELECT event_type, value * 2 AS value, 200 AS tx_min, NULL AS tx_max
               |  FROM vis WHERE event_type = 'purchase')
               |SELECT event_type, count(*) AS n,
-              |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
               |FROM v2
-              |WHERE (tx_min = 300 AND tx_max IS NULL)
-              |   OR (tx_min < 300 AND (tx_max IS NULL OR (tx_max <> 300 AND tx_max >= 300)))
+              |WHERE tx_min <= 300 AND (tx_max IS NULL OR tx_max > 300)
               |GROUP BY event_type""".stripMargin)
     ),
 
@@ -107,15 +107,13 @@ object MvccQueries extends QueryModule {
       Some(s"""WITH v AS ($versionedSql),
               |v2 AS (SELECT event_type, tx_min,
               |         CASE WHEN event_type = 'error'
-              |                   AND (tx_min < 200 AND (tx_max IS NULL OR tx_max >= 200))
+              |                   AND tx_min <= 200 AND (tx_max IS NULL OR tx_max > 200)
               |              THEN 200 ELSE tx_max END AS tx_max FROM v)
               |SELECT 'before' AS phase, count(*) AS n FROM v2
-              |WHERE (tx_min = 199 AND tx_max IS NULL)
-              |   OR (tx_min < 199 AND (tx_max IS NULL OR (tx_max <> 199 AND tx_max >= 199)))
+              |WHERE tx_min <= 199 AND (tx_max IS NULL OR tx_max > 199)
               |UNION ALL
               |SELECT 'after', count(*) FROM v2
-              |WHERE (tx_min = 300 AND tx_max IS NULL)
-              |   OR (tx_min < 300 AND (tx_max IS NULL OR (tx_max <> 300 AND tx_max >= 300)))""".stripMargin)
+              |WHERE tx_min <= 300 AND (tx_max IS NULL OR tx_max > 300)""".stripMargin)
     )
   )
 }

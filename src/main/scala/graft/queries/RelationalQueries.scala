@@ -25,6 +25,11 @@ object RelationalQueries extends QueryModule {
 
   private val D18 = DecimalType(18, 2)
   private val D4  = DecimalType(4, 2)
+  // Final aggregate outputs are pinned to DECIMAL(38,2) on BOTH the
+  // Spark and the oracle side: Spark widens sum(DECIMAL(18,2)) to
+  // (28,2) while DuckDB widens to (38,2) — same values, different
+  // physical type, which the driver's value hash distinguishes.
+  private val D38 = DecimalType(38, 2)
 
   override def queries: Seq[QueryDef] = Seq(
     // ---- aggregation over a pushed-down scan (TPC-H Q1 shape) ----
@@ -41,16 +46,16 @@ object RelationalQueries extends QueryModule {
         li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(D18)).as("sum_qty"),
-            sum(col("l_extendedprice").cast(D18)).as("sum_base_price"),
+            sum(col("l_quantity").cast(D18)).cast(D38).as("sum_qty"),
+            sum(col("l_extendedprice").cast(D18)).cast(D38).as("sum_base_price"),
             sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
-              .as("sum_disc_price"),
+              .cast(D38).as("sum_disc_price"),
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -71,12 +76,12 @@ object RelationalQueries extends QueryModule {
             col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
-            .as("revenue"))
+            .cast(D38).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10)
       },
       Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS revenue
              |FROM customer
              |JOIN orders   ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
@@ -101,10 +106,10 @@ object RelationalQueries extends QueryModule {
           .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
-            .as("revenue"))
+            .cast(D38).as("revenue"))
       },
       Some("""SELECT n_name,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -154,11 +159,11 @@ object RelationalQueries extends QueryModule {
           .groupBy(col("n_name"))
           .agg(
             sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
-              .as("revenue"),
+              .cast(D38).as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       Some("""SELECT n_name,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS revenue,
              |  count(*) AS n_lines
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
@@ -237,9 +242,9 @@ object RelationalQueries extends QueryModule {
       (s, dir) =>
         Tables(s, dir).lineitem
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("l_quantity").cast(D18)).as("sum_qty"), count(lit(1)).as("n")),
+          .agg(sum(col("l_quantity").cast(D18)).cast(D38).as("sum_qty"), count(lit(1)).as("n")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS n
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
     ),
 

@@ -81,21 +81,30 @@ object SimilarityQueries extends QueryModule {
     ),
 
     // ---- IVF ANN: coarse k-means cells + probed search ----
-    // trained centroids are ulp-sensitive to shuffle order, so this
-    // is a rows-only gate entry (no SQL oracle); recall vs brute
-    // force is asserted in IvfSpec.
+    // Gate variant probes nprobe = nlist: every cell passes the probe
+    // filter, so the result is provably the brute-force top-k — the
+    // ulp-sensitive trained centroids cannot move it, and the
+    // brute-force SQL is an exact oracle. The `cell` column (training-
+    // dependent) is dropped. Partial-probe recall (nprobe=3) is
+    // asserted in IvfSpec.
     QueryDef(
       "q_ann_ivf",
-      "IVF top-10: train 8 cells (2 Lloyd iters), probe 3",
+      "IVF top-10: train 8 cells (2 Lloyd iters), probe all 8 (≡ brute force)",
       (s, dir) => {
         val emb = Tables(s, dir).embeddings
         val idx = graft.pipeline.Ivf.train(s, emb, "vec_id", "embedding", nlist = 8)
         val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
           .head().getSeq[Float](0).toArray
         graft.pipeline.Ivf.topK(s, emb.filter(col("vec_id") =!= 0L),
-          "vec_id", "embedding", idx, q, k = 10, nprobe = 3)
+          "vec_id", "embedding", idx, q, k = 10, nprobe = idx.nlist)
+          .drop("cell")
       },
-      None
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /
+             |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
     ),
 
     // ---- LSH bucket assignment (the scale path's partitioner) ----

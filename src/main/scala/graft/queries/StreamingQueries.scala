@@ -15,7 +15,7 @@ object StreamingQueries extends QueryModule {
       (s, dir) => EventStream.windowedCounts(Tables(s, dir).events),
       Some("""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
              |  event_type, count(*) AS n,
-             |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)
     ),
 
@@ -28,8 +28,8 @@ object StreamingQueries extends QueryModule {
              |b AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
              |                       OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS boundary
              |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
-             |sx AS (SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
-             |                                     ROWS UNBOUNDED PRECEDING) AS session_idx FROM b)
+             |sx AS (SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM b)
              |SELECT user_id, session_idx, count(*) AS n_events,
              |       min(sec) AS start_sec, max(sec) AS end_sec
              |FROM sx GROUP BY user_id, session_idx""".stripMargin)

@@ -30,7 +30,10 @@ object EventStream {
       .withColumn("ets", tsCol)
       .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        // pinned to DECIMAL(38,2): Spark's sum widens (18,2)->(28,2),
+        // DuckDB to (38,2) — same values, and the driver's value hash
+        // distinguishes physical types
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 

@@ -48,6 +48,20 @@ class AnalyticsStreamingSpec extends GraftSuite {
     assert(bounded == Map(1L -> 0, 2L -> 1), "maxHops bounds the frontier")
   }
 
+  test("DataFrame BFS (hopDistancesDF) matches Pregel on all scenarios") {
+    for ((srcs, hops, rev) <- Seq((Set(1L), 2, false), (Set(3L), 2, true),
+        (Set(1L), 1, false), (Set(1L, 4L), 2, false))) {
+      val df = GraphAnalytics.hopDistancesDF(spark, g, srcs, hops, rev)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val px = GraphAnalytics.hopDistances(spark, g, srcs, hops, rev)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(df == px, s"sources=$srcs maxHops=$hops reverse=$rev")
+    }
+    // sources not present in the graph contribute nothing
+    val ghost = GraphAnalytics.hopDistancesDF(spark, g, Set(99L), 2).collect()
+    assert(ghost.isEmpty)
+  }
+
   test("streaming dedup drops duplicate deliveries within the watermark") {
     import org.apache.spark.sql.streaming.Trigger
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
