@@ -32,6 +32,37 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
   def nbNodes: Long = live.nodes.count()
   def nbEdges: Long = live.edges.count()
 
+  /** Property update (updateObject / nodeProperties, HGraphStorage
+    * API.hs:170-180; STMGraph API.hs:111-120): copy-on-write — nodes
+    * matching `pred` get their version closed at `tx` and a copy with
+    * `mutateProps(props)` appended. The reference replaces the WHOLE
+    * property map on update; pass a constant map column for that
+    * conformance shape, or a `transform_values` rewrite for targeted
+    * edits. The label is identity (denormalized onto edges as
+    * srcLabel/dstLabel) and must not change here.
+    * For index-maintaining mutation use [[IndexedGraph]].
+    */
+  def updateNodeProps(pred: org.apache.spark.sql.Column, tx: Long,
+      mutateProps: org.apache.spark.sql.Column => org.apache.spark.sql.Column): GraphSnapshot =
+    GraphSnapshot(
+      graft.operators.Mvcc.update(nodes, pred, tx,
+        df => df.withColumn("props", mutateProps(col("props")))),
+      edges)
+
+  /** Cascading delete (deleteObject, API.hs:410-429; APITest.hs:55-68):
+    * closes matching node versions AND every live incident edge.
+    */
+  def deleteNodes(pred: org.apache.spark.sql.Column, tx: Long): GraphSnapshot = {
+    val (n, e) = graft.operators.Mvcc.deleteNodeCascade(nodes, edges, pred, tx)
+    GraphSnapshot(n, e)
+  }
+
+  /** deleteRelation (API.hs:363-407): close matching edge versions;
+    * nodes untouched.
+    */
+  def deleteEdges(pred: org.apache.spark.sql.Column, tx: Long): GraphSnapshot =
+    GraphSnapshot(nodes, graft.operators.Mvcc.delete(edges, pred, tx))
+
   /** Publish this snapshot version (checkpoint analog,
     * STMGraph Raw.hs:105-109). Partitioned by label so label-filtered
     * scans prune files; at cluster scale add bucketing by id/src.

@@ -17,8 +17,14 @@ object UniqueIndex {
     */
   final class DuplicateIndexKeyException(msg: String) extends RuntimeException(msg)
 
-  /** Index metadata (IndexInfo, HGraphStorage API.hs:49-53). */
-  final case class IndexInfo(name: String, labels: Seq[String], property: String)
+  /** Index metadata (IndexInfo, HGraphStorage API.hs:49-53).
+    * `unique` enables the reference's duplicate check on maintenance
+    * (checkDuplicates, API.hs:217-229) — the reference's trie indexes
+    * hold one owner per key, so this defaults on; pass false for
+    * plain secondary indexes over non-unique properties.
+    */
+  final case class IndexInfo(name: String, labels: Seq[String], property: String,
+      unique: Boolean = true)
 
   /** Keys occurring more than once (checkDuplicates,
     * API.hs:217-229) — empty means the unique constraint holds.
@@ -61,6 +67,49 @@ object UniqueIndex {
       .select(v.getField("vType").as("vType"), key.as("key"), col("id"))
       .filter(col("key").isNotNull)
       .distinct()
+  }
+
+  /** Incremental maintenance on mutation — the reference's
+    * diff-old/new-values path (`removeOldValuesFromIndex` +
+    * `insertNewValuesInIndex`, HGraphStorage API.hs:184-238), run on
+    * every `updateObject`/`deleteObject` so indexes never go stale.
+    *
+    * `before`/`after` are the TOUCHED node rows only (pre- and
+    * post-mutation images restricted to the mutated ids), so cost is
+    * O(touched), not O(corpus): the per-owner entry diff prunes
+    * unchanged values exactly like the reference's `removeIdx` cases
+    * (same values → no-op, gone → remove, new → insert). A delete
+    * passes an empty `after` and every old entry is removed
+    * (APITest.hs:128-157 conformance).
+    *
+    * When `info.unique`, additions clashing with a surviving entry of
+    * a DIFFERENT owner — or with each other — raise
+    * [[DuplicateIndexKeyException]] before any change is applied
+    * (`checkDuplicates` excludes the object itself, API.hs:221).
+    * The check is an action (drives a small job on the touched diff).
+    */
+  def maintain(index: DataFrame, before: DataFrame, after: DataFrame,
+      info: IndexInfo): DataFrame = {
+    val entryCols = Seq("vType", "key", "id")
+    val old = build(before, info)
+    val neu = build(after, info)
+    val toRemove  = old.join(neu, entryCols, "left_anti")
+    val toAdd     = neu.join(old, entryCols, "left_anti")
+    val survivors = index.select(entryCols.map(col): _*)
+      .join(toRemove, entryCols, "left_anti")
+    if (info.unique) {
+      val clash = toAdd
+        .select(col("vType"), col("key"), col("id").as("attempted_id"))
+        .join(survivors.withColumnRenamed("id", "existing_id"), Seq("vType", "key"))
+        .filter(col("attempted_id") =!= col("existing_id"))
+      val batchClash = toAdd.groupBy("vType", "key")
+        .agg(countDistinct(col("id")).as("n")).filter(col("n") > 1)
+      val sample = clash.limit(5).collect() ++ batchClash.limit(5).collect()
+      if (sample.nonEmpty)
+        throw new DuplicateIndexKeyException(
+          s"index ${info.name}: duplicate keys on update: ${sample.mkString("; ")}")
+    }
+    survivors.unionAll(toAdd.select(entryCols.map(col): _*))
   }
 
   /** insert-if-absent (Trie.hs:165-205 `insertNew`): entries whose

@@ -17,7 +17,73 @@ object GraphQueries extends QueryModule {
 
   import TpchGraph._
 
+  /** Deterministic COW rewrite used by the mutation gate queries:
+    * part names 'red X' become 'crimson X' ('crimson' never occurs as
+    * a natural first word in the corpus, so the rename is
+    * collision-free and exactly SQL-replicable as
+    * `'crimson ' || substr(p_name, 5)`).
+    */
+  private[queries] def renameRedParts(props: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform_values(props, (k, vs) =>
+      when(k === "name", transform(vs, v => {
+        val t = v.getField("vText")
+        struct(
+          v.getField("vType").as("vType"),
+          when(t.startsWith("red "),
+            concat(lit("crimson "), t.substr(lit(5), length(t)))).otherwise(t).as("vText"),
+          v.getField("vInt").as("vInt"),
+          v.getField("vBin").as("vBin"),
+          v.getField("vJson").as("vJson"))
+      })).otherwise(vs))
+
+  /** Predicate: node has a 'name' value starting with 'red '. */
+  private[queries] def hasRedName: org.apache.spark.sql.Column =
+    exists(coalesce(col("props").getItem("name"), array()),
+      v => v.getField("vText").startsWith("red "))
+
   override def queries: Seq[QueryDef] = Seq(
+    // ---- graph-level COW property update (updateObject analog) ----
+    QueryDef(
+      "q_graph_update_props",
+      "updateNodeProps: COW rename of red parts; live first-word histogram",
+      (s, dir) => {
+        val g  = TpchGraph.snapshot(s, dir)
+        val g2 = g.updateNodeProps(col("label") === "part" && hasRedName, 1L, renameRedParts)
+        g2.live.nodes.filter(col("label") === "part")
+          .select(explode(col("props").getItem("name")).as("v"))
+          .select(split(col("v.vText"), " ").getItem(0).as("first_word"))
+          .groupBy(col("first_word")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CASE WHEN p_name LIKE 'red %' THEN 'crimson'
+             |            ELSE split_part(p_name, ' ', 1) END AS first_word,
+             |       count(*) AS n
+             |FROM part GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- graph-level cascading delete (deleteObject analog) ----
+    // Deleting the AUTOMOBILE customers closes their versions AND
+    // every live incident edge (placed, customer-side in_nation);
+    // edges not touching a victim are untouched.
+    QueryDef(
+      "q_graph_delete_cascade",
+      "deleteNodes cascade: live edge counts by label after deleting a customer segment",
+      (s, dir) => {
+        val g    = TpchGraph.snapshot(s, dir)
+        val auto = PropValues.hasValue(col("props"), "mktsegment", PVText("AUTOMOBILE"))
+        val g2   = g.deleteNodes(col("label") === "customer" && auto, 1L)
+        g2.live.edges.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'placed' AS label, count(*) AS n
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  WHERE c.c_mktsegment <> 'AUTOMOBILE'
+             |UNION ALL SELECT 'in_nation',
+             |  (SELECT count(*) FROM customer WHERE c_mktsegment <> 'AUTOMOBILE')
+             |  + (SELECT count(*) FROM supplier)
+             |UNION ALL SELECT 'contains', count(*) FROM lineitem
+             |UNION ALL SELECT 'supplies', count(*) FROM lineitem
+             |UNION ALL SELECT 'in_region', count(*) FROM nation""".stripMargin)
+    ),
+
     // ---- queryStep OUT with per-source newest-first limit ----
     // The reference's rsLimit semantics: newest edge (highest id)
     // wins per source (QueryTest.hs:49-50).

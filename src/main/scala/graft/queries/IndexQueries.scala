@@ -49,6 +49,45 @@ object IndexQueries extends QueryModule {
               |FROM part WHERE p_name LIKE 'red %'""".stripMargin)
     ),
 
+    // ---- incremental maintenance on COW update (API.hs:184-238) ----
+    // Rename every red part under an IndexedGraph: stale 'red %'
+    // entries must vanish from the index and 'crimson %' entries
+    // appear, without rebuilding — the maintenance diff runs over the
+    // touched rows only.
+    QueryDef(
+      "q_index_maintain",
+      "incremental index maintenance after a COW rename of red parts",
+      (s, dir) => {
+        val g    = TpchGraph.snapshot(s, dir)
+        val info = IndexInfo("PartName", Seq("part"), "name", unique = false)
+        val ig   = graft.core.IndexedGraph(g, Map(info -> UniqueIndex.build(g.nodes, info)))
+        val after = ig.updateNodeProps(
+          col("label") === "part" && GraphQueries.hasRedName, 1L,
+          GraphQueries.renameRedParts)
+        after.indexes(info)
+          .filter(col("key").startsWith("crimson ") || col("key").startsWith("red "))
+          .select("key", "id")
+      },
+      Some(s"""SELECT 'crimson ' || substr(p_name, 5) AS key, p_partkey + ${TpchGraph.PART} AS id
+              |FROM part WHERE p_name LIKE 'red %'""".stripMargin)
+    ),
+
+    // ---- incremental maintenance on cascading delete ----
+    QueryDef(
+      "q_index_delete",
+      "index entry count after deleting the AUTOMOBILE customer segment",
+      (s, dir) => {
+        val g    = TpchGraph.snapshot(s, dir)
+        val info = IndexInfo("CustName", Seq("customer"), "name", unique = false)
+        val ig   = graft.core.IndexedGraph(g, Map(info -> UniqueIndex.build(g.nodes, info)))
+        val auto = graft.model.PropValues.hasValue(
+          col("props"), "mktsegment", graft.model.PropertyValue.PVText("AUTOMOBILE"))
+        ig.deleteNodes(col("label") === "customer" && auto, 1L)
+          .indexes(info).agg(count(lit(1)).as("n_entries"))
+      },
+      Some("SELECT count(*) AS n_entries FROM customer WHERE c_mktsegment <> 'AUTOMOBILE'")
+    ),
+
     // ---- index applicability by label (isIndexApplicable) ----
     // The same property indexed over a different label: customer
     // names — proves the label filter scopes the build.
