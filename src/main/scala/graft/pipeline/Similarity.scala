@@ -63,19 +63,63 @@ object Similarity {
       when(dot(vec, signs) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Bucketed ANN: search only the query's bucket. Falls back to the
-    * whole corpus when the bucket has fewer than k members is NOT
-    * done here — multi-probe (flipping low-margin bits) is the
-    * production extension; this returns the single-bucket answer.
+  /** Query-side hyperplane margins m_p = q · plane_p — how far the
+    * query sits from each cutting plane. A small |m_p| means bit p is
+    * unreliable: true neighbors plausibly land on the other side.
+    */
+  private def margins(query: Seq[Float], planes: Int): IndexedSeq[Double] =
+    (0 until planes).map { p =>
+      query.indices.map(i => query(i).toDouble * planeSign(p, i)).sum
+    }
+
+  private def bucketOf(ms: Seq[Double]): Long =
+    ms.zipWithIndex.map { case (m, p) => if (m > 0) 1L << p else 0L }.sum
+
+  /** Multi-probe sequence (Lv et al., VLDB'07): the query's own
+    * bucket first, then buckets obtained by flipping bit subsets in
+    * increasing order of summed |margin| — the buckets most likely to
+    * hold the query's true neighbors first. Driver-side arithmetic
+    * over `planes` doubles; the result is a literal IN-list, so the
+    * probe filter still evaluates at scan speed.
+    */
+  def probeSequence(query: Seq[Float], planes: Int, probes: Int): Seq[Long] = {
+    require(planes <= 20, s"probe enumeration is 2^planes; got $planes")
+    val ms      = margins(query, planes)
+    val qBucket = bucketOf(ms)
+    (0L until (1L << planes))
+      .sortBy(mask => (0 until planes).collect { case p if (mask & (1L << p)) != 0 => math.abs(ms(p)) }.sum)
+      .take(probes)
+      .map(qBucket ^ _)
+  }
+
+  /** Bucketed ANN. `probes` = 1 searches only the query's bucket (may
+    * return < k when the bucket is small); larger values probe the
+    * next-most-likely buckets per [[probeSequence]] until the
+    * candidate pool is wide enough — `probes` = 2^planes degenerates
+    * to exact brute force.
     */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, planes: Int = 8): DataFrame = {
-    val dim = query.length
-    val qBucket: Long = (0 until planes).map { p =>
-      val d = (0 until dim).map(i => query(i).toDouble * planeSign(p, i)).sum
-      if (d > 0) 1L << p else 0L
-    }.sum
-    topK(embeddings.filter(lshBucket(col(vecCol), planes, dim) === qBucket),
+      query: Seq[Float], k: Int, planes: Int = 8, probes: Int = 1): DataFrame = {
+    val dim     = query.length
+    val buckets = probeSequence(query, planes, probes)
+    val b       = lshBucket(col(vecCol), planes, dim)
+    val pred    = if (buckets.size == 1) b === buckets.head else b.isin(buckets: _*)
+    topK(embeddings.filter(pred), idCol, vecCol, query, k)
+  }
+
+  /** Hamming-radius probing: search every bucket within `radius` bit
+    * flips of the query's bucket. Less targeted than the
+    * margin-ordered [[probeSequence]] but expressible as one pure
+    * comparison (`bit_count(bucket XOR qBucket) <= radius`) in any
+    * SQL engine — the cross-engine-verifiable multi-probe shape.
+    */
+  def annTopKWithin(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, planes: Int = 8, radius: Int = 1): DataFrame = {
+    val dim     = query.length
+    val qBucket = bucketOf(margins(query, planes))
+    topK(
+      embeddings.filter(
+        bit_count(lshBucket(col(vecCol), planes, dim).bitwiseXOR(lit(qBucket))) <= radius),
       idCol, vecCol, query, k)
   }
 }

@@ -107,6 +107,37 @@ object SimilarityQueries extends QueryModule {
              |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
     ),
 
+    // ---- multi-probe LSH ANN (bucket + Hamming-2 neighbors) ----
+    // The gate uses the Hamming-radius probe shape because it is
+    // exactly SQL-expressible (bit_count(bucket XOR qb) <= 2); the
+    // margin-ordered probeSequence variant is covered by
+    // MultiProbeSpec (planted-neighbor recall + exactness at full
+    // probe width).
+    QueryDef(
+      "q_ann_multiprobe",
+      "top-10 cosine over buckets within Hamming distance 2 of the query's bucket",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        Similarity.annTopKWithin(emb.filter(col("vec_id") =!= 0L),
+          "vec_id", "embedding", q, 10, planes = 8, radius = 2)
+      },
+      Some({
+        val bits = (0 until 8).map { p =>
+          val terms = (0 until DIM).map(d => s"e[${d + 1}] * ${signSql(p, d)}").mkString(" + ")
+          s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |b AS (SELECT vec_id, e, CAST($bits AS BIGINT) AS bucket FROM v),
+           |q AS (SELECT e AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+           |SELECT vec_id, round(list_dot_product(e, qv) /
+           |  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+           |FROM b, q WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 2
+           |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+      })
+    ),
+
     // ---- LSH bucket assignment (the scale path's partitioner) ----
     QueryDef(
       "q_ann_lsh_buckets",
