@@ -63,6 +63,24 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
   def deleteEdges(pred: org.apache.spark.sql.Column, tx: Long): GraphSnapshot =
     GraphSnapshot(nodes, graft.operators.Mvcc.delete(edges, pred, tx))
 
+  /** Publish as a BUCKETED snapshot: nodes bucketed (and sorted) by
+    * `id`, edges by `src`, same bucket count — the cluster-scale
+    * layout SCALE.md designs. A queryStep expansion join
+    * (edges.src = nodes.id) over the published tables then plans as a
+    * shuffle-free sort-merge join: both sides arrive pre-hashed on
+    * the join key, so the dominant traversal shuffle disappears
+    * entirely at 100 TB. Spark keeps bucket metadata in the table
+    * catalog, so this publishes managed tables `<name>_nodes` /
+    * `<name>_edges` (reopen with [[GraphSnapshot.openBucketed]])
+    * rather than raw parquet paths.
+    */
+  def writeBucketed(name: String, buckets: Int = 64): Unit = {
+    nodes.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${name}_nodes")
+    edges.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "src").sortBy("src").saveAsTable(s"${name}_edges")
+  }
+
   /** Publish this snapshot version (checkpoint analog,
     * STMGraph Raw.hs:105-109). Partitioned by label so label-filtered
     * scans prune files; at cluster scale add bucketing by id/src.
@@ -122,6 +140,14 @@ object GraphSnapshot {
     GraphSnapshot(
       spark.read.schema(nodeSchema).parquet(s"$dir/nodes"),
       spark.read.schema(edgeSchema).parquet(s"$dir/edges"))
+
+  /** Reopen a bucketed snapshot published by
+    * [[GraphSnapshot.writeBucketed]]. The returned frames carry the
+    * catalog's bucket spec, so joins on nodes.id / edges.src plan
+    * without an Exchange (BucketedSnapshotSpec pins this).
+    */
+  def openBucketed(spark: SparkSession, name: String): GraphSnapshot =
+    GraphSnapshot(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"))
 
   /** Snapshot metadata without touching data files. */
   def readManifest(dir: String): Option[String] = {

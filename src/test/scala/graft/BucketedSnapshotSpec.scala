@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraphSnapshot, TpchGraph}
+import graft.operators.QueryStep
+import graft.operators.QueryStep.{RelationStep, OUT}
+
+/** The bucketed snapshot layout (GraphSnapshot.writeBucketed) must
+  * make the queryStep expansion join shuffle-free: nodes bucketed by
+  * id and edges bucketed by src co-locate the join keys at write
+  * time, so the plan has no Exchange on either side of
+  * edges.src = nodes.id.
+  */
+class BucketedSnapshotSpec extends GraftSuite {
+
+  private def dropLeftovers(names: String*): Unit = {
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    names.foreach { tb =>
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      val d = new java.io.File(wh, tb)
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+  }
+
+  test("published bucketed snapshot: expansion join has no Exchange and agrees with the plain plan") {
+    dropLeftovers("gsnap_nodes", "gsnap_edges")
+    val g = TpchGraph.snapshot(spark, sf0001)
+    g.writeBucketed("gsnap", buckets = 8)
+    val bucketed = GraphSnapshot.openBucketed(spark, "gsnap")
+
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at 100 TB neither side broadcasts — force the large-table path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      // the raw expansion join (the queryStep hop): zero Exchange
+      val hop = bucketed.live.edges.filter(col("label") === "placed")
+        .join(bucketed.live.nodes.select(col("id").as("nid")), col("src") === col("nid"))
+      val hopPlan = hop.queryExecution.executedPlan.toString
+      assert(hopPlan.contains("SortMergeJoin"), hopPlan)
+      assert(hopPlan.contains("Bucketed: true"), s"scan must use buckets:\n$hopPlan")
+      assert(!hopPlan.contains("Exchange"), s"bucketed expansion join must not shuffle:\n$hopPlan")
+
+      // the full operator over the bucketed snapshot returns the same
+      // rows as over the in-memory snapshot, and only the TARGET node
+      // join may shuffle (2 Exchanges, vs 4 unbucketed)
+      val step     = RelationStep(relTypes = Seq("placed"), direction = OUT)
+      val sources  = bucketed.nodes.filter(col("label") === "customer").select(col("id"))
+      val stepped  = QueryStep(bucketed, sources, step)
+      val exchanges = "Exchange".r.findAllIn(stepped.queryExecution.executedPlan.toString).size
+      assert(exchanges <= 2, s"expected only the target-node join to shuffle, got $exchanges Exchanges")
+
+      val plainSrc = g.nodes.filter(col("label") === "customer").select(col("id"))
+      val expected = QueryStep(g, plainSrc, step)
+        .select("src_id", "rel_id", "tgt_id").collect().map(_.toSeq).toSet
+      val actual = stepped.select("src_id", "rel_id", "tgt_id").collect().map(_.toSeq).toSet
+      assert(actual == expected, "bucketed and plain snapshots answer identically")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      dropLeftovers("gsnap_nodes", "gsnap_edges")
+    }
+  }
+}
