@@ -63,19 +63,23 @@ object Sessionize {
     out.toSeq
   }
 
-  /** Streaming state per user: sessions already emitted (index
-    * offset) plus pending event times. The offset survives flushes so
-    * session indexes never restart mid-stream.
+  /** Streaming state per user: ONLY the currently-open session —
+    * (index, start, end, count). Constant-size regardless of how long
+    * the user stays active, unlike retaining raw event times (which
+    * grows O(events) for a continuously active user and defeats the
+    * bounded-state promise of the streaming surface).
     */
-  final case class UserState(base: Long, pending: Seq[Long])
+  final case class OpenSession(idx: Long, start: Long, end: Long, n: Long)
 
-  /** Streaming form with explicit group state. Two-phase flush on
-    * processing-time quiescence: the first timeout emits every CLOSED
-    * session and retains the newest (still-open) one; a second
-    * timeout with no new events emits it too and clears the state.
-    * A user returning within the gap between the two timeouts keeps
-    * extending the open session — indexes stay continuous via the
-    * carried base offset.
+  /** Streaming form with explicit group state. Each batch folds its
+    * (sorted) events into the open session: an event within the gap
+    * extends it; a later event CLOSES it — closed sessions emit
+    * immediately, so indexes stay continuous without any buffered
+    * history. Processing-time quiescence flushes the final open
+    * session and clears the state. Cross-batch late events (older
+    * than the open session's end minus the gap) merge into the open
+    * session rather than resurrecting a closed one — the same
+    * bounded-disorder contract a watermark gives the windowed ops.
     */
   def sessionsStreaming(spark: SparkSession, dir: String, gapSec: Long): Dataset[Session] = {
     import spark.implicits._
@@ -86,28 +90,31 @@ object Sessionize {
       .selectExpr("user_id", "ts div 1000000000 AS sec").as[Ev]
 
     src.groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserState, Session](
+      .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (uid: Long, it: Iterator[Ev], state: GroupState[UserState]) =>
-          val st = state.getOption.getOrElse(UserState(0L, Nil))
+        (uid: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            val sessions = sessionsOf(uid, st.pending.sorted, gapSec)
-              .map(s => s.copy(session_idx = s.session_idx + st.base))
-            if (sessions.size <= 1) {
-              state.remove() // final open session emits now
-              sessions.iterator
-            } else {
-              // emit closed sessions, keep the open one pending
-              val open = sessions.last
-              state.update(UserState(open.session_idx - 1,
-                st.pending.sorted.takeRight(open.n_events.toInt)))
-              state.setTimeoutDuration(100)
-              sessions.init.iterator
-            }
+            val last = state.getOption
+              .map(o => Session(uid, o.idx, o.n, o.start, o.end))
+            state.remove()
+            last.iterator
           } else {
-            state.update(st.copy(pending = st.pending ++ it.map(_.sec)))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open   = state.getOption
+            it.map(_.sec).toArray.sorted.foreach { s =>
+              open = open match {
+                case Some(o) if s - o.end <= gapSec =>
+                  Some(o.copy(end = math.max(o.end, s), n = o.n + 1))
+                case Some(o) =>
+                  closed += Session(uid, o.idx, o.n, o.start, o.end)
+                  Some(OpenSession(o.idx + 1, s, s, 1))
+                case None =>
+                  Some(OpenSession(1L, s, s, 1))
+              }
+            }
+            open.foreach(state.update)
             state.setTimeoutDuration(100) // flush shortly after quiescence
-            Iterator.empty
+            closed.iterator
           }
       }
   }
