@@ -91,24 +91,25 @@ object TpchGraph {
     val suppNat = edge(t.supplier, col("s_suppkey") + E_SUPP_NAT,
       col("s_suppkey") + SUPP, "supplier", col("s_nationkey") + NATION, "nation", "in_nation",
       propsMap("via" -> pvText(lit("supplier"))))
-    // contains + supplies both derive from lineitem: ONE scan, two
-    // edges per row via explode — a plain union would read the fact
-    // table (the dominant IO at scale) twice
-    def lineEdge(idBase: Long, src: org.apache.spark.sql.Column, srcLabel: String,
-        label: String, props: org.apache.spark.sql.Column) =
-      struct(
-        (col("l_orderkey") * 8 + col("l_linenumber") + idBase).cast("long").as("id"),
-        src.cast("long").as("src"), lit(srcLabel).as("srcLabel"),
-        (col("l_partkey") + PART).cast("long").as("dst"), lit("part").as("dstLabel"),
-        lit(label).as("label"), props.as("props"),
-        lit(0L).as("tx_min"), lit(null).cast("long").as("tx_max"))
-    val lineEdges = t.lineitem
-      .select(explode(array(
-        lineEdge(E_CONTAINS, col("l_orderkey") + ORDER, "order", "contains",
-          propsMap("returnflag" -> pvText(col("l_returnflag")))),
-        lineEdge(E_SUPPLIES, col("l_suppkey") + SUPP, "supplier", "supplies",
-          propsMap("linestatus" -> pvText(col("l_linestatus")))))).as("e"))
-      .select(col("e.*"))
+    // contains + supplies both derive from lineitem, as two plain
+    // union branches with TOP-LEVEL literal labels: a label filter
+    // then constant-folds non-matching branches to empty, so
+    // traversal/subgraph queries never touch the fact table at all —
+    // the in-memory analog of label-partition pruning on a published
+    // snapshot. (An explode-fused single scan halves full-graph IO
+    // but hides the label inside the exploded struct, forcing EVERY
+    // label-filtered query to scan lineitem; branch prunability wins
+    // at scale — the full-graph double scan is one-off ingest cost,
+    // the pruning benefits every query.)
+    val contains = edge(t.lineitem,
+      col("l_orderkey") * 8 + col("l_linenumber") + E_CONTAINS,
+      col("l_orderkey") + ORDER, "order", col("l_partkey") + PART, "part", "contains",
+      propsMap("returnflag" -> pvText(col("l_returnflag"))))
+    val supplies = edge(t.lineitem,
+      col("l_orderkey") * 8 + col("l_linenumber") + E_SUPPLIES,
+      col("l_suppkey") + SUPP, "supplier", col("l_partkey") + PART, "part", "supplies",
+      propsMap("linestatus" -> pvText(col("l_linestatus"))))
+    val lineEdges = contains.unionAll(supplies)
     val natReg = edge(t.nation, col("n_nationkey") + E_NAT_REG,
       col("n_nationkey") + NATION, "nation", col("n_regionkey") + REGION, "region", "in_region",
       propsMap("via" -> pvText(lit("nation"))))

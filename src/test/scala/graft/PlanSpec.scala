@@ -58,4 +58,17 @@ class PlanSpec extends GraftSuite {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
+
+  test("edge label filters prune non-matching union branches (no fact-table scan)") {
+    // every TpchGraph edge branch carries a top-level literal label,
+    // so a label filter constant-folds the others away — the
+    // in-memory analog of label-partition pruning on a published
+    // snapshot. A geography traversal must never scan lineitem.
+    import org.apache.spark.sql.functions.col
+    val g = graft.core.TpchGraph.snapshot(spark, sf0001)
+    val p = g.edges.filter(col("label").isin("in_nation", "in_region"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("lineitem"), s"label-pruned edge scan must skip the fact table:\n$p")
+    assert(!p.contains("orders"), "placed branch folds away too")
+  }
 }
