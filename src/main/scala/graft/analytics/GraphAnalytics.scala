@@ -62,6 +62,48 @@ object GraphAnalytics {
       .toDF("id", "component")
   }
 
+  /** Connected components as pure DataFrame iteration (HashMin label
+    * propagation): every round each vertex takes the minimum
+    * component id among itself and its neighbors; stop when a round
+    * changes nothing. Converges to the same (id, component=min id)
+    * contract as GraphX `connectedComponents`
+    * (AnalyticsStreamingSpec proves agreement). O(diameter) rounds of
+    * two shuffles each, no DataFrame→RDD conversion and no Pregel
+    * superstep scheduling — the fast path for the bounded-diameter
+    * graphs real traversals produce; keep the GraphX form for
+    * unknown/deep diameters where its incremental-activation model
+    * pays off.
+    */
+  def connectedComponentsDF(spark: SparkSession, g: GraphSnapshot,
+      maxIters: Int = 50): DataFrame = {
+    val live = g.live
+    // undirected neighbor view, materialized once and reused per round
+    val nbrs = live.edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(live.edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
+    var comp = live.nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    var round = 0
+    var done  = false
+    while (!done && round < maxIters) {
+      val nbrMin = nbrs
+        .join(comp.select(col("id").as("v"), col("component").as("vc")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vc")).as("nc"))
+      // carry the did-anything-change flag IN the round's frame: the
+      // localCheckpoint materializes it, so convergence detection is
+      // a scan of cached blocks, not a second join per round
+      val next = comp
+        .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
+          (coalesce(col("nc"), col("component")) < col("component")).as("changed"))
+        .localCheckpoint()
+      done = next.filter(col("changed")).isEmpty
+      comp = next.select("id", "component")
+      round += 1
+    }
+    comp
+  }
+
   /** Fixed-iteration PageRank (resetProb 0.15), unnormalized GraphX
     * semantics: r' = 0.15 + 0.85 * sum(incoming r / outdeg).
     */

@@ -25,8 +25,12 @@ object AnalyticsQueries extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
     // ---- connected components: one component per region tree ----
-    // GraphX returns min vertex id per component = 1e9 + min custkey
-    // in the region (customers own the smallest id space).
+    // Component label = min vertex id = 1e9 + min custkey in the
+    // region (customers own the smallest id space). Uses the GraphX
+    // form: repeated analytics over one snapshot ride the memoized
+    // cached graph (toGraphX), which beats the per-call input rescan
+    // of the DataFrame HashMin alternative (connectedComponentsDF,
+    // equivalence spec-pinned) once the graph is warm.
     QueryDef(
       "q_cc_components",
       "connected components of the geography subgraph (one per region)",

@@ -25,6 +25,27 @@ class AnalyticsStreamingSpec extends GraftSuite {
     assert(cc(4L) == 4L && cc(5L) == 4L)
   }
 
+  test("DataFrame HashMin CC agrees with GraphX, including isolated vertices") {
+    val expected = GraphAnalytics.connectedComponents(spark, g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = GraphAnalytics.connectedComponentsDF(spark, g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df == expected)
+
+    // a longer chain exercises multi-round convergence, an isolated
+    // vertex its own singleton component (GraphX drops isolates only
+    // because Graph(vs, es) keeps all vs — ours reads live.nodes, same)
+    val b2 = new GraphBuilder
+    val chain = (1 to 6).map(_ => b2.addNode("t"))
+    chain.sliding(2).foreach { case Seq(x, y) => b2.addEdge(y, x, "r") } // reversed edges
+    b2.addNode("t") // isolate
+    val g2 = b2.snapshot(spark)
+    val df2 = GraphAnalytics.connectedComponentsDF(spark, g2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df2 == (1 to 6).map(_.toLong -> 1L).toMap + (7L -> 7L),
+      "edge direction is ignored; min id wins; isolates are singletons")
+  }
+
   test("pageRank: normalized static ranks match the DAG closed form") {
     val pr = GraphAnalytics.pageRank(spark, g, 5)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
