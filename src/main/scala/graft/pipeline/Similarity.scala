@@ -107,6 +107,28 @@ object Similarity {
     topK(embeddings.filter(pred), idCol, vecCol, query, k)
   }
 
+  /** LSH-blocked similarity-pair mining — the scale path for
+    * embedding near-duplicate detection. Candidate pairs must share a
+    * hyperplane bucket (cutting the corpus² pair space by ~2^planes),
+    * then verify by exact cosine ≥ `minCos`. Recall is governed by
+    * `planes`: truly near-identical vectors agree on every plane with
+    * high probability, and fewer planes trade more candidates for
+    * higher recall. Unlike a label-blocked pair join (corpus² within
+    * each label), bucket sizes stay uniform because hyperplane signs
+    * are hash-derived.
+    */
+  def lshBlockedPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCos: Double, planes: Int = 8,
+      cosFn: (Column, Column) => Column = cosine): DataFrame = {
+    val bucket = lshBucket(col(vecCol), planes, dim)
+    val a = embeddings.select(col(idCol).as("va"), col(vecCol).as("ea"), bucket.as("ba"))
+    val b = embeddings.select(col(idCol).as("vb"), col(vecCol).as("eb"), bucket.as("bb"))
+    a.join(b, col("ba") === col("bb") && col("va") < col("vb"))
+      .withColumn("cos", round(cosFn(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("va"), col("vb"), col("cos"))
+  }
+
   /** Hamming-radius probing: search every bucket within `radius` bit
     * flips of the query's bucket. Less targeted than the
     * margin-ordered [[probeSequence]] but expressible as one pure

@@ -66,6 +66,39 @@ object SimilarityQueries extends QueryModule {
              |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.99""".stripMargin)
     ),
 
+    // ---- LSH-blocked similarity pairs (embedding dedup at scale) ----
+    // The label-blocked q_dedup_embed pair join is corpus² within a
+    // label; this is the 100 TB shape: pairs must share an LSH bucket
+    // (1/2^8 of the pair space, hash-uniform), then verify exact
+    // cosine. Threshold 0.25 because this corpus has no true near-
+    // dups (max pairwise cosine ≈ 0.45) — the mechanics are identical
+    // at any threshold.
+    QueryDef(
+      "q_dedup_embed_lsh",
+      "similar pairs (cosine >= 0.25) among LSH-bucket-blocked candidates",
+      (s, dir) => {
+        graft.functions.CosineSim.register(s)
+        val emb = Tables(s, dir).embeddings
+        Similarity.lshBlockedPairs(emb, "vec_id", "embedding", DIM,
+          minCos = 0.25, planes = 8, cosFn = graft.functions.CosineSim.col)
+      },
+      Some({
+        val bits = (0 until 8).map { p =>
+          val terms = (0 until DIM).map(d => s"e[${d + 1}] * ${signSql(p, d)}").mkString(" + ")
+          s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+           |                  CAST($bits AS BIGINT) AS bucket
+           |           FROM embeddings)
+           |SELECT a.vec_id AS va, c.vec_id AS vb,
+           |  round(list_dot_product(a.e, c.e) /
+           |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+           |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |WHERE round(list_dot_product(a.e, c.e) /
+           |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25""".stripMargin
+      })
+    ),
+
     // ---- vector norms (feature hygiene: catch zero/degenerate) ----
     QueryDef(
       "q_embed_norms",

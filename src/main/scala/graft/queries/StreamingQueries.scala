@@ -35,6 +35,26 @@ object StreamingQueries extends QueryModule {
              |FROM sx GROUP BY user_id, session_idx""".stripMargin)
     ),
 
+    // Same result as q_sessionize via the skew-safe two-phase plan:
+    // bucket-local windows then a per-user merge over SESSIONS — the
+    // shape that survives a hot user at 100 TB. Same oracle.
+    QueryDef(
+      "q_sessionize_skew",
+      "skew-safe sessionization: 1h-bucket local sessions + boundary merge",
+      (s, dir) =>
+        graft.streaming.Sessionize.sessionsSkewSafe(
+          Tables(s, dir).events, 1800L, bucketSec = 3600L),
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |b AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+             |                       OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS boundary
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+             |sx AS (SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM b)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |       min(sec) AS start_sec, max(sec) AS end_sec
+             |FROM sx GROUP BY user_id, session_idx""".stripMargin)
+    ),
+
     QueryDef(
       "q_stream_json_props",
       "JSON property extraction from the event props column",

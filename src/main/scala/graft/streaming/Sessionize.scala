@@ -36,6 +36,44 @@ object Sessionize {
         max(col("sec")).as("end_sec"))
   }
 
+  /** Skew-safe batch form: a hot user serializes [[sessionsSql]] (all
+    * their events sort inside one window partition). Two phases:
+    * (1) local sessions within (user, coarse time bucket) — a hot
+    * user's events parallelize across buckets; (2) merge
+    * bucket-boundary sessions per user with the SAME gap rule — a
+    * window over sessions, not events, so the residual per-user
+    * sequential work shrinks by the mean session size. Gap-chaining
+    * is associative over time-ordered runs (bucket ranges are
+    * disjoint), so the result is row-identical to [[sessionsSql]]
+    * (spec + gate pinned).
+    */
+  def sessionsSkewSafe(events: DataFrame, gapSec: Long, bucketSec: Long = 86400L): DataFrame = {
+    val byUserBucket = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("sec"), col("event_id"))
+    val local = events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("sec"))
+      .withColumn("bucket", expr(s"sec div $bucketSec"))
+      .withColumn("prev", lag(col("sec"), 1).over(byUserBucket))
+      .withColumn("boundary",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L).otherwise(0L))
+      .withColumn("local_idx",
+        sum(col("boundary")).over(byUserBucket.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("bucket"), col("local_idx"))
+      .agg(count(lit(1)).as("n"), min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+    // phase 2: sessions split by a bucket edge are < gap apart — merge
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("start_sec"))
+    local
+      .withColumn("prev_end", lag(col("end_sec"), 1).over(byUser))
+      .withColumn("merge_boundary",
+        when(col("prev_end").isNull || col("start_sec") - col("prev_end") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("merge_boundary")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sum(col("n")).as("n_events"), min(col("start_sec")).as("start_sec"),
+        max(col("end_sec")).as("end_sec"))
+  }
+
   /** Typed per-group form (KeyValueGroupedDataset): same result via
     * an in-group sort — the shape a custom stateful operator takes.
     */

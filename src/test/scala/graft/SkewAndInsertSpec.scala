@@ -42,6 +42,18 @@ class SkewAndInsertSpec extends GraftSuite {
     assert(rej == Set(("x", 50L)), "text 'x' exists; integer key 'x' is a different typed key")
   }
 
+  test("skew-safe two-phase sessionization is row-identical to the window form") {
+    val events = graft.sources.Tables(spark, sf0001).events
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_idx", "n_events", "start_sec", "end_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // bucket (1h) far smaller than typical session spacing with a 30-min
+    // gap -> many sessions split across buckets, exercising the merge
+    val skewSafe = canon(Sessionize.sessionsSkewSafe(events, 1800L, bucketSec = 3600L))
+    val plain    = canon(Sessionize.sessionsSql(events, 1800L))
+    assert(skewSafe == plain && plain.nonEmpty)
+  }
+
   test("typed and streaming sessionization agree with the SQL window form") {
     val events = graft.sources.Tables(spark, sf0001).events
     def canon(rows: Array[(Long, Long, Long, Long, Long)]) = rows.toSet
