@@ -34,6 +34,16 @@ object TextOps {
         i => concat_ws(" ", slice(ts, i, lit(n)))))
   }
 
+  /** Deterministic hash-sampling predicate: keep a row iff
+    * hash(key) mod 1000 < permille. The training-data curation
+    * staple — reproducible across runs and engines (unlike
+    * TABLESAMPLE), stable under repartitioning, and stratification is
+    * free: the hash is uniform within any group, so each stratum is
+    * sampled at the same rate.
+    */
+  def hashSample(key: Column, permille: Int): Column =
+    hash32(0, key) % 1000 < permille
+
   /** Bag-of-words document fingerprint: md5 over the sorted distinct
     * token set — exact-dup detection modulo word order/multiplicity.
     */

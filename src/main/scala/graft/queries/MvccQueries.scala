@@ -92,6 +92,31 @@ object MvccQueries extends QueryModule {
               |GROUP BY event_type""".stripMargin)
     ),
 
+    // ---- compaction: drop versions dead to every reader >= horizon ----
+    // Row counts before/after compacting at horizon 50, plus a
+    // post-horizon snapshot read that compaction must not change
+    // (the free-space defrag analog, SURVEY §4; spec: MvccSpec).
+    QueryDef(
+      "q_mvcc_compact",
+      "version-store compaction at horizon 50: size shrinks, reads unchanged",
+      (s, dir) => {
+        val v = versionedEvents(s, dir)
+        val c = Mvcc.compact(v, 50L)
+        def n(df: org.apache.spark.sql.DataFrame, phase: String) =
+          df.agg(count(lit(1)).as("n")).select(lit(phase).as("phase"), col("n"))
+        n(v, "all_versions")
+          .unionAll(n(c, "after_compact"))
+          .unionAll(n(Mvcc.readAsOf(c, 100L), "visible_at_100"))
+      },
+      Some(s"""WITH v AS ($versionedSql)
+              |SELECT 'all_versions' AS phase, count(*) AS n FROM v
+              |UNION ALL SELECT 'after_compact', count(*) FROM v
+              |  WHERE tx_max IS NULL OR tx_max >= 50
+              |UNION ALL SELECT 'visible_at_100', count(*) FROM v
+              |  WHERE (tx_max IS NULL OR tx_max >= 50)
+              |    AND tx_min <= 100 AND (tx_max IS NULL OR tx_max > 100)""".stripMargin)
+    ),
+
     // ---- delete: closed versions disappear from later snapshots ----
     QueryDef(
       "q_mvcc_delete",

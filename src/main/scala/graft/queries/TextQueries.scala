@@ -11,6 +11,48 @@ import graft.sources.Tables
 object TextQueries extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
+    // ---- deterministic hash sampling (curation staple) ----
+    // Reproducible across runs/engines and repartitioning (unlike
+    // TABLESAMPLE); the md5-derived hash is uniform within any group,
+    // so per-source rates stay ~permille without explicit strata.
+    QueryDef(
+      "q_sample_hash",
+      "deterministic 10% hash sample of documents, counted per source",
+      (s, dir) =>
+        Tables(s, dir).documents
+          .filter(TextOps.hashSample(col("text"), 100))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars")),
+      Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE CAST(('0x' || substr(md5('0|' || text), 1, 8)) AS BIGINT) % 1000 < 100
+             |GROUP BY source""".stripMargin)
+    ),
+
+    // ---- curation composite: quality filter -> dedup -> stats ----
+    // The end-to-end shape of a training-data prep job: drop
+    // too-short documents, keep the first copy of each exact text,
+    // report what survives per source. One window + one aggregate.
+    QueryDef(
+      "q_pipeline_curate",
+      "quality filter (>=5 tokens) + exact keep-first dedup + per-source stats",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("text")).orderBy(col("doc_id"))
+        Tables(s, dir).documents
+          .filter(size(TextOps.tokens(col("text"))) >= 5)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      },
+      Some("""WITH t AS (SELECT *, len(string_split(text, ' ')) AS n_tokens FROM documents),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |      FROM t WHERE n_tokens >= 5)
+             |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM k WHERE rn = 1 GROUP BY source""".stripMargin)
+    ),
+
     // ---- token counting ----
     QueryDef(
       "q_text_tokens",
