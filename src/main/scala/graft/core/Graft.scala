@@ -32,6 +32,9 @@ object Graft {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     registerFunctions(spark)
+    // custom optimizer rules (the extensions path on a cluster); set,
+    // not appended — getOrCreate may return an already-prepared session
+    spark.experimental.extraOptimizations = Seq(graft.plans.EliminateUnusedUniqueJoin)
     spark
   }
 

@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotFloat.NAME),
       new ExpressionInfo(classOf[DotFloat].getName, DotFloat.NAME),
       (exprs: Seq[Expression]) => DotFloat(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.EliminateUnusedUniqueJoin)
   }
 }

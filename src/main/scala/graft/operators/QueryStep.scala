@@ -72,8 +72,15 @@ object QueryStep {
           e(toCol).as("tgt_id"),
           e(toLabel).as("tgt_label"))
 
-      // materialize the target object (getObject, Query.hs:74)
-      val tgt = live.nodes.select(col("id").as("tgt_id"), col("props").as("tgt_props"))
+      // materialize the target object (getObject, Query.hs:74) via a
+      // per-id group: ids are unique per snapshot contract, so the
+      // grouped form is a no-op on the data but carries a STRUCTURAL
+      // uniqueness proof in the plan — when a caller never touches
+      // tgt_props, EliminateUnusedUniqueJoin deletes this whole join
+      // (one shuffle per hop instead of two)
+      val tgt = live.nodes
+        .select(col("id").as("tgt_id"), col("props").as("tgt_props"))
+        .groupBy(col("tgt_id")).agg(first(col("tgt_props")).as("tgt_props"))
       out = out.join(tgt, Seq("tgt_id"), "left")
 
       step.tgtFilter.foreach(p => out = out.filter(p))

@@ -59,6 +59,26 @@ class PlanSpec extends GraftSuite {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("unused target-node join is eliminated via the uniqueness rule") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.QueryStep
+    import graft.operators.QueryStep.{RelationStep, OUT}
+    val g = graft.core.TpchGraph.snapshot(spark, sf0001)
+    val step = QueryStep(g, g.nodes.filter(col("label") === "customer"),
+      RelationStep(relTypes = Seq("placed"), direction = OUT))
+    // ids only -> the per-id grouped node lookup proves uniqueness and
+    // EliminateUnusedUniqueJoin removes the target join entirely
+    val pruned = step.select("src_id", "rel_id", "tgt_id")
+    val prunedPlan = pruned.queryExecution.optimizedPlan.toString
+    assert(!prunedPlan.contains("Join LeftOuter"), s"target join must be eliminated:\n$prunedPlan")
+    // ... but consuming tgt_props keeps the join (and the result is populated)
+    val kept = step.select("tgt_id", "tgt_props")
+    assert(kept.queryExecution.optimizedPlan.toString.contains("Join LeftOuter"))
+    assert(kept.filter(col("tgt_props").isNotNull).count() > 0)
+    // elimination does not change results
+    assert(pruned.count() == step.count())
+  }
+
   test("edge label filters prune non-matching union branches (no fact-table scan)") {
     // every TpchGraph edge branch carries a top-level literal label,
     // so a label filter constant-folds the others away — the

@@ -16,6 +16,7 @@ object SparkTestBase {
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.experimental.extraOptimizations = Seq(graft.plans.EliminateUnusedUniqueJoin)
     s
   }
 }
