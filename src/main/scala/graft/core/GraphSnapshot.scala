@@ -74,11 +74,17 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
     * `<name>_edges` (reopen with [[GraphSnapshot.openBucketed]])
     * rather than raw parquet paths.
     */
-  def writeBucketed(name: String, buckets: Int = 64): Unit = {
+  def writeBucketed(name: String, buckets: Int = 64, mirrorByDst: Boolean = false): Unit = {
     nodes.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${name}_nodes")
     edges.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "src").sortBy("src").saveAsTable(s"${name}_edges")
+    // the IN direction joins on dst; covering it shuffle-free costs a
+    // second edge copy bucketed by dst — the classic adjacency
+    // duplication trade, paid in storage not shuffle (SCALE.md)
+    if (mirrorByDst)
+      edges.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "dst").sortBy("dst").saveAsTable(s"${name}_edges_dst")
   }
 
   /** Publish this snapshot version (checkpoint analog,
@@ -148,6 +154,13 @@ object GraphSnapshot {
     */
   def openBucketed(spark: SparkSession, name: String): GraphSnapshot =
     GraphSnapshot(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"))
+
+  /** The dst-bucketed edge mirror (written with `mirrorByDst = true`):
+    * substitute it for `edges` when a plan's dominant join is on
+    * `dst` (IN-direction expansion) to keep that join shuffle-free.
+    */
+  def openBucketedDstMirror(spark: SparkSession, name: String): GraphSnapshot =
+    GraphSnapshot(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges_dst"))
 
   /** Snapshot metadata without touching data files. */
   def readManifest(dir: String): Option[String] = {

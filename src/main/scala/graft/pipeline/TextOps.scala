@@ -79,6 +79,25 @@ object TextOps {
     pick
   }
 
+  /** TF-IDF over a tokenized corpus: returns (idCol, token, tf, df,
+    * tfidf) with `tfidf = tf * ln((N + 1) / (df + 1))` rounded to 6
+    * decimals (the +1 smoothing keeps corpus-wide tokens at a small
+    * positive weight instead of exactly 0). Two aggregations — term
+    * frequency per (doc, token) and document frequency per token —
+    * then a broadcast-friendly join on token. Exact integer counts
+    * and a final rounded double keep it cross-engine reproducible.
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String, text: Column,
+      corpusSize: Long): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(text)).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("token"))
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(corpusSize) + 1.0) / (col("df") + 1.0)), 6))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Quality features: exact integer counts (cross-engine safe) plus
     * a rounded composite. Assumes single-space-separated text.
     */

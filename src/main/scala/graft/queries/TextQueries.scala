@@ -53,6 +53,38 @@ object TextQueries extends QueryModule {
              |FROM k WHERE rn = 1 GROUP BY source""".stripMargin)
     ),
 
+    // ---- TF-IDF: top-3 characteristic terms per document ----
+    // Smoothed tfidf = tf * ln((N+1)/(df+1)); deterministic top-3 via
+    // (score desc, token asc). Two aggregates + one token join — the
+    // join key is hash-uniform text, so no skew at corpus scale.
+    QueryDef(
+      "q_text_tfidf",
+      "top-3 TF-IDF terms per document over the corpus",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val n = d.count() // corpus size: one tiny driver-side action
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+        TextOps.tfidf(d, "doc_id", col("text"), n)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some("""WITH N AS (SELECT count(*) AS n FROM documents),
+             |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+             |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+             |scored AS (SELECT doc_id, tf.token AS token, tf, df,
+             |                  round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+             |           FROM tf JOIN df ON tf.token = df.token, N),
+             |ranked AS (SELECT *, row_number() OVER
+             |             (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+             |           FROM scored)
+             |SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+             |FROM ranked WHERE rnk <= 3""".stripMargin)
+    ),
+
     // ---- token counting ----
     QueryDef(
       "q_text_tokens",

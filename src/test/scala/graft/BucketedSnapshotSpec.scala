@@ -24,9 +24,9 @@ class BucketedSnapshotSpec extends GraftSuite {
   }
 
   test("published bucketed snapshot: expansion join has no Exchange and agrees with the plain plan") {
-    dropLeftovers("gsnap_nodes", "gsnap_edges")
+    dropLeftovers("gsnap_nodes", "gsnap_edges", "gsnap_edges_dst")
     val g = TpchGraph.snapshot(spark, sf0001)
-    g.writeBucketed("gsnap", buckets = 8)
+    g.writeBucketed("gsnap", buckets = 8, mirrorByDst = true)
     val bucketed = GraphSnapshot.openBucketed(spark, "gsnap")
 
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -56,9 +56,18 @@ class BucketedSnapshotSpec extends GraftSuite {
         .select("src_id", "rel_id", "tgt_id").collect().map(_.toSeq).toSet
       val actual = stepped.select("src_id", "rel_id", "tgt_id").collect().map(_.toSeq).toSet
       assert(actual == expected, "bucketed and plain snapshots answer identically")
+
+      // IN direction over the dst-bucketed mirror: also shuffle-free
+      val mirror = GraphSnapshot.openBucketedDstMirror(spark, "gsnap")
+      val inHop = mirror.live.edges.filter(col("label") === "placed")
+        .join(mirror.live.nodes.select(col("id").as("nid")), col("dst") === col("nid"))
+      val inPlan = inHop.queryExecution.executedPlan.toString
+      assert(inPlan.contains("SortMergeJoin") && !inPlan.contains("Exchange"),
+        s"dst-mirror IN join must not shuffle:\n$inPlan")
+      assert(inHop.count() == hop.count(), "mirror holds the same edges")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
-      dropLeftovers("gsnap_nodes", "gsnap_edges")
+      dropLeftovers("gsnap_nodes", "gsnap_edges", "gsnap_edges_dst")
     }
   }
 }
