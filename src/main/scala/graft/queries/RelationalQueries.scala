@@ -248,6 +248,69 @@ object RelationalQueries extends QueryModule {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
     ),
 
+    // ---- cube + grouping flags (full slice lattice) ----
+    QueryDef(
+      "q_cube",
+      "cube over (returnflag, linestatus) with explicit grouping flags",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
+    ),
+
+    // ---- window-function suite over one ordered pass ----
+    // rank / dense_rank / lag / running sum in a single window —
+    // per-customer order history, fully ordered so every function is
+    // deterministic across engines.
+    QueryDef(
+      "q_window_funcs",
+      "rank, dense_rank, lag and running total over each customer's orders",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        Tables(s, dir).orders.select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          sum(col("o_totalprice").cast(D18)).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast(D38).as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(rank() OVER w AS BIGINT) AS rnk,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |  lag(o_orderkey, 1) OVER w AS prev_order,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_total
+             |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin)
+    ),
+
+    // ---- exact interpolated quantiles per group ----
+    QueryDef(
+      "q_quantiles",
+      "exact median and p90 of quantity per return flag",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_quantity, 0.9)"), 6).as("p90")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+
     // ---- distinct (ordNub analog, STMGraph APITypes.hs:199-204) ----
     QueryDef(
       "q_distinct",
