@@ -84,6 +84,29 @@ object GraphQueries extends QueryModule {
              |UNION ALL SELECT 'in_region', count(*) FROM nation""".stripMargin)
     ),
 
+    // ---- motif chain: (customer)-[placed]->(order)-[contains]->(part) ----
+    // Every lineitem row realizes exactly one such path; the pattern
+    // compiles to two label-filtered edge scans + one join.
+    QueryDef(
+      "q_motif_chain",
+      "2-hop chain pattern summary: paths, distinct endpoints",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        graft.operators.Motif.paths(g, Seq(
+          graft.operators.Motif.Hop(relLabel = Some("placed"),
+            srcLabel = Some("customer"), dstLabel = Some("order")),
+          graft.operators.Motif.Hop(relLabel = Some("contains"),
+            srcLabel = Some("order"), dstLabel = Some("part"))))
+          .agg(count(lit(1)).as("n_paths"),
+            countDistinct(col("n0")).as("n_customers"),
+            countDistinct(col("n2")).as("n_parts"))
+      },
+      Some("""SELECT count(*) AS n_paths,
+             |  count(DISTINCT o.o_custkey) AS n_customers,
+             |  count(DISTINCT l.l_partkey) AS n_parts
+             |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin)
+    ),
+
     // ---- queryStep OUT with per-source newest-first limit ----
     // The reference's rsLimit semantics: newest edge (highest id)
     // wins per source (QueryTest.hs:49-50).
