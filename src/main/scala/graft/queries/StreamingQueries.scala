@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.sources.Tables
 import graft.streaming.EventStream
 
@@ -33,6 +35,58 @@ object StreamingQueries extends QueryModule {
              |SELECT user_id, session_idx, count(*) AS n_events,
              |       min(sec) AS start_sec, max(sec) AS end_sec
              |FROM sx GROUP BY user_id, session_idx""".stripMargin)
+    ),
+
+    // ---- as-of join: each purchase ← latest prior view per user ----
+    // One shuffle (merged-timeline window), vs DuckDB's native ASOF.
+    QueryDef(
+      "q_asof_join",
+      "as-of join: purchases matched to the latest preceding view per user",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .selectExpr("user_id", "event_type", "ts div 1000000000 AS sec")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec").as("p_sec"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("sec").as("v_sec"))
+        graft.operators.TemporalJoin
+          .asOf(purchases, views, Seq("user_id"), "p_sec", "v_sec", Seq("v_sec"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("matched_v_sec")).as("n_matched"),
+            sum(col("p_sec") - col("matched_v_sec")).cast("long").as("sum_lag"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |p AS (SELECT user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, sec AS v_sec FROM e WHERE event_type = 'view')
+             |SELECT count(*) AS n_purchases, count(v_sec) AS n_matched,
+             |       CAST(sum(p_sec - v_sec) AS BIGINT) AS sum_lag
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_sec >= v.v_sec""".stripMargin)
+    ),
+
+    // ---- range join: view → purchase within 30 min, per user ----
+    // Time-bin blocking (≤2 bins per left row), never a key-only
+    // cross product; DuckDB verifies with the plain inequality join.
+    QueryDef(
+      "q_range_join",
+      "interval join: purchases 1..1800s after a view by the same user",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .selectExpr("user_id", "event_type", "ts div 1000000000 AS sec")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("sec").as("v_sec"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec").as("p_sec"))
+        graft.operators.TemporalJoin
+          .range(views, purchases, Seq("user_id"), "v_sec", "p_sec", 1L, 1800L, Nil)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |v AS (SELECT user_id, sec AS v_sec FROM e WHERE event_type = 'view'),
+             |p AS (SELECT user_id, sec AS p_sec FROM e WHERE event_type = 'purchase')
+             |SELECT count(*) AS n_pairs, count(DISTINCT v.user_id) AS n_users
+             |FROM v JOIN p ON v.user_id = p.user_id
+             |             AND p.p_sec BETWEEN v.v_sec + 1 AND v.v_sec + 1800""".stripMargin)
     ),
 
     // Same result as q_sessionize via the skew-safe two-phase plan:
