@@ -53,6 +53,38 @@ object TextQueries extends QueryModule {
              |FROM k WHERE rn = 1 GROUP BY source""".stripMargin)
     ),
 
+    // ---- count-min sketch: estimates vs truth for top tokens ----
+    // The sketch is depth x width rows regardless of corpus size; on
+    // this corpus the top tokens' estimates should equal (or bound)
+    // the true counts, and both engines build the identical sketch
+    // from the md5-seeded hash.
+    QueryDef(
+      "q_sketch_cms",
+      "count-min estimates vs true counts for the 10 most frequent tokens",
+      (s, dir) => {
+        val toks = Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+        val sk = graft.pipeline.Sketch.countMin(toks, col("token"))
+        val top = toks.groupBy(col("token")).agg(count(lit(1)).as("true_n"))
+          .orderBy(col("true_n").desc, col("token")).limit(10)
+        val est = graft.pipeline.Sketch.estimate(sk, top.select(col("token")), col("token"))
+        top.join(est, col("token") === col("item"))
+          .select(col("token"), col("true_n"), col("est"))
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |tf AS (SELECT token, count(*) AS true_n FROM toks GROUP BY token),
+             |top AS (SELECT token, true_n FROM tf ORDER BY true_n DESC, token LIMIT 10),
+             |sk AS (SELECT j,
+             |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || token), 1, 8)) AS BIGINT) % 1024 AS bucket,
+             |         count(*) AS n
+             |       FROM toks CROSS JOIN (VALUES (0),(1),(2),(3)) AS r(j) GROUP BY 1, 2)
+             |SELECT t.token, t.true_n, min(coalesce(sk.n, 0)) AS est
+             |FROM top t CROSS JOIN (VALUES (0),(1),(2),(3)) AS r(j)
+             |LEFT JOIN sk ON sk.j = r.j AND sk.bucket =
+             |  CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || '|' || t.token), 1, 8)) AS BIGINT) % 1024
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // ---- TF-IDF: top-3 characteristic terms per document ----
     // Smoothed tfidf = tf * ln((N+1)/(df+1)); deterministic top-3 via
     // (score desc, token asc). Two aggregates + one token join — the
