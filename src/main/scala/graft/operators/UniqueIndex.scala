@@ -137,6 +137,28 @@ object UniqueIndex {
       indexLosers.unionAll(batchLosers))
   }
 
+  /** Overwrite-upsert (Trie.hs:143-162 `insert`): the new value wins;
+    * returns (newIndex, displaced) where `displaced` holds the
+    * previous entries of overwritten keys — the reference's insert
+    * returns the old value per key. `entries` must hold one entry per
+    * key (sequential inserts collapse to last-wins before calling).
+    */
+  def upsert(index: DataFrame, entries: DataFrame,
+      keyCols: Seq[String] = Seq("vType", "key")): (DataFrame, DataFrame) = {
+    val cols = keyCols :+ "id"
+    val e = entries.select(cols.map(col): _*)
+    val displaced = index.select(cols.map(col): _*).join(e.select(keyCols.map(col): _*), keyCols, "left_semi")
+    (index.select(cols.map(col): _*).join(e, keyCols, "left_anti").unionAll(e), displaced)
+  }
+
+  /** Key delete (Trie.hs:208-222 `delete`): remove exactly that typed
+    * key's entries. On the reference's trie this must not disturb
+    * prefix-sharing neighbors ("in" vs "i"/"inn"); on typed columns
+    * that holds trivially, and the conformance spec pins it.
+    */
+  def deleteKey(index: DataFrame, vType: Int, key: String): DataFrame =
+    index.filter(!(col("vType") === vType && col("key") === key))
+
   /** Exact-key point query (Trie.hs:225-239 lookup) — text keys.
     * The (vType, key) pair is the index key, so text "42" and
     * integer 42 are distinct entries, as in the reference's per-type
