@@ -84,6 +84,37 @@ object GraphQueries extends QueryModule {
              |UNION ALL SELECT 'in_region', count(*) FROM nation""".stripMargin)
     ),
 
+    // ---- publish → reopen round-trip through real parquet ----
+    // The checkpoint/open lifecycle (§2.1) under the oracle gate, not
+    // just specs: write the label-partitioned snapshot to a temp dir,
+    // reopen with the pinned schemas, count live entities — must
+    // equal counts computed straight from the source tables.
+    QueryDef(
+      "q_snapshot_roundtrip",
+      "write + open snapshot round-trip: live entity counts by label",
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft-gate-snap").toString
+        TpchGraph.snapshot(s, dir).write(out)
+        val re = graft.core.GraphSnapshot.open(s, out)
+        re.live.nodes.groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .select(concat(lit("node:"), col("label")).as("entity"), col("n"))
+          .unionAll(
+            re.live.edges.groupBy(col("label")).agg(count(lit(1)).as("n"))
+              .select(concat(lit("edge:"), col("label")).as("entity"), col("n")))
+      },
+      Some("""SELECT 'node:customer' AS entity, count(*) AS n FROM customer
+             |UNION ALL SELECT 'node:nation', count(*) FROM nation
+             |UNION ALL SELECT 'node:supplier', count(*) FROM supplier
+             |UNION ALL SELECT 'node:order', count(*) FROM orders
+             |UNION ALL SELECT 'node:part', count(*) FROM part
+             |UNION ALL SELECT 'node:region', count(*) FROM region
+             |UNION ALL SELECT 'edge:placed', count(*) FROM orders
+             |UNION ALL SELECT 'edge:in_nation', (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+             |UNION ALL SELECT 'edge:contains', count(*) FROM lineitem
+             |UNION ALL SELECT 'edge:supplies', count(*) FROM lineitem
+             |UNION ALL SELECT 'edge:in_region', count(*) FROM nation""".stripMargin)
+    ),
+
     // ---- motif chain: (customer)-[placed]->(order)-[contains]->(part) ----
     // Every lineitem row realizes exactly one such path; the pattern
     // compiles to two label-filtered edge scans + one join.
