@@ -25,18 +25,39 @@ object GraphAnalytics {
   // was 30%+ of the round-1 bench). Converted graphs are memoized by
   // the SEMANTIC hash of their snapshot plans (same snapshot read
   // twice -> same cached graph, even across fresh DataFrame objects)
-  // and their RDDs cached, so repeated analytics over one snapshot pay
-  // the conversion once per JVM.
+  // PLUS a content token over the backing files, and their RDDs
+  // cached, so repeated analytics over one snapshot pay the
+  // conversion once per JVM.
   private val graphCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Graph[String, String]]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int, Int), Graph[String, String]]
+
+  // Overwriting a snapshot path writes NEW uuid-named part files, so
+  // the sorted file listing is a cheap version signal: a republish to
+  // the same dir changes the key and the stale graph is not served.
+  // In-memory snapshots (LocalRelation) have no files; their data
+  // lives in the plan and is covered by semanticHash.
+  private def contentToken(df: DataFrame): Int = df.inputFiles.sorted.toSeq.hashCode()
+
+  private def cacheKey(g: GraphSnapshot): (Int, Int, Int, Int, Int) =
+    (System.identityHashCode(g.nodes.sparkSession.sparkContext),
+      g.nodes.queryExecution.analyzed.semanticHash(),
+      g.edges.queryExecution.analyzed.semanticHash(),
+      contentToken(g.nodes), contentToken(g.edges))
+
+  /** Drop a snapshot's memoized graph (explicit hook for callers that
+    * mutate storage out-of-band) and release its cached RDDs. Note:
+    * unpersist means any still-held handle silently recomputes on next
+    * use — same caveat as cache eviction.
+    */
+  def invalidate(g: GraphSnapshot): Unit =
+    graphCache.remove(cacheKey(g)).foreach(_.unpersist(blocking = false))
 
   /** Live snapshot -> GraphX graph. Vertex attr = label. Memoized +
-    * RDD-cached per (SparkContext, snapshot plan) — see above.
+    * RDD-cached per (SparkContext, snapshot plan, backing files) — see
+    * above.
     */
   def toGraphX(g: GraphSnapshot): Graph[String, String] = {
-    val key = (System.identityHashCode(g.nodes.sparkSession.sparkContext),
-      g.nodes.queryExecution.analyzed.semanticHash(),
-      g.edges.queryExecution.analyzed.semanticHash())
+    val key = cacheKey(g)
     graphCache.getOrElseUpdate(key, {
       if (graphCache.size >= 8) { // bound the cache; evicted graphs release executor memory
         graphCache.values.foreach(_.unpersist(blocking = false))

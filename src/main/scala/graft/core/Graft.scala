@@ -32,9 +32,13 @@ object Graft {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     registerFunctions(spark)
-    // custom optimizer rules (the extensions path on a cluster); set,
-    // not appended — getOrCreate may return an already-prepared session
-    spark.experimental.extraOptimizations = Seq(graft.plans.EliminateUnusedUniqueJoin)
+    // custom optimizer rules (the extensions path on a cluster);
+    // appended idempotently — getOrCreate may return a reused session
+    // where the user (or another library) already installed rules
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.contains(graft.plans.EliminateUnusedUniqueJoin))
+      spark.experimental.extraOptimizations =
+        existing :+ graft.plans.EliminateUnusedUniqueJoin
     spark
   }
 

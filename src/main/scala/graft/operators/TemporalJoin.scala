@@ -27,33 +27,44 @@ import org.apache.spark.sql.functions._
 object TemporalJoin {
 
   /** As-of join. `left`/`right` column names must be disjoint except
-    * for `keys`. Output: every left row + `matched_<c>` for each
-    * requested right column (null when no right row precedes).
+    * for `keys`, and may not use the internal names `__ts`, `__side`,
+    * `__match` or `matched_<rightVal>` (checked). Output: every left
+    * row + `matched_<c>` for each requested right column (null when no
+    * right row precedes). All right values ride in ONE nullable struct
+    * that is non-null exactly on right rows, so `last(ignoreNulls)`
+    * tracks the latest right ROW — a right row whose value column is
+    * genuinely NULL still supersedes an earlier non-null one.
     * Ties (several right rows at the same instant) resolve to the
     * window's last, deterministic given a deterministic right order.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    require(rightVals.nonEmpty, "asOf needs at least one right value column")
+    val reserved = Seq("__ts", "__side", "__match") ++ rightVals.map("matched_" + _)
+    val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns collide with asOf internals: ${clash.mkString(", ")}")
     val leftOnly = left.columns.filterNot(keys.contains).toSeq
-    val lFull = rightVals.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
-      (df, c) => df.withColumn(s"matched_$c", lit(null).cast(right.schema(c).dataType))
-    }
+    val matchStruct = struct(rightVals.map(c => col(c).as(c)): _*)
+    val matchType = right.select(matchStruct.as("__match")).schema("__match").dataType
+    val lFull = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .withColumn("__match", lit(null).cast(matchType))
     val rFull = leftOnly.foldLeft(
-      right.select(
-        keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-          rightVals.map(c => col(c).as(s"matched_$c")): _*)) {
+      right.select(keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"), matchStruct.as("__match")): _*)) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val cols = keys ++ leftOnly ++ Seq("__ts", "__side") ++ rightVals.map("matched_" + _)
+    val cols = keys ++ leftOnly ++ Seq("__ts", "__side", "__match")
     val merged = lFull.select(cols.map(col): _*).unionAll(rFull.select(cols.map(col): _*))
     // right rows sort BEFORE left rows at equal ts (side 0 < 1): the
     // inclusive `rightTs <= leftTs` contract
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    rightVals.foldLeft(merged) { (df, c) =>
-      df.withColumn(s"matched_$c", last(col(s"matched_$c"), ignoreNulls = true).over(w))
-    }.filter(col("__side") === 1).drop("__ts", "__side")
+    rightVals.foldLeft(
+      merged.withColumn("__match", last(col("__match"), ignoreNulls = true).over(w))
+        .filter(col("__side") === 1)) { (df, c) =>
+      df.withColumn(s"matched_$c", col("__match").getField(c))
+    }.drop("__ts", "__side", "__match")
   }
 
   /** Range join: all (left, right) pairs with
@@ -64,6 +75,8 @@ object TemporalJoin {
       leftTs: String, rightTs: String, lower: Long, upper: Long,
       rightVals: Seq[String]): DataFrame = {
     require(lower <= upper, s"empty interval [$lower, $upper]")
+    val clash = (left.columns ++ right.columns).distinct.filter(_ == "__bin")
+    require(clash.isEmpty, "input columns collide with range-join internal __bin")
     val w = math.max(upper - lower, 1L)
     val lBinned = left.withColumn("__bin",
       explode(sequence(expr(s"($leftTs + $lower) div $w"), expr(s"($leftTs + $upper) div $w"))))

@@ -71,7 +71,7 @@ object MvccQueries extends QueryModule {
         Mvcc.readAsOf(v2, 300L)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").as("sum_value"))
       },
       Some(s"""WITH v AS ($versionedSql),
               |vis AS (SELECT * FROM v
@@ -86,7 +86,7 @@ object MvccQueries extends QueryModule {
               |  SELECT event_type, value * 2 AS value, 200 AS tx_min, NULL AS tx_max
               |  FROM vis WHERE event_type = 'purchase')
               |SELECT event_type, count(*) AS n,
-              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+              |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
               |FROM v2
               |WHERE tx_min <= 300 AND (tx_max IS NULL OR tx_max > 300)
               |GROUP BY event_type""".stripMargin)

@@ -25,10 +25,14 @@ object RelationalQueries extends QueryModule {
 
   private val D18 = DecimalType(18, 2)
   private val D4  = DecimalType(4, 2)
-  // Final aggregate outputs are pinned to DECIMAL(38,2) on BOTH the
-  // Spark and the oracle side: Spark widens sum(DECIMAL(18,2)) to
-  // (28,2) while DuckDB widens to (38,2) — same values, different
-  // physical type, which the driver's value hash distinguishes.
+  // Final aggregate outputs are DOUBLE on BOTH the Spark and the
+  // oracle side. The sum itself is exact decimal arithmetic (order-
+  // independent); the one decimal->double conversion at the end is
+  // correctly rounded in both engines, so the bits agree. Emitting
+  // DECIMAL instead — even pinned to (38,2) on both sides — fails the
+  // driver's value hash, which canonicalizes decimal cells differently
+  // per engine (CORRECTNESS_r02: every decimal-output query hash-failed
+  // while every double-output query passed).
   private val D38 = DecimalType(38, 2)
 
   override def queries: Seq[QueryDef] = Seq(
@@ -46,16 +50,16 @@ object RelationalQueries extends QueryModule {
         li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(D18)).cast(D38).as("sum_qty"),
-            sum(col("l_extendedprice").cast(D18)).cast(D38).as("sum_base_price"),
+            sum(col("l_quantity").cast(D18)).cast(D38).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(D18)).cast(D38).cast("double").as("sum_base_price"),
             sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
-              .cast(D38).as("sum_disc_price"),
+              .cast(D38).cast("double").as("sum_disc_price"),
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS sum_disc_price,
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+             |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -76,12 +80,12 @@ object RelationalQueries extends QueryModule {
             col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
-            .cast(D38).as("revenue"))
+            .cast(D38).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10)
       },
       Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS revenue
+             |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
              |FROM customer
              |JOIN orders   ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
@@ -106,10 +110,10 @@ object RelationalQueries extends QueryModule {
           .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
-            .cast(D38).as("revenue"))
+            .cast(D38).cast("double").as("revenue"))
       },
       Some("""SELECT n_name,
-             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS revenue
+             |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -159,11 +163,11 @@ object RelationalQueries extends QueryModule {
           .groupBy(col("n_name"))
           .agg(
             sum(col("l_extendedprice").cast(D18) * (lit(1).cast(D4) - col("l_discount").cast(D4)))
-              .cast(D38).as("revenue"),
+              .cast(D38).cast("double").as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       Some("""SELECT n_name,
-             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS revenue,
+             |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
              |  count(*) AS n_lines
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
@@ -242,9 +246,9 @@ object RelationalQueries extends QueryModule {
       (s, dir) =>
         Tables(s, dir).lineitem
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("l_quantity").cast(D18)).cast(D38).as("sum_qty"), count(lit(1)).as("n")),
+          .agg(sum(col("l_quantity").cast(D18)).cast(D38).cast("double").as("sum_qty"), count(lit(1)).as("n")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS n
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty, count(*) AS n
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
     ),
 
@@ -283,15 +287,15 @@ object RelationalQueries extends QueryModule {
           lag(col("o_orderkey"), 1).over(w).as("prev_order"),
           sum(col("o_totalprice").cast(D18)).over(
             w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
-            .cast(D38).as("running_total"))
+            .cast(D38).cast("double").as("running_total"))
       },
       Some("""SELECT o_custkey, o_orderkey,
              |  CAST(rank() OVER w AS BIGINT) AS rnk,
              |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
              |  lag(o_orderkey, 1) OVER w AS prev_order,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-             |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_total
+             |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS DOUBLE) AS running_total
              |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin)
     ),
 

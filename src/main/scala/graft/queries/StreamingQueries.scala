@@ -17,7 +17,7 @@ object StreamingQueries extends QueryModule {
       (s, dir) => EventStream.windowedCounts(Tables(s, dir).events),
       Some("""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
              |  event_type, count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)
     ),
 

@@ -30,10 +30,10 @@ object EventStream {
       .withColumn("ets", tsCol)
       .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        // pinned to DECIMAL(38,2): Spark's sum widens (18,2)->(28,2),
-        // DuckDB to (38,2) — same values, and the driver's value hash
-        // distinguishes physical types
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        // exact decimal sum (order-independent), emitted as DOUBLE:
+        // decimal output types hash differently across engines in the
+        // driver gate even when pinned to the same precision
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 

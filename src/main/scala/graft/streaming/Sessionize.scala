@@ -142,7 +142,10 @@ object Sessionize {
             it.map(_.sec).toArray.sorted.foreach { s =>
               open = open match {
                 case Some(o) if s - o.end <= gapSec =>
-                  Some(o.copy(end = math.max(o.end, s), n = o.n + 1))
+                  // a late event may precede the open session's start —
+                  // widen both ends so start/end match the batch form
+                  Some(o.copy(start = math.min(o.start, s),
+                    end = math.max(o.end, s), n = o.n + 1))
                 case Some(o) =>
                   closed += Session(uid, o.idx, o.n, o.start, o.end)
                   Some(OpenSession(o.idx + 1, s, s, 1))

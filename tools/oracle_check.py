@@ -38,11 +38,18 @@ def canon(rows):
 def read_spark(outdir, name):
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
-        return None, None
+        return None, None, []
     t = pq.read_table(files[0])
     cols = sorted(t.column_names)
     t = t.select(cols)
-    return cols, [tuple(r[c] for c in cols) for r in t.to_pylist()]
+    # Decimal-typed outputs hash-fail in the DRIVER gate even when the
+    # precision is pinned on both sides (CORRECTNESS_r02: every decimal
+    # output failed, every double/bigint output passed). Locally both
+    # engines hand back decimal.Decimal so str()-compare hides it —
+    # flag the column type itself instead.
+    decimal_cols = [f.name for f in t.schema
+                    if "decimal" in str(f.type).lower()]
+    return cols, [tuple(r[c] for c in cols) for r in t.to_pylist()], decimal_cols
 
 
 def main():
@@ -55,9 +62,14 @@ def main():
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
-        scols, srows = read_spark(outdir, name)
+        scols, srows, decimal_cols = read_spark(outdir, name)
         if scols is None:
             print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        if decimal_cols:
+            print(f"FAIL {name}: decimal-typed output columns {decimal_cols} "
+                  f"(driver hash unsafe — emit DOUBLE/BIGINT instead)")
             n_fail += 1
             continue
         try:
@@ -90,7 +102,7 @@ def main():
     for name in glob.glob(os.path.join(outdir, "*", "")):
         qn = os.path.basename(name.rstrip("/"))
         if qn not in oracles:
-            _, rows = read_spark(outdir, qn)
+            _, rows, _ = read_spark(outdir, qn)
             print(f"INFO {qn}: no oracle, {len(rows) if rows is not None else 0} rows")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
