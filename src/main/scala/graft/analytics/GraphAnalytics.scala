@@ -98,31 +98,10 @@ object GraphAnalytics {
   def connectedComponentsDF(spark: SparkSession, g: GraphSnapshot,
       maxIters: Int = 50): DataFrame = {
     val live = g.live
-    // undirected neighbor view, materialized once and reused per round
-    val nbrs = live.edges.select(col("src").as("u"), col("dst").as("v"))
-      .unionAll(live.edges.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint()
-    var comp = live.nodes.select(col("id"), col("id").as("component")).localCheckpoint()
-    var round = 0
-    var done  = false
-    while (!done && round < maxIters) {
-      val nbrMin = nbrs
-        .join(comp.select(col("id").as("v"), col("component").as("vc")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("vc")).as("nc"))
-      // carry the did-anything-change flag IN the round's frame: the
-      // localCheckpoint materializes it, so convergence detection is
-      // a scan of cached blocks, not a second join per round
-      val next = comp
-        .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
-          (coalesce(col("nc"), col("component")) < col("component")).as("changed"))
-        .localCheckpoint()
-      done = next.filter(col("changed")).isEmpty
-      comp = next.select("id", "component")
-      round += 1
-    }
-    comp
+    graft.operators.Components.minLabel(
+      live.nodes.select(col("id")),
+      live.edges.select(col("src").as("u"), col("dst").as("v")),
+      maxIters)
   }
 
   /** Fixed-iteration PageRank (resetProb 0.15), unnormalized GraphX

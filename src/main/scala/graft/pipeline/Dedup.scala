@@ -105,6 +105,50 @@ object Dedup {
       .select(col("da"), col("db"), col("jac"))
   }
 
+  /** Near-duplicate CLUSTERS from verified pairs: connected
+    * components over the pair graph (HashMin label propagation,
+    * [[graft.operators.Components]]), canonical id = the cluster's
+    * minimum member. Returns (id, canonical) for every id appearing
+    * in at least one pair — the keep/drop decision is then
+    * `keep iff id == canonical` (or id absent from the result).
+    *
+    * This closes the dedup pipeline: pairs alone over-delete (A~B,
+    * B~C with A!~C must still drop only two of three); clustering
+    * keeps exactly one doc per transitive near-dup group. Near-dup
+    * graphs are quasi-cliques, so convergence is 2-3 rounds at any
+    * corpus size.
+    */
+  def clusterPairs(pairs: DataFrame, a: String = "da", b: String = "db",
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(a).as("u"), col(b).as("v"))
+    val ids = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id"))).distinct()
+    graft.operators.Components.minLabel(ids, edges, maxIters)
+      .select(col("id"), col("component").as("canonical"))
+  }
+
+  /** Benchmark decontamination: training documents sharing at least
+    * one word n-gram with any benchmark document (the eval-leakage
+    * check every training-data pipeline needs). Returns
+    * (id, n_shared, n_bench_docs) for contaminated training docs.
+    *
+    * The benchmark side (eval suites — KBs to MBs even when the
+    * corpus is 100 TB) is broadcast, so the shingle join is map-side:
+    * one scan of the corpus, no shuffle of the big side.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, text: Column,
+      isBenchmark: Column, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), isBenchmark.as("bench"),
+      explode(TextOps.shingles(text, shingleN)).as("s"))
+    val bench = broadcast(
+      sh.filter(col("bench")).select(col("s"), col("id").as("bench_id")).distinct())
+    sh.filter(!col("bench")).select(col("id"), col("s"))
+      .join(bench, Seq("s"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("s")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** SimHash (16-bit) per document, batch path: one md5 per token,
     * bit sums via one groupBy. Bit i of the hash word matches
     * TextOps.hash32(0, token) — the seeded-md5 definition.

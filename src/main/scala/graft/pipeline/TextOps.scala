@@ -98,6 +98,47 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** PII patterns, deliberately inside the Java-regex ∩ RE2 common
+    * subset (character classes, bounded quantifiers, \b — no
+    * lookaround or backrefs) so Spark and the DuckDB oracle match the
+    * same spans. Conservative by design: a corpus scrub wants recall
+    * on the obvious shapes at scan speed; high-precision PII systems
+    * layer NER on top of this pass.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3,4}"
+
+  /** Per-type PII match counts (on the ORIGINAL text). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRe)).cast("long"),
+    "n_ips"    -> regexp_count(text, lit(ipv4Re)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(phoneRe)).cast("long"))
+
+  /** Redact PII with typed placeholders. Emails first: an IP-shaped
+    * host inside an address is swallowed by the email placeholder
+    * rather than double-redacted.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Repetition features over word n-gram shingles: total positions,
+    * distinct shingles, and their ratio — low unique_ratio = the
+    * boilerplate/spam signal quality filters cut on.
+    */
+  def repetitionFeatures(text: Column, n: Int = 3): Seq[(String, Column)] = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(1)).cast("long")
+    val dist  = size(shingles(text, n)).cast("long")
+    Seq(
+      "n_shingles" -> total,
+      "n_distinct" -> dist,
+      "uniq_ratio" -> round(dist.cast("double") / total, 4))
+  }
+
   /** Quality features: exact integer counts (cross-engine safe) plus
     * a rounded composite. Assumes single-space-separated text.
     */

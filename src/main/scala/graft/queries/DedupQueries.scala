@@ -12,13 +12,41 @@ import graft.sources.Tables
 object DedupQueries extends QueryModule {
 
   /** Shared SQL fragments (DuckDB): tokens, shingles, hash. */
-  private val shinglesSql =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  private val shinglesCtes =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS i FROM tok),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s FROM pos)""".stripMargin
+  private val shinglesSql = s"WITH $shinglesCtes"
 
   private def h(seed: String, expr: String) =
     s"CAST(('0x' || substr(md5($seed || '|' || $expr), 1, 8)) AS BIGINT)"
+
+  /** CTE chain (no leading WITH) ending in
+    * `pairs(da, db, jac)` — the verified MinHash-LSH near-dup pairs.
+    * Shared by the pair gate and the clustering gate (where it sits
+    * under WITH RECURSIVE).
+    */
+  private def lshPairsCtes(threshold: Double): String = {
+    val sigCols = (0 until 16).map(j => s"min((a + $j * b) % 4294967296) AS h$j").mkString(", ")
+    val bandKeys = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"md5('$b' || ',' || $parts)"
+    }.mkString(", ")
+    s"""$shinglesCtes,
+       |hw AS (SELECT doc_id, s, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS a,
+       |               CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS b FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hw GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([$bandKeys]) AS band FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND x.s = y.s
+       |          GROUP BY c.da, c.db),
+       |pairs AS (SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+       |          FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |          WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold)""".stripMargin
+  }
 
   override def queries: Seq[QueryDef] = Seq(
     // ---- exact dedup by content hash ----
@@ -74,27 +102,46 @@ object DedupQueries extends QueryModule {
       "LSH candidates (4 bands x 4 rows) verified by true Jaccard >= 0.7",
       (s, dir) =>
         Dedup.nearDuplicates(Tables(s, dir).documents, "doc_id", col("text"), 0.7),
-      Some({
-        val sigCols = (0 until 16).map(j => s"min((a + $j * b) % 4294967296) AS h$j").mkString(", ")
-        val bandKeys = (0 until 4).map { b =>
-          val parts = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
-          s"md5('$b' || ',' || $parts)"
-        }.mkString(", ")
-        s"""$shinglesSql,
-           |hw AS (SELECT doc_id, s, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS a,
-           |               CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS b FROM sh),
-           |sig AS (SELECT doc_id, $sigCols FROM hw GROUP BY doc_id),
-           |bands AS (SELECT doc_id, unnest([$bandKeys]) AS band FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |inter AS (SELECT c.da, c.db, count(*) AS i
-           |          FROM cand c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND x.s = y.s
-           |          GROUP BY c.da, c.db)
-           |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
-           |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-           |WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.7""".stripMargin
-      })
+      Some(s"""WITH ${lshPairsCtes(0.7)}
+              |SELECT da, db, jac FROM pairs""".stripMargin)
+    ),
+
+    // ---- near-dup clustering: pairs -> transitive groups -> one
+    // canonical survivor per group (the step after pair mining that
+    // actually decides keep/drop; pairs alone over-delete chains) ----
+    QueryDef(
+      "q_dedup_cluster",
+      "connected components over verified LSH pairs; canonical = min doc id",
+      (s, dir) => {
+        val pairs = Dedup.nearDuplicates(Tables(s, dir).documents, "doc_id", col("text"), 0.7)
+        Dedup.clusterPairs(pairs).select(col("id").as("doc_id"), col("canonical"))
+      },
+      Some(s"""WITH RECURSIVE ${lshPairsCtes(0.7)},
+              |und AS (SELECT da AS u, db AS v FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(id, comp) AS (
+              |  SELECT u, u FROM (SELECT DISTINCT u FROM und) s
+              |  UNION
+              |  SELECT und.v, reach.comp FROM reach JOIN und ON und.u = reach.id)
+              |SELECT id AS doc_id, min(comp) AS canonical FROM reach GROUP BY id""".stripMargin)
+    ),
+
+    // ---- benchmark decontamination: train docs sharing a 3-gram
+    // with the (deterministic) benchmark subset ----
+    QueryDef(
+      "q_decontaminate",
+      "training docs sharing any word-3-gram with the benchmark subset (doc_id % 50 = 0)",
+      (s, dir) =>
+        Dedup.decontaminate(Tables(s, dir).documents, "doc_id", col("text"),
+          col("doc_id") % 50 === 0)
+          .select(col("id").as("doc_id"), col("n_shared"), col("n_bench_docs")),
+      Some(s"""$shinglesSql,
+              |bench AS (SELECT DISTINCT s, doc_id AS bench_id FROM sh WHERE doc_id % 50 = 0),
+              |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+              |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared,
+              |       count(DISTINCT b.bench_id) AS n_bench_docs
+              |FROM train t JOIN bench b ON t.s = b.s
+              |GROUP BY t.doc_id""".stripMargin)
     ),
 
     // ---- SimHash fingerprints (one md5 per token, batch path) ----

@@ -85,6 +85,107 @@ object TextQueries extends QueryModule {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // ---- HyperLogLog: the whole register table is the gate row set
+    // (2^6 rows max regardless of corpus size) ----
+    QueryDef(
+      "q_sketch_hll",
+      "HLL registers (b=6) over the corpus 3-gram shingle stream",
+      (s, dir) => {
+        val sh = Tables(s, dir).documents
+          .select(explode(TextOps.shingles(col("text"), 3)).as("s"))
+        graft.pipeline.Sketch.hllRegisters(sh, col("s"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS i FROM tok),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s FROM pos),
+             |h AS (SELECT CAST(('0x' || substr(md5('0|' || s), 1, 8)) AS BIGINT) AS hv FROM sh)
+             |SELECT hv // 67108864 AS bucket,
+             |       max(CAST(27 - length(ltrim(bin(hv % 67108864), '0')) AS BIGINT)) AS max_rank
+             |FROM h GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- HLL estimate vs exact distinct: every 2^-rank term is a
+    // power of two, so the double sum is exact in any order — the
+    // estimate itself is engine-deterministic and sits under the
+    // value-hash gate, not just a tolerance spec ----
+    QueryDef(
+      "q_sketch_hll_est",
+      "HLL cardinality estimate next to the exact distinct 3-gram count",
+      (s, dir) => {
+        val sh = Tables(s, dir).documents
+          .select(explode(TextOps.shingles(col("text"), 3)).as("s"))
+        val est = graft.pipeline.Sketch.hllEstimate(
+          graft.pipeline.Sketch.hllRegisters(sh, col("s")))
+        est.crossJoin(sh.agg(countDistinct(col("s")).as("true_distinct")))
+          .select(round(col("est"), 2).as("est_distinct"), col("true_distinct"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS i FROM tok),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s FROM pos),
+             |h AS (SELECT CAST(('0x' || substr(md5('0|' || s), 1, 8)) AS BIGINT) AS hv FROM sh),
+             |regs AS (SELECT hv // 67108864 AS bucket,
+             |                max(27 - length(ltrim(bin(hv % 67108864), '0'))) AS max_rank
+             |         FROM h GROUP BY 1),
+             |agg AS (SELECT sum(power(CAST(2.0 AS DOUBLE), -max_rank)) AS z, count(*) AS nz FROM regs)
+             |SELECT round(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 64)
+             |             * 64 * 64 / (z + (64 - nz)), 2) AS est_distinct,
+             |       (SELECT count(DISTINCT s) FROM sh) AS true_distinct
+             |FROM agg""".stripMargin)
+    ),
+
+    // ---- PII redaction at scan speed ----
+    // The corpus is synthetic, so deterministic PII is appended from
+    // row values (derived from the table, not invented data): one
+    // email, one IPv4, one phone per doc. Patterns live in the Java
+    // regex ∩ RE2 subset so both engines redact identical spans.
+    QueryDef(
+      "q_text_redact",
+      "PII counts + md5 of the redacted text (email/IPv4/phone placeholders)",
+      (s, dir) => {
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1 call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val counts = TextOps.piiCounts(aug).map { case (n, c) => c.as(n) }
+        Tables(s, dir).documents.select(
+          (col("doc_id") +: counts) :+ md5(TextOps.redactPii(aug)).as("redacted_md5"): _*)
+      },
+      Some(s"""WITH aug AS (SELECT doc_id,
+              |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+              |       || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              |       || '.0.1 call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+              |  FROM documents)
+              |SELECT doc_id,
+              |  len(regexp_extract_all(t, '${TextOps.emailRe}')) AS n_emails,
+              |  len(regexp_extract_all(t, '${TextOps.ipv4Re}')) AS n_ips,
+              |  len(regexp_extract_all(t, '${TextOps.phoneRe}')) AS n_phones,
+              |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+              |        '${TextOps.emailRe}', '<EMAIL>', 'g'),
+              |        '${TextOps.ipv4Re}', '<IP>', 'g'),
+              |        '${TextOps.phoneRe}', '<PHONE>', 'g')) AS redacted_md5
+              |FROM aug""".stripMargin)
+    ),
+
+    // ---- repetition ratio (boilerplate/spam signal) ----
+    QueryDef(
+      "q_text_repetition",
+      "3-gram repetition features: total vs distinct shingles per doc",
+      (s, dir) => {
+        val cols = TextOps.repetitionFeatures(col("text")).map { case (n, c) => c.as(n) }
+        Tables(s, dir).documents.select(col("doc_id") +: cols: _*)
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |t AS (SELECT doc_id, greatest(len(ts) - 2, 1) AS n_shingles FROM tok),
+             |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS i FROM tok),
+             |shd AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s FROM pos),
+             |d AS (SELECT doc_id, count(*) AS n_distinct FROM shd GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             |       CAST(n_distinct AS BIGINT) AS n_distinct,
+             |       round(n_distinct * 1.0 / n_shingles, 4) AS uniq_ratio
+             |FROM t JOIN d USING (doc_id)""".stripMargin)
+    ),
+
     // ---- TF-IDF: top-3 characteristic terms per document ----
     // Smoothed tfidf = tf * ln((N+1)/(df+1)); deterministic top-3 via
     // (score desc, token asc). Two aggregates + one token join — the

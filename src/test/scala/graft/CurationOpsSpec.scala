@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Sketch, TextOps}
+
+/** Round-3 curation operators: near-dup clustering, benchmark
+  * decontamination, HLL cardinality, PII redaction, repetition
+  * features.
+  */
+class CurationOpsSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  test("clusterPairs groups transitively and picks the minimum as canonical") {
+    // chain 1-2-3 (1!~3 directly) plus isolated pair 7-8: pairs alone
+    // would keep {1,7} but drop 2,3,8 only via transitivity
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L)).toDF("da", "db")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("clusterPairs matches GraphX connected components on a random pair graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.toDF("da", "db")
+    val ours = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tuples = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
+      spark.sparkContext.parallelize(tuples), 0)
+    val gx = g.connectedComponents().vertices.collect().toMap
+    assert(ours.keySet == gx.keySet)
+    assert(ours.forall { case (id, c) => gx(id) == c },
+      "HashMin canonical == GraphX component (min id)")
+  }
+
+  test("decontaminate flags exactly the docs sharing shingles with the benchmark set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"), // benchmark
+      (2L, "the quick brown fox jumps low"),  // shares "the quick brown" etc.
+      (3L, "completely different words here today"),
+      (50L, "another benchmark document entirely separate"),
+      (4L, "another benchmark document entirely distinct")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(docs, "doc_id", col("text"),
+      col("doc_id") === 1L || col("doc_id") === 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId.keySet == Set(2L, 4L), s"only overlapping train docs flagged: $got")
+    assert(byId(2L)._2 == 3, "doc 2 shares 3 of its 4 shingles with doc 1")
+    assert(byId(4L)._3 == 1, "doc 4 overlaps exactly one benchmark doc")
+  }
+
+  test("HLL estimate is within 15% of the true distinct count") {
+    val n = 5000
+    val items = (1 to n).map(i => s"item_$i").toDF("item")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(items, col("item")))
+      .head().getDouble(0)
+    assert(math.abs(est - n) / n < 0.15, s"b=6 HLL on $n distinct: est=$est")
+  }
+
+  test("HLL registers are bounded, merge by max, and ignore duplicates") {
+    val items = (1 to 1000).map(i => s"v$i").toDF("item")
+    val regs = Sketch.hllRegisters(items, col("item"))
+    assert(regs.count() <= 64)
+    val doubled = Sketch.hllRegisters(items.unionAll(items), col("item"))
+    assert(doubled.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      regs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "cardinality sketch unchanged by duplication")
+  }
+
+  test("redactPii replaces emails, IPs and phones with typed placeholders") {
+    val df = Seq(
+      "write to jane.doe+x@sub.example.org or call +1-555-0199 from 192.168.0.1 ok"
+    ).toDF("t")
+    val out = df.select(TextOps.redactPii(col("t"))).head().getString(0)
+    assert(out == "write to <EMAIL> or call <PHONE> from <IP> ok", out)
+    val counts = df.select(TextOps.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((1L, 1L, 1L)))
+  }
+
+  test("an IP-shaped host inside an email is swallowed by the email placeholder") {
+    // user@10.1.2.3 is not a valid email under our pattern (digit TLD),
+    // but name@host.10.1.2.3.example.com IS matched by the email regex
+    // first, so no <IP> appears inside <EMAIL>
+    val out = Seq("x name@h.10.1.2.3.example.com y")
+      .toDF("t").select(TextOps.redactPii(col("t"))).head().getString(0)
+    assert(out == "x <EMAIL> y", out)
+  }
+
+  test("repetitionFeatures separate repetitive from diverse text") {
+    val df = Seq(
+      ("a", "spam spam spam spam spam spam spam spam"),
+      ("b", "eight entirely distinct words appear in this text")
+    ).toDF("id", "t")
+    val feats = df.select(
+      col("id") +: TextOps.repetitionFeatures(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(feats("a")._1 == 6 && feats("a")._2 == 1, "one distinct shingle of six")
+    assert(feats("b")._2 == feats("b")._1, "all shingles distinct")
+    assert(feats("a")._3 < 0.2 && feats("b")._3 == 1.0)
+  }
+}
