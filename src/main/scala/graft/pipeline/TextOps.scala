@@ -98,6 +98,20 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** GPT-2-style pre-tokenizer pattern, simplified into the
+    * Java-regex ∩ RE2 common subset (the original's `(?!\S)` negative
+    * lookahead is dropped — RE2 has no lookaround): a token is an
+    * optional leading space + a letter run, digit run, or
+    * punctuation run, or bare whitespace. Counting matches
+    * approximates BPE pre-tokenization well enough for
+    * cost/length budgeting at scan speed — no vocabulary needed.
+    */
+  val bpeTokenRe = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Approximate BPE-style token count (matches of [[bpeTokenRe]]). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenRe)).cast("long")
+
   /** PII patterns, deliberately inside the Java-regex ∩ RE2 common
     * subset (character classes, bounded quantifiers, \b — no
     * lookaround or backrefs) so Spark and the DuckDB oracle match the

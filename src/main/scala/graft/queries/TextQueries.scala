@@ -231,6 +231,44 @@ object TextQueries extends QueryModule {
              |length(text) AS n_chars_text FROM documents""".stripMargin)
     ),
 
+    // ---- BPE-style token counting (training-cost budgeting) ----
+    QueryDef(
+      "q_text_bpe_tokens",
+      "GPT-2-style pre-tokenizer match count vs whitespace tokens per doc",
+      (s, dir) =>
+        Tables(s, dir).documents.select(
+          col("doc_id"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens")),
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(text, '${TextOps.bpeTokenRe}')) AS n_bpe_tokens,
+              |  len(string_split(text, ' ')) AS n_ws_tokens
+              |FROM documents""".stripMargin)
+    ),
+
+    // ---- stratified exact-k sampling ----
+    // hashSample gives rate-based sampling; this gives exactly k per
+    // stratum: deterministic hash ordering inside each source + a
+    // window limit — reproducible across runs, engines and
+    // repartitioning, one shuffle on the stratum key.
+    QueryDef(
+      "q_sample_stratified",
+      "exactly 20 docs per source by deterministic hash order",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(TextOps.hash32(0, col("text")), col("doc_id"))
+        Tables(s, dir).documents
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+      },
+      Some("""SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+             |    ORDER BY CAST(('0x' || substr(md5('0|' || text), 1, 8)) AS BIGINT), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 20""".stripMargin)
+    ),
+
     // ---- quality features ----
     QueryDef(
       "q_text_quality",

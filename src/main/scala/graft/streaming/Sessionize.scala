@@ -126,7 +126,40 @@ object Sessionize {
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .selectExpr("user_id", "ts div 1000000000 AS sec").as[Ev]
+    sessionsStream(src, gapSec)
+  }
 
+  /** The stateful transform itself, over any streaming Dataset[Ev]
+    * (file stream above; MemoryStream in the cross-batch specs).
+    */
+  /** One batch of a user's events folded into the open session: the
+    * pure core of [[sessionsStream]], exposed so cross-batch
+    * semantics (late events merging into — and widening — the open
+    * session) are testable without streaming-trigger timing.
+    */
+  def foldBatch(uid: Long, openIn: Option[OpenSession], secs: Seq[Long],
+      gapSec: Long): (Seq[Session], Option[OpenSession]) = {
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var open   = openIn
+    secs.sorted.foreach { s =>
+      open = open match {
+        case Some(o) if s - o.end <= gapSec =>
+          // a late event may precede the open session's start —
+          // widen both ends so start/end match the batch form
+          Some(o.copy(start = math.min(o.start, s),
+            end = math.max(o.end, s), n = o.n + 1))
+        case Some(o) =>
+          closed += Session(uid, o.idx, o.n, o.start, o.end)
+          Some(OpenSession(o.idx + 1, s, s, 1))
+        case None =>
+          Some(OpenSession(1L, s, s, 1))
+      }
+    }
+    (closed.toSeq, open)
+  }
+
+  def sessionsStream(src: Dataset[Ev], gapSec: Long): Dataset[Session] = {
+    import src.sparkSession.implicits._
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
@@ -137,22 +170,8 @@ object Sessionize {
             state.remove()
             last.iterator
           } else {
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var open   = state.getOption
-            it.map(_.sec).toArray.sorted.foreach { s =>
-              open = open match {
-                case Some(o) if s - o.end <= gapSec =>
-                  // a late event may precede the open session's start —
-                  // widen both ends so start/end match the batch form
-                  Some(o.copy(start = math.min(o.start, s),
-                    end = math.max(o.end, s), n = o.n + 1))
-                case Some(o) =>
-                  closed += Session(uid, o.idx, o.n, o.start, o.end)
-                  Some(OpenSession(o.idx + 1, s, s, 1))
-                case None =>
-                  Some(OpenSession(1L, s, s, 1))
-              }
-            }
+            val (closed, open) =
+              foldBatch(uid, state.getOption, it.map(_.sec).toSeq, gapSec)
             open.foreach(state.update)
             state.setTimeoutDuration(100) // flush shortly after quiescence
             closed.iterator

@@ -79,6 +79,24 @@ class PlanSpec extends GraftSuite {
     assert(pruned.count() == step.count())
   }
 
+  test("q_decontaminate: the benchmark side broadcasts (corpus never shuffles)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark shingles must broadcast:\n$p")
+  }
+
+  test("q_sketch_hll: registers reduce map-side before the exchange") {
+    val p = plan("q_sketch_hll")
+    assert(p.contains("partial_max") || (p.contains("partial") && p.contains("max")),
+      s"expect partial max below the exchange:\n$p")
+  }
+
+  test("redaction and BPE counting stay codegen'd and UDF-free") {
+    Seq("q_text_redact", "q_text_bpe_tokens", "q_text_repetition").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("*(") && !p.contains("ScalaUDF"), s"$q must stay in codegen:\n$p")
+    }
+  }
+
   test("edge label filters prune non-matching union branches (no fact-table scan)") {
     // every TpchGraph edge branch carries a top-level literal label,
     // so a label filter constant-folds the others away — the

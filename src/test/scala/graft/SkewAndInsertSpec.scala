@@ -79,4 +79,18 @@ class SkewAndInsertSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
     assert(streamed == sql)
   }
+
+  test("cross-batch late event within the gap widens the open session's start") {
+    // batch 1: event at 1000 opens the session
+    val (c1, open1) = Sessionize.foldBatch(1L, None, Seq(1000L), 1800L)
+    assert(c1.isEmpty && open1.contains(Sessionize.OpenSession(1L, 1000L, 1000L, 1)))
+    // batch 2: late event at 900 (before the open start, within gap)
+    // merges and LOWERS start — matching what sessionsSql would report
+    val (c2, open2) = Sessionize.foldBatch(1L, open1, Seq(900L), 1800L)
+    assert(c2.isEmpty && open2.contains(Sessionize.OpenSession(1L, 900L, 1000L, 2)))
+    // batch 3: an event past the gap closes the widened session
+    val (c3, open3) = Sessionize.foldBatch(1L, open2, Seq(5000L), 1800L)
+    assert(c3 == Seq(Sessionize.Session(1L, 1L, 2L, 900L, 1000L)))
+    assert(open3.contains(Sessionize.OpenSession(2L, 5000L, 5000L, 1)))
+  }
 }

@@ -27,6 +27,28 @@ class TemporalJoinSpec extends GraftSuite {
       (2L, 30L, -1L))) // user has no views
   }
 
+  test("asOf: a later right row with a NULL value supersedes an earlier non-null one") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("user_id", "p_sec")
+    val right = Seq((1L, 10L, Some(7L)), (1L, 20L, None))
+      .toDF("user_id", "v_sec", "value")
+    val out = TemporalJoin.asOf(left, right, Seq("user_id"), "p_sec", "v_sec",
+      Seq("value")).select("matched_value").head()
+    // the ts-20 row IS the latest preceding right row; its NULL value
+    // must be reported, not the stale 7 from ts 10
+    assert(out.isNullAt(0), s"expected NULL, got $out")
+  }
+
+  test("asOf rejects input columns that collide with its internals") {
+    import spark.implicits._
+    val left  = Seq((1L, 100L, 5L)).toDF("user_id", "p_sec", "matched_value")
+    val right = Seq((1L, 10L, 7L)).toDF("user_id", "v_sec", "value")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.asOf(left, right, Seq("user_id"), "p_sec", "v_sec", Seq("value"))
+    }
+    assert(e.getMessage.contains("matched_value"))
+  }
+
   test("range join respects bounds and bin boundaries") {
     val l = df(Seq((1L, 100L)), "l_sec")
     val r = df(Seq((1L, 100L), (1L, 101L), (1L, 400L), (1L, 401L), (2L, 150L)), "r_sec")
