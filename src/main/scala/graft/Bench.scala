@@ -31,7 +31,13 @@ object Bench {
     "q_multimodal_meta",  // binary metadata scan
     "q_cc_components",    // GraphX connected components
     "q_pregel_hops",      // Pregel bounded BFS
-    "q_stream_window")    // windowed aggregation
+    "q_stream_window",    // windowed aggregation
+    // round 3 additions (new keys; previous keys stay diffable)
+    "q_dedup_cluster",    // LSH pairs -> components -> canonical
+    "q_decontaminate",    // benchmark n-gram overlap (broadcast)
+    "q_sketch_hll",       // HLL registers over the shingle stream
+    "q_text_redact",      // regex PII scrub at scan speed
+    "q_text_bpe_tokens")  // BPE-ish pre-tokenizer counting
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

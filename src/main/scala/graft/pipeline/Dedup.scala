@@ -120,7 +120,10 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, a: String = "da", b: String = "db",
       maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(a).as("u"), col(b).as("v"))
+    // materialize the (possibly expensive) pair-mining plan ONCE: both
+    // the node list and the propagation edges derive from it, and the
+    // HashMin loop re-reads it every round
+    val edges = pairs.select(col(a).as("u"), col(b).as("v")).localCheckpoint()
     val ids = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id"))).distinct()
     graft.operators.Components.minLabel(ids, edges, maxIters)
