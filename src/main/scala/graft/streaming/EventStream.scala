@@ -57,6 +57,37 @@ object EventStream {
       .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"), col("n"))
   }
 
+  /** Stream-stream interval join: purchases 1..1800 s after a view by
+    * the same user, BOTH sides unbounded streams. This is the
+    * streaming form of [[graft.operators.TemporalJoin.range]] (same
+    * bounds, same pairs — pinned by spec): Spark keeps both sides'
+    * rows in join state and the watermark + the two-sided time bound
+    * let it evict a row once no future match can arrive — the state
+    * stays O(events per watermark horizon), not O(stream). At scale
+    * the watermark is THE knob: without it a stream-stream join's
+    * state grows without bound.
+    */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ets", tsCol)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ets").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ets").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") + expr("INTERVAL 1 SECOND") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1800 SECONDS"))
+      .select(col("v_user").as("user_id"),
+        unix_timestamp(col("v_ts")).as("v_sec"),
+        unix_timestamp(col("p_ts")).as("p_sec"))
+  }
+
   /** Streaming exact dedup: duplicates dropped by key with state
     * bounded by the watermark (`dropDuplicatesWithinWatermark`) —
     * the streaming leg of the dedup surface: at-least-once upstream

@@ -119,6 +119,31 @@ class AnalyticsStreamingSpec extends GraftSuite {
     assert(g2.nbNodes == users, "second delivery upserts, not duplicates")
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = EventStream.streamIntervalJoin(spark, sf0001)
+      .writeStream.outputMode("append").format("memory").queryName("ss_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val e = graft.sources.Tables(spark, sf0001).events
+      .selectExpr("user_id", "event_type", "ts div 1000000000 AS sec")
+    val batch = graft.operators.TemporalJoin.range(
+      e.filter(org.apache.spark.sql.functions.col("event_type") === "view")
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("sec").as("v_sec")),
+      e.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("sec").as("p_sec")),
+      Seq("user_id"), "v_sec", "p_sec", 1L, 1800L, Nil)
+      .select("user_id", "v_sec", "p_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming windowed counts equal the batch transformation") {
     val q = EventStream.runToMemory(spark, sf0001, "ev_counts")
     q.awaitTermination(120000)
