@@ -20,6 +20,31 @@ object Multimodal {
     "n_chunks" -> ceil(length(bin).cast("double") / chunkBytes).cast("long"),
     "header_hex" -> substring(lower(hex(bin)), 1, 16))
 
+  /** Frame sampling over an opaque payload: treat the binary as
+    * fixed-size frames and keep every `every`-th one, identified by a
+    * fingerprint of its bytes. Pure expressions (binary substring +
+    * hex), zero shuffles — the video/audio "sample k frames per clip"
+    * pass at scan speed; a codec-aware variant swaps the fixed-size
+    * slicing for container-format frame boundaries inside the same
+    * plumbing.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, bin: Column,
+      frameBytes: Int = 64, every: Int = 4): DataFrame = {
+    val nf = ceil(length(bin).cast("double") / frameBytes).cast("long")
+    df.select(col(idCol), bin.as("__b"), nf.as("__nf"))
+      .filter(col("__nf") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("__nf") - 1, lit(every.toLong))).as("frame_idx"),
+        col("__b"))
+      .select(col(idCol), col("frame_idx"),
+        // the frame is sliced out of the payload's HEX form (2 chars
+        // per byte): DuckDB can neither md5 a BLOB nor substring one,
+        // so both engines hash the same lowercase hex string
+        md5(expr(s"lower(substring(hex(__b), " +
+          s"CAST(frame_idx * ${frameBytes * 2} + 1 AS INT), ${frameBytes * 2}))"))
+          .as("frame_md5"))
+  }
+
   final case class MediaFeature(id: Long, byteLen: Long, f0: Double, f1: Double, f2: Double)
 
   /** STUB decode: a real implementation would decode the codec frame

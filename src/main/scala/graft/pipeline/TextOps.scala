@@ -153,6 +153,71 @@ object TextOps {
       "uniq_ratio" -> round(dist.cast("double") / total, 4))
   }
 
+  /** Fixed-size token chunking with overlap — the context-window
+    * prep step: windows of `chunkTokens` advancing by
+    * `chunkTokens - overlapTokens`, last window ragged. Returns
+    * (idCol, chunk_idx, n_in_chunk, chunk_md5). Explode + pure
+    * expressions: amplification is bounded by 1/stride, no shuffle.
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String, text: Column,
+      chunkTokens: Int = 50, overlapTokens: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(overlapTokens < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlapTokens
+    val ts = tokens(text)
+    val nChunks = ceil(greatest(size(ts) - chunkTokens, lit(0)).cast("double") / stride)
+      .cast("long") + 1L
+    docs.select(col(idCol), ts.as("__ts"), nChunks.as("__nc"))
+      .select(col(idCol), col("__ts"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(chunkTokens.toLong),
+          size(col("__ts")) - col("chunk_idx") * stride).as("n_in_chunk"),
+        md5(concat_ws(" ",
+          slice(col("__ts"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens))))
+          .as("chunk_md5"))
+  }
+
+  /** Sequence packing: assign docs (in `idCol` order, within each
+    * stratum) to fixed token-capacity bins by running total — the
+    * "concat and cut at the context boundary" layout of packed
+    * pretraining data. Per-stratum windows keep the running sum
+    * parallel across strata (a single global order would serialize
+    * at 100 TB). Returns (strata, idCol, n_tokens, bin, offset).
+    */
+  def pack(docs: org.apache.spark.sql.DataFrame, idCol: String, strataCol: String,
+      text: Column, capacityTokens: Int = 256): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(idCol))
+    docs.select(col(strataCol), col(idCol),
+      size(tokens(text)).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(strataCol), col(idCol), col("n_tokens"),
+        expr(s"(__cum - n_tokens) div $capacityTokens").as("bin"),
+        ((col("__cum") - col("n_tokens")) % capacityTokens).as("offset"))
+  }
+
+  /** Per-document average unigram log-probability under the corpus'
+    * own unigram distribution — the cheap language-model quality
+    * score (KenLM-style filtering approximated at scan speed).
+    * Per-token log-probs are rounded to 6 dp and scaled to exact
+    * BIGINT micros BEFORE the per-doc sum, so the aggregation is
+    * integer-exact and order-independent — a plain double sum of
+    * ln() terms would be summation-order-dependent across engines.
+    */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(text)).as("token"))
+    val tf   = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot  = tf.agg(sum(col("cnt")).as("tot"))
+    val lp = tf.crossJoin(tot).select(col("token"),
+      expr("CAST(round(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)")
+        .as("lp_micro"))
+    toks.join(lp, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("lp_micro")) / lit(1000000.0)) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Quality features: exact integer counts (cross-engine safe) plus
     * a rounded composite. Assumes single-space-separated text.
     */

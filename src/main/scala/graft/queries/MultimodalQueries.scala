@@ -29,6 +29,24 @@ object MultimodalQueries extends QueryModule {
              |FROM documents""".stripMargin)
     ),
 
+    // ---- frame sampling over the payload (every 4th 64-byte frame) ----
+    QueryDef(
+      "q_multimodal_frames",
+      "fixed-size frame sampling: every 4th 64-byte frame fingerprinted",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.sampleFrames(docs, "doc_id", col("payload"))
+      },
+      Some("""WITH f AS (SELECT doc_id, encode(text) AS b,
+             |      CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS nf
+             |      FROM documents),
+             |x AS (SELECT doc_id, b, unnest(range(0, nf, 4)) AS frame_idx FROM f WHERE nf > 0)
+             |SELECT doc_id, frame_idx,
+             |  md5(lower(substring(hex(b), CAST(frame_idx * 128 + 1 AS BIGINT), 128))) AS frame_md5
+             |FROM x""".stripMargin)
+    ),
+
     // ---- batched per-partition feature extraction (decode stub) ----
     QueryDef(
       "q_multimodal_features",

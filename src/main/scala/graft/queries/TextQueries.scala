@@ -186,6 +186,59 @@ object TextQueries extends QueryModule {
              |FROM t JOIN d USING (doc_id)""".stripMargin)
     ),
 
+    // ---- context-window chunking with overlap ----
+    QueryDef(
+      "q_text_chunks",
+      "50-token chunks with 10-token overlap, fingerprinted",
+      (s, dir) =>
+        TextOps.chunk(Tables(s, dir).documents, "doc_id", col("text"), 50, 10),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |n AS (SELECT doc_id, ts,
+             |        CAST(ceil(greatest(len(ts) - 50, 0) / 40.0) AS BIGINT) + 1 AS nc FROM t),
+             |x AS (SELECT doc_id, ts, unnest(range(0, nc)) AS chunk_idx FROM n)
+             |SELECT doc_id, chunk_idx,
+             |  least(50, len(ts) - chunk_idx * 40) AS n_in_chunk,
+             |  md5(array_to_string(ts[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')) AS chunk_md5
+             |FROM x""".stripMargin)
+    ),
+
+    // ---- sequence packing into fixed token-capacity bins ----
+    QueryDef(
+      "q_text_pack",
+      "pack docs into 256-token bins per source by running total",
+      (s, dir) =>
+        TextOps.pack(Tables(s, dir).documents, "doc_id", "source", col("text"), 256),
+      Some("""WITH t AS (SELECT source, doc_id,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+             |SELECT source, doc_id, n_tokens,
+             |  (cum - n_tokens) // 256 AS bin,
+             |  (cum - n_tokens) % 256 AS offset
+             |FROM c""".stripMargin)
+    ),
+
+    // ---- unigram LM quality score ----
+    // per-token log-probs become exact BIGINT micros BEFORE the
+    // per-doc sum: integer aggregation is order-independent where a
+    // double ln() sum would flake with partitioning
+    QueryDef(
+      "q_text_unigram_lp",
+      "average unigram log-probability per doc under the corpus distribution",
+      (s, dir) =>
+        TextOps.unigramLogProb(Tables(s, dir).documents, "doc_id", col("text")),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tf AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+             |tot AS (SELECT sum(cnt) AS tot FROM tf),
+             |lp AS (SELECT token,
+             |         CAST(round(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) AS lp_micro
+             |       FROM tf, tot)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round((sum(lp_micro) / 1000000.0) / count(*), 6) AS avg_logprob
+             |FROM toks JOIN lp USING (token)
+             |GROUP BY doc_id""".stripMargin)
+    ),
+
     // ---- TF-IDF: top-3 characteristic terms per document ----
     // Smoothed tfidf = tf * ln((N+1)/(df+1)); deterministic top-3 via
     // (score desc, token asc). Two aggregates + one token join — the
