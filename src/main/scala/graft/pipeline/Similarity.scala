@@ -135,6 +135,20 @@ object Similarity {
     * comparison (`bit_count(bucket XOR qBucket) <= radius`) in any
     * SQL engine — the cross-engine-verifiable multi-probe shape.
     */
+  /** Scalar int8 quantization per vector: `scale = max|x_i|`,
+    * `q_i = round(x_i / scale * 127)` ∈ [-127, 127]. 4× smaller
+    * vectors (the storage/bandwidth lever for ANN over 100 TB of
+    * embeddings: int8 dot products + a float rescale recover cosine
+    * to ~1e-2). Pure expressions; all-zero vectors are dropped
+    * (nothing to quantize). Returns (idCol, v, scale, q).
+    */
+  def quantizeInt8(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x.cast("double")))))
+      .filter(col("scale") > 0)
+      .withColumn("q",
+        transform(col("v"), x => round(x.cast("double") / col("scale") * 127, 0).cast("int")))
+
   def annTopKWithin(embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, planes: Int = 8, radius: Int = 1): DataFrame = {
     val dim     = query.length

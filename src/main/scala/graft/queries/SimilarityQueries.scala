@@ -39,6 +39,37 @@ object SimilarityQueries extends QueryModule {
              |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
     ),
 
+    // ---- int8 scalar quantization (embedding compression) ----
+    // 4x smaller vectors for the ANN tier; the gate pins scale,
+    // integer checksum, saturation count, and the max dequantization
+    // error (max is order-independent — safe where a double sum of
+    // per-element errors would not be).
+    QueryDef(
+      "q_embed_quantize",
+      "per-vector int8 quantization: scale, checksum, saturation, max error",
+      (s, dir) =>
+        Similarity.quantizeInt8(Tables(s, dir).embeddings, "vec_id", "embedding")
+          .select(col("vec_id"),
+            round(col("scale"), 6).as("scale"),
+            expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_q"),
+            size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"),
+            expr("round(array_max(transform(sequence(1, size(v)), " +
+              "i -> abs(CAST(element_at(v, i) AS DOUBLE) - element_at(q, i) * scale / 127.0))), 6)")
+              .as("max_err")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+             |      FROM e),
+             |q AS (SELECT vec_id, v, scale,
+             |        list_transform(v, x -> CAST(round(x / scale * 127, 0) AS INT)) AS q
+             |      FROM s WHERE scale > 0)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+             |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+             |  round(list_max(list_transform(range(1, len(v) + 1),
+             |        i -> abs(v[i] - q[i] * scale / 127.0))), 6) AS max_err
+             |FROM q""".stripMargin)
+    ),
+
     // ---- embedding near-duplicate pairs (cosine >= 0.99) ----
     // brute-force pair scan at small SF; the scale path buckets by
     // LSH first (next query) and verifies within buckets.

@@ -91,6 +91,40 @@ class CurationOpsSpec extends GraftSuite {
     assert(out == "x <EMAIL> y", out)
   }
 
+  test("chunking emits the declared window/stride layout with a ragged tail") {
+    val doc = (1 to 95).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val rows = TextOps.chunk(df, "doc_id", col("text"), 50, 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    // 95 tokens, window 50, stride 40 -> offsets 0/40/80, sizes 50/50/15
+    assert(rows == Seq((0L, 50L), (1L, 50L), (2L, 15L)))
+  }
+
+  test("packing keeps offsets inside the capacity and starts each stratum at zero") {
+    val p = TextOps.pack(graft.sources.Tables(spark, sf0001).documents,
+      "doc_id", "source", col("text"), 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(p.nonEmpty)
+    assert(p.forall { case (_, _, bin, off) => bin >= 0 && off >= 0 && off < 256 })
+    val firstPerSource = p.groupBy(_._1).values.map(_.minBy(_._2))
+    assert(firstPerSource.forall { case (_, _, bin, off) => bin == 0 && off == 0 })
+  }
+
+  test("int8 quantization stays in range and within half a quantization step") {
+    val q = graft.pipeline.Similarity.quantizeInt8(
+      graft.sources.Tables(spark, sf0001).embeddings, "vec_id", "embedding")
+    val rows = q.select(col("scale"),
+      array_max(transform(col("q"), x => abs(x))).as("mx"),
+      expr("array_max(transform(sequence(1, size(v)), " +
+        "i -> abs(CAST(element_at(v, i) AS DOUBLE) - element_at(q, i) * scale / 127.0)))")
+        .as("err"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 <= 127), "quantized values bounded")
+    assert(rows.forall { case (scale, _, err) => err <= scale / 127.0 / 2 + 1e-9 },
+      "dequantization error within half a step")
+  }
+
   test("repetitionFeatures separate repetitive from diverse text") {
     val df = Seq(
       ("a", "spam spam spam spam spam spam spam spam"),
