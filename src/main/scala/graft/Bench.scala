@@ -37,7 +37,11 @@ object Bench {
     "q_decontaminate",    // benchmark n-gram overlap (broadcast)
     "q_sketch_hll",       // HLL registers over the shingle stream
     "q_text_redact",      // regex PII scrub at scan speed
-    "q_text_bpe_tokens")  // BPE-ish pre-tokenizer counting
+    "q_text_bpe_tokens",  // BPE-ish pre-tokenizer counting
+    "q_text_chunks",      // context-window chunking
+    "q_text_unigram_lp",  // unigram LM scoring (tf join)
+    "q_embed_quantize",   // int8 embedding compression
+    "q_multimodal_frames")// binary frame sampling
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
