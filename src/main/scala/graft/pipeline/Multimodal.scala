@@ -31,17 +31,18 @@ object Multimodal {
   def sampleFrames(df: DataFrame, idCol: String, bin: Column,
       frameBytes: Int = 64, every: Int = 4): DataFrame = {
     val nf = ceil(length(bin).cast("double") / frameBytes).cast("long")
-    df.select(col(idCol), bin.as("__b"), nf.as("__nf"))
+    // the payload is hexed ONCE before the explode (2 chars per
+    // byte): DuckDB can neither md5 a BLOB nor substring one, so
+    // both engines hash the same lowercase hex slice — and hexing
+    // after the explode would redo the full payload per frame
+    df.select(col(idCol), lower(hex(bin)).as("__h"), nf.as("__nf"))
       .filter(col("__nf") > 0)
       .select(col(idCol),
         explode(sequence(lit(0L), col("__nf") - 1, lit(every.toLong))).as("frame_idx"),
-        col("__b"))
+        col("__h"))
       .select(col(idCol), col("frame_idx"),
-        // the frame is sliced out of the payload's HEX form (2 chars
-        // per byte): DuckDB can neither md5 a BLOB nor substring one,
-        // so both engines hash the same lowercase hex string
-        md5(expr(s"lower(substring(hex(__b), " +
-          s"CAST(frame_idx * ${frameBytes * 2} + 1 AS INT), ${frameBytes * 2}))"))
+        md5(expr(s"substring(__h, " +
+          s"CAST(frame_idx * ${frameBytes * 2} + 1 AS INT), ${frameBytes * 2})"))
           .as("frame_md5"))
   }
 
