@@ -144,6 +144,28 @@ class AnalyticsStreamingSpec extends GraftSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("HLL registers maintain incrementally over a stream, equal to batch") {
+    // register max is a streaming-native aggregate: each micro-batch
+    // folds into 2^b rows of state, so approx-distinct runs over an
+    // unbounded stream with constant state — no watermark needed
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$sf0001/documents.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf0001)
+      .select(explode(graft.pipeline.TextOps.shingles(col("text"), 3)).as("s"))
+    val q = graft.pipeline.Sketch.hllRegisters(src, col("s"))
+      .writeStream.outputMode("complete").format("memory").queryName("hll_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hll_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.pipeline.Sketch.hllRegisters(
+      graft.sources.Tables(spark, sf0001).documents
+        .select(explode(graft.pipeline.TextOps.shingles(col("text"), 3)).as("s")),
+      col("s")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming windowed counts equal the batch transformation") {
     val q = EventStream.runToMemory(spark, sf0001, "ev_counts")
     q.awaitTermination(120000)
