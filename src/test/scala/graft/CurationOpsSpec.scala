@@ -36,6 +36,14 @@ class CurationOpsSpec extends GraftSuite {
       "HashMin canonical == GraphX component (min id)")
   }
 
+  test("clusterPairs and decontaminate degrade to empty on empty inputs") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.clusterPairs(noPairs).isEmpty, "no pairs -> no clusters")
+    val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(docs, "doc_id", col("text"), lit(false)).isEmpty,
+      "no benchmark docs -> nothing contaminated")
+  }
+
   test("decontaminate flags exactly the docs sharing shingles with the benchmark set") {
     val docs = Seq(
       (1L, "the quick brown fox jumps high"), // benchmark
