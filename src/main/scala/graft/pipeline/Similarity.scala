@@ -129,12 +129,6 @@ object Similarity {
       .select(col("va"), col("vb"), col("cos"))
   }
 
-  /** Hamming-radius probing: search every bucket within `radius` bit
-    * flips of the query's bucket. Less targeted than the
-    * margin-ordered [[probeSequence]] but expressible as one pure
-    * comparison (`bit_count(bucket XOR qBucket) <= radius`) in any
-    * SQL engine — the cross-engine-verifiable multi-probe shape.
-    */
   /** Scalar int8 quantization per vector: `scale = max|x_i|`,
     * `q_i = round(x_i / scale * 127)` ∈ [-127, 127]. 4× smaller
     * vectors (the storage/bandwidth lever for ANN over 100 TB of
@@ -149,6 +143,12 @@ object Similarity {
       .withColumn("q",
         transform(col("v"), x => round(x.cast("double") / col("scale") * 127, 0).cast("int")))
 
+  /** Hamming-radius probing: search every bucket within `radius` bit
+    * flips of the query's bucket. Less targeted than the
+    * margin-ordered [[probeSequence]] but expressible as one pure
+    * comparison (`bit_count(bucket XOR qBucket) <= radius`) in any
+    * SQL engine — the cross-engine-verifiable multi-probe shape.
+    */
   def annTopKWithin(embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, planes: Int = 8, radius: Int = 1): DataFrame = {
     val dim     = query.length

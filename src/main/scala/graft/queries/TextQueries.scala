@@ -213,8 +213,8 @@ object TextQueries extends QueryModule {
              |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
              |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
              |SELECT source, doc_id, n_tokens,
-             |  (cum - n_tokens) // 256 AS bin,
-             |  (cum - n_tokens) % 256 AS offset
+             |  CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+             |  CAST((cum - n_tokens) % 256 AS BIGINT) AS offset
              |FROM c""".stripMargin)
     ),
 

@@ -129,9 +129,6 @@ object Sessionize {
     sessionsStream(src, gapSec)
   }
 
-  /** The stateful transform itself, over any streaming Dataset[Ev]
-    * (file stream above; MemoryStream in the cross-batch specs).
-    */
   /** One batch of a user's events folded into the open session: the
     * pure core of [[sessionsStream]], exposed so cross-batch
     * semantics (late events merging into — and widening — the open
@@ -158,6 +155,9 @@ object Sessionize {
     (closed.toSeq, open)
   }
 
+  /** The stateful transform itself, over any streaming Dataset[Ev]
+    * (file stream above; MemoryStream in the cross-batch specs).
+    */
   def sessionsStream(src: Dataset[Ev], gapSec: Long): Dataset[Session] = {
     import src.sparkSession.implicits._
     src.groupByKey(_.user_id)

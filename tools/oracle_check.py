@@ -73,6 +73,18 @@ def main():
             n_fail += 1
             continue
         try:
+            rel = con.sql(sql)
+            # Mirror of the Spark-side decimal guard: DuckDB HUGEINT /
+            # DECIMAL outputs (e.g. windowed sum(BIGINT) widens to
+            # HUGEINT, and // % propagate it) hash differently in the
+            # driver even when str-canonicalized values agree here.
+            bad = [c for c, t in zip(rel.columns, rel.types)
+                   if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))]
+            if bad:
+                print(f"FAIL {name}: oracle emits HUGEINT/DECIMAL columns {bad} "
+                      f"(driver hash unsafe — CAST to BIGINT/DOUBLE in the SQL)")
+                n_fail += 1
+                continue
             res = con.execute(sql)
             ocols = sorted(d[0] for d in res.description)
             raw = res.fetchall()
