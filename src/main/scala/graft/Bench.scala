@@ -68,12 +68,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // best-of-2 per query: the second run rides the OS page cache,
-    // matching steady-state behavior and damping one-off JVM noise
-    def best(n: String): Double = {
-      val a = runOnce(n); val b = runOnce(n)
-      if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+    // One uncounted warmup (absorbs this query's codegen/compile cost)
+    // then median-of-3 with the min/max spread recorded: a single run
+    // (or best-of-2) is noisy at the ±2x level on a busy machine,
+    // which makes round-over-round deltas unfalsifiable. The median
+    // damps one-off GC/page-cache outliers in EITHER direction; the
+    // spread ((max-min)/median) says how much to trust the number —
+    // flag a regression only when it exceeds the recorded spread.
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed(name: String, run: () => Double, reps: Int = 3): Double = {
+      run() // per-query warmup, uncounted
+      val ts = Seq.fill(reps)(run()).filter(_ >= 0).sorted
+      if (ts.isEmpty) { spreads(name) = -1.0; return -1.0 }
+      val med = ts(ts.size / 2)
+      spreads(name) = if (med > 0) BigDecimal((ts.last - ts.head) / med)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      med
     }
+    def best(n: String): Double = timed(n, () => runOnce(n))
 
     // index maintenance analog (BASELINE.md: trie key-insert rate):
     // full label-scoped typed index build + count
@@ -88,10 +100,12 @@ object Bench {
     }
 
     val results = headline.map(n => n -> best(n)) :+
-      ("ingest" -> ingest()) :+ ("index_build" -> indexBuild())
+      ("ingest" -> timed("ingest", () => ingest())) :+
+      ("index_build" -> timed("index_build", () => indexBuild()))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,6 +49,20 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
         df => df.withColumn("props", mutateProps(col("props")))),
       edges)
 
+  /** Edge-property update (edgeProperties, STMGraph API.hs:181-190 —
+    * the relation-side mirror of `nodeProperties` :111-120): COW on
+    * the edge table; edges matching `pred` get their version closed at
+    * `tx` and a copy with `mutateProps(props)` appended. Endpoints and
+    * label are identity (they name the relation) and must not change
+    * here — delete + create instead.
+    */
+  def updateEdgeProps(pred: org.apache.spark.sql.Column, tx: Long,
+      mutateProps: org.apache.spark.sql.Column => org.apache.spark.sql.Column): GraphSnapshot =
+    GraphSnapshot(
+      nodes,
+      graft.operators.Mvcc.update(edges, pred, tx,
+        df => df.withColumn("props", mutateProps(col("props")))))
+
   /** Cascading delete (deleteObject, API.hs:410-429; APITest.hs:55-68):
     * closes matching node versions AND every live incident edge.
     */

@@ -23,6 +23,11 @@ object Model {
     */
   def fromSnapshot(spark: SparkSession, g: GraphSnapshot): DataFrame = {
     val live = g.live
+    // The unpartitioned window funnels the dictionary through one
+    // partition — intentional: a dictionary is distinct labels/prop
+    // names (dozens of rows by construction, never corpus-sized), and
+    // global ids require a global order. The corpus-sized work
+    // (distinct) happens BEFORE the window, fully parallel.
     def dict(kind: String, names: DataFrame): DataFrame =
       names.distinct()
         .withColumn("id", row_number().over(

@@ -36,6 +36,23 @@ object GraphQueries extends QueryModule {
           v.getField("vJson").as("vJson"))
       })).otherwise(vs))
 
+  /** Edge-side COW rewrite used by the edge-mutation gate query:
+    * 'returnflag' values 'R' become 'RET' ('RET' never occurs as a
+    * natural returnflag, so the retag is collision-free and exactly
+    * SQL-replicable as a CASE over l_returnflag).
+    */
+  private[queries] def retagReturnflag(props: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform_values(props, (k, vs) =>
+      when(k === "returnflag", transform(vs, v => {
+        val t = v.getField("vText")
+        struct(
+          v.getField("vType").as("vType"),
+          when(t === "R", lit("RET")).otherwise(t).as("vText"),
+          v.getField("vInt").as("vInt"),
+          v.getField("vBin").as("vBin"),
+          v.getField("vJson").as("vJson"))
+      })).otherwise(vs))
+
   /** Predicate: node has a 'name' value starting with 'red '. */
   private[queries] def hasRedName: org.apache.spark.sql.Column =
     exists(coalesce(col("props").getItem("name"), array()),
@@ -58,6 +75,27 @@ object GraphQueries extends QueryModule {
              |            ELSE split_part(p_name, ' ', 1) END AS first_word,
              |       count(*) AS n
              |FROM part GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- graph-level COW property update on EDGES ----
+    // (edgeProperties, STMGraph API.hs:181-190 — relation-side mirror
+    // of the node mutation above): returned 'contains' edges get
+    // their returnflag retagged 'R' -> 'RET'; live histogram after.
+    QueryDef(
+      "q_graph_update_edge_props",
+      "updateEdgeProps: COW retag of returned lineitem edges; live returnflag histogram",
+      (s, dir) => {
+        val g = TpchGraph.snapshot(s, dir)
+        val hasR = PropValues.hasValue(col("props"), "returnflag", PVText("R"))
+        val g2 = g.updateEdgeProps(col("label") === "contains" && hasR, 1L, retagReturnflag)
+        g2.live.edges.filter(col("label") === "contains")
+          .select(explode(col("props").getItem("returnflag")).as("v"))
+          .select(col("v.vText").as("flag"))
+          .groupBy(col("flag")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CASE WHEN l_returnflag = 'R' THEN 'RET' ELSE l_returnflag END AS flag,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin)
     ),
 
     // ---- graph-level cascading delete (deleteObject analog) ----

@@ -202,6 +202,51 @@ object SimilarityQueries extends QueryModule {
       })
     ),
 
+    // ---- margin-ordered multi-probe LSH ANN (Lv et al., VLDB'07) ----
+    // The probe set is the query's bucket plus the bit-flip masks with
+    // the smallest summed |margin| — the buckets most likely to hold
+    // true neighbors. The oracle re-derives the SAME probe set in SQL:
+    // margins, scores, and ranking are written in the identical
+    // left-to-right addition order as the Scala probeSequence, so the
+    // doubles (and hence the probe list) agree bit-for-bit; ties in
+    // score resolve by ascending mask on both sides (stable sort).
+    QueryDef(
+      "q_ann_multiprobe_margin",
+      "top-10 cosine over the 6 margin-ordered probe buckets of the query",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        Similarity.annTopK(emb.filter(col("vec_id") =!= 0L),
+          "vec_id", "embedding", q, 10, planes = 8, probes = 6)
+      },
+      Some({
+        def planeTerms(p: Int, v: String) =
+          (0 until DIM).map(d => s"$v[${d + 1}] * ${signSql(p, d)}").mkString(" + ")
+        val bits = (0 until 8).map { p =>
+          s"CASE WHEN (${planeTerms(p, "e")}) > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        val ms    = (0 until 8).map(p => s"(${planeTerms(p, "e")}) AS m$p").mkString(", ")
+        val mcols = (0 until 8).map(p => s"m$p").mkString(", ")
+        val qbits = (0 until 8).map(p =>
+          s"CASE WHEN m$p > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+        val score = (0 until 8).map(p =>
+          s"(CASE WHEN (r.range & ${1L << p}) <> 0 THEN abs(q.m$p) ELSE 0.0 END)").mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |m AS (SELECT e AS qv, $ms FROM v WHERE vec_id = 0),
+           |qb AS (SELECT qv, $mcols, CAST($qbits AS BIGINT) AS qbucket FROM m),
+           |scored AS (SELECT r.range AS mask, q.qbucket, ($score) AS score
+           |           FROM range(0, 256) r, qb q),
+           |probes AS (SELECT xor(qbucket, mask) AS pb FROM scored
+           |           ORDER BY score ASC, mask ASC LIMIT 6),
+           |b AS (SELECT vec_id, e, CAST($bits AS BIGINT) AS bucket FROM v)
+           |SELECT vec_id, round(list_dot_product(e, qv) /
+           |  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+           |FROM b, qb WHERE vec_id <> 0 AND bucket IN (SELECT pb FROM probes)
+           |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+      })
+    ),
+
     // ---- LSH bucket assignment (the scale path's partitioner) ----
     QueryDef(
       "q_ann_lsh_buckets",

@@ -129,4 +129,40 @@ class MvccSpec extends GraftSuite {
     // pre-delete snapshot unaffected
     assert(Mvcc.readAsOf(e2, 4).count() == 3)
   }
+
+  test("updateEdgeProps: COW on edges, nodes untouched (STMGraph API.hs:181-190)") {
+    import graft.core.GraphBuilder
+    import graft.model.{PropValues, PropertyValue}
+    import graft.model.PropertyValue._
+    val b  = new GraphBuilder
+    val th = b.addNode("Actor", Map("name" -> Seq(PVText("Tom Hanks"))))
+    val fg = b.addNode("Movie", Map("name" -> Seq(PVText("Forrest Gump"))))
+    val ss = b.addNode("Movie", Map("name" -> Seq(PVText("Sleepless in Seattle"))))
+    b.addEdge(th, fg, "Played", Map("role" -> Seq(PVText("lead"))))
+    b.addEdge(th, ss, "Played", Map("role" -> Seq(PVText("cameo"))))
+    val g = b.snapshot(spark)
+
+    // promote the cameo to lead (whole-map replacement, the
+    // reference's edgeProperties semantics)
+    val cameo = PropValues.hasValue(col("props"), "role", PVText("cameo"))
+    val g2 = g.updateEdgeProps(cameo, 5L,
+      _ => PropValues.propsMap("role" -> PropValues.pvText(lit("lead"))))
+
+    // live view: both edges now lead; version history intact
+    val roles = g2.live.edges
+      .select(explode(col("props").getItem("role")).as("v"))
+      .select(col("v.vText")).collect().map(_.getString(0))
+    assert(roles.toSeq.sorted == Seq("lead", "lead"))
+    assert(g2.edges.count() == 3, "old version closed, copy appended")
+    assert(Mvcc.readAsOf(g2.edges, 4L).count() == 2, "pre-update snapshot keeps the cameo")
+    assert(
+      Mvcc.readAsOf(g2.edges, 4L)
+        .filter(PropValues.hasValue(col("props"), "role", PVText("cameo"))).count() == 1)
+    // nodes are identity under edge mutation
+    assert(g2.nodes.collect().toSeq == g.nodes.collect().toSeq)
+    // endpoints and label carried unchanged onto the new version
+    val fresh = g2.edges.filter(col("tx_min") === 5L).collect().head
+    assert(fresh.getAs[Long]("src") == th && fresh.getAs[Long]("dst") == ss)
+    assert(fresh.getAs[String]("label") == "Played")
+  }
 }
