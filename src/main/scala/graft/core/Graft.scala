@@ -50,5 +50,6 @@ object Graft {
   def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.CosineSim.register(spark)
     graft.functions.DotFloat.register(spark)
+    graft.functions.NearestCell.register(spark)
   }
 }

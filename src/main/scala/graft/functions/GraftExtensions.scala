@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotFloat.NAME),
       new ExpressionInfo(classOf[DotFloat].getName, DotFloat.NAME),
       (exprs: Seq[Expression]) => DotFloat(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(NearestCell.NAME),
+      new ExpressionInfo(classOf[NearestCell].getName, NearestCell.NAME),
+      (exprs: Seq[Expression]) => NearestCell(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.EliminateUnusedUniqueJoin)
   }
 }

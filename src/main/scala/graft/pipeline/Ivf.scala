@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.DotFloat
+import graft.functions.NearestCell
 
 /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
   * corpus into nlist cells; a query probes only its nprobe nearest
@@ -13,8 +13,11 @@ import graft.functions.DotFloat
   * Scale shape: training touches the corpus iters+1 times (assignment
   * is a scan with nlist fused dot products per row — no shuffle;
   * the centroid update is one groupBy over (cell, dim)). The trained
-  * centroids are KBs on the driver and become plan literals — search
-  * is a partition-prunable cell filter + in-cell top-k. At 100 TB the
+  * centroids are KBs-to-MBs on the driver and enter the plan as ONE
+  * matrix literal inside [[NearestCell]] — the expression tree and
+  * generated code stay O(1) in nlist, so realistic cell counts
+  * (4k-64k) neither blow up the plan nor hit Janino limits. Search is
+  * a partition-prunable cell filter + in-cell top-k. At 100 TB the
   * corpus is written bucketed/partitioned by `cell` so a probe reads
   * only nprobe/nlist of the data.
   */
@@ -24,18 +27,13 @@ object Ivf {
     def nlist: Int = centroids.length
   }
 
-  private def centLit(c: Array[Float]): Column = typedLit(c.toSeq)
-
   /** Cell assignment: argmin_c ||v - c||² = argmin_c (|c|² - 2 v·c).
-    * Ties break to the lower cell id (struct ordering).
+    * Ties break to the lower cell id (first-wins scan order). One
+    * codegen'd expression regardless of nlist; requires
+    * [[NearestCell.register]] (done by [[train]]/[[topK]]).
     */
-  def assign(vec: Column, index: IvfIndex): Column = {
-    val scored = index.centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x.toDouble * x.toDouble).sum
-      struct((lit(c2) - lit(2.0) * DotFloat.col(vec, centLit(c))).as("d"), lit(i).as("cell"))
-    }
-    array_min(array(scored: _*)).getField("cell")
-  }
+  def assign(vec: Column, index: IvfIndex): Column =
+    NearestCell.col(vec, index.centroids)
 
   /** Lloyd's algorithm with deterministic init (the first nlist
     * vectors in id order). Centroid averages are exact enough that
@@ -44,7 +42,7 @@ object Ivf {
     */
   def train(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): IvfIndex = {
-    DotFloat.register(spark)
+    NearestCell.register(spark)
     var centroids = emb.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
 
@@ -69,7 +67,7 @@ object Ivf {
   def topK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       index: IvfIndex, query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     graft.functions.CosineSim.register(spark)
-    DotFloat.register(spark)
+    NearestCell.register(spark)
     val q2 = (c: Array[Float]) => {
       var d = 0.0; var i = 0
       while (i < c.length) { d += (query(i).toDouble - c(i)) * (query(i).toDouble - c(i)); i += 1 }

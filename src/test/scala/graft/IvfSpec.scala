@@ -33,4 +33,47 @@ class IvfSpec extends GraftSuite {
       .collect().map(_.getLong(0)).toSet
     assert(all == exact, "probing every cell must equal brute force")
   }
+
+  test("NearestCell assignment equals the per-centroid struct-min formulation") {
+    // pins the O(1)-tree expression to the semantics of the explicit
+    // argmin it replaced: min distance, ties to the lower cell id
+    graft.functions.DotFloat.register(spark)
+    val idx = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
+    val structMin = {
+      val scored = idx.centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x.toDouble * x.toDouble).sum
+        struct(
+          (lit(c2) - lit(2.0) * graft.functions.DotFloat.col(
+            col("embedding"), typedLit(c.toSeq))).as("d"),
+          lit(i).as("cell"))
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+    }
+    val diff = emb.select(col("vec_id"),
+        Ivf.assign(col("embedding"), idx).as("a"), structMin.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, s"$diff assignments differ between the two formulations")
+  }
+
+  test("IVF stays viable at realistic cell counts (nlist=1024)") {
+    // the per-centroid expression tree this replaced would exceed
+    // Janino/plan limits here; NearestCell is one expression at any nlist
+    val emb2 = graft.sources.Tables(spark, sf01).embeddings
+    val idx = Ivf.train(spark, emb2, "vec_id", "embedding", nlist = 1024, iters = 1)
+    assert(idx.nlist == 1024)
+    val cells = emb2.select(Ivf.assign(col("embedding"), idx).as("cell"))
+    val occupied = cells.groupBy("cell").count()
+    assert(occupied.count() >= 128, "corpus spreads across many cells")
+    val mm = cells.agg(min("cell"), max("cell")).head()
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) < 1024, "cells in range")
+
+    val q = emb2.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val rest = emb2.filter(col("vec_id") =!= 0L)
+    val exact = Similarity.topK(rest, "vec_id", "embedding", q.toSeq, 10)
+      .collect().map(_.getLong(0)).toSet
+    val all = Ivf.topK(spark, rest, "vec_id", "embedding", idx, q, 10, nprobe = 1024)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == exact, "probing every cell must equal brute force at nlist=1024")
+  }
 }

@@ -25,4 +25,5 @@ abstract class GraftSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   val sf0001 = "/root/testdata/sf0.001"
   val sf001  = "/root/testdata/sf0.01"
+  val sf01   = "/root/testdata/sf0.1"
 }
