@@ -169,6 +169,57 @@ object GraphSnapshot {
   def openBucketed(spark: SparkSession, name: String): GraphSnapshot =
     GraphSnapshot(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"))
 
+  /** Open a snapshot INCLUDING un-compacted streaming deltas — the
+    * merge-on-read view of the delta-append upsert sink
+    * ([[graft.streaming.EventStream.upsertUserBatch]]). Base versions
+    * keep their stored tx_max; a delta version implicitly closes its
+    * predecessor, and in an upsert stream the closing tx is exactly
+    * the successor's tx_min — so the derived
+    * `coalesce(tx_max, lead(tx_min) per id)` equals what an in-place
+    * close would have written. Cost: one hash shuffle by id at read
+    * time, which [[compactDeltas]] removes; per-batch write cost stays
+    * O(batch) instead of O(corpus).
+    */
+  def openWithDeltas(spark: SparkSession, dir: String): GraphSnapshot = {
+    def empty(schema: StructType): DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val (baseNodes, baseEdges) =
+      if (readManifest(dir).isDefined) { val g = open(spark, dir); (g.nodes, g.edges) }
+      else (empty(nodeSchema), empty(edgeSchema))
+    val deltaDir = s"$dir/node_deltas"
+    val deltas =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(deltaDir)))
+        spark.read.schema(nodeSchema)
+          .option("recursiveFileLookup", "true").parquet(deltaDir)
+      else empty(nodeSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tx_min"))
+    val nodes = baseNodes.unionByName(deltas)
+      .withColumn("tx_max", coalesce(col("tx_max"), lead(col("tx_min"), 1).over(w)))
+    GraphSnapshot(nodes, baseEdges)
+  }
+
+  /** Fold streaming deltas into the published base: materialize the
+    * merge-on-read view, drop versions dead before `horizon`
+    * (Mvcc.compact), republish, then remove the delta directories.
+    * Plain [[open]] serves reads with zero merge work afterwards.
+    * Crash-safe ordering: the base is republished BEFORE deltas are
+    * deleted — a crash in between leaves duplicate (id, tx_min)
+    * versions, which the merge-on-read window resolves (the first
+    * copy derives tx_max = its own tx_min and drops out of every
+    * visibility predicate).
+    */
+  def compactDeltas(spark: SparkSession, dir: String, horizon: Long = 0L): Unit = {
+    val g = openWithDeltas(spark, dir)
+    // localCheckpoint cuts lineage to the files about to be overwritten
+    val folded = GraphSnapshot(
+      graft.operators.Mvcc.compact(g.nodes, horizon).localCheckpoint(true),
+      g.edges.localCheckpoint(true))
+    folded.write(dir)
+    val deltaDir = new java.io.File(s"$dir/node_deltas")
+    if (deltaDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(deltaDir)
+  }
+
   /** The dst-bucketed edge mirror (written with `mirrorByDst = true`):
     * substitute it for `edges` when a plan's dominant join is on
     * `dst` (IN-direction expansion) to keep that join shuffle-free.

@@ -101,54 +101,48 @@ object EventStream {
 
   /** Streaming graph ingestion — the reference's write-behind writer
     * (WriteEvent queue -> files, STMGraph Raw.hs:253-306) as a
-    * foreachBatch upsert sink: each micro-batch's events become user
-    * nodes merged into the snapshot under one MVCC transaction
-    * (existing versions closed, fresh ones appended), then the new
-    * snapshot version is published. Batch id doubles as the tx id —
-    * exactly-once via Structured Streaming's batch-id replay contract.
+    * DELTA-APPEND upsert sink: each micro-batch writes ONLY its own
+    * rows (the batch's users as fresh node versions, tx_min = batch
+    * id + 1) into one delta directory under the snapshot. Nothing
+    * existing is rewritten, so per-batch cost is O(batch), not
+    * O(corpus) — the previous design republished the whole node table
+    * every micro-batch, a scale-killer for a continuous stream.
+    * Version closure is derived at read time
+    * ([[graft.core.GraphSnapshot.openWithDeltas]]): in an upsert
+    * stream the closing tx IS the successor's tx_min, so the derived
+    * tx_max equals what an in-place close would have written.
+    * Exactly-once: the delta path is keyed by batch id and written
+    * with overwrite, so Structured Streaming's batch-id replay
+    * contract makes redelivery idempotent. Pass `checkpointDir` in
+    * production so batch ids stay monotonic across restarts; fold the
+    * accumulated deltas periodically with
+    * [[graft.core.GraphSnapshot.compactDeltas]].
     */
   def upsertUsersIntoSnapshot(spark: SparkSession, srcDir: String,
-      snapshotDir: String): StreamingQuery = {
-    import org.apache.spark.sql.functions.{count => cnt}
+      snapshotDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(srcDir)
+    val w = src.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      upsertUserBatch(batch, batchId + 1, snapshotDir)
+    }
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.trigger(Trigger.AvailableNow()).start()
+  }
 
-    src.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val tx = batchId + 1
-      val incoming = batch.groupBy(col("user_id")).agg(cnt(lit(1)).as("n"))
-        .select(col("user_id").as("id"), lit("user").as("label"),
-          graft.model.PropValues.propsMap(
-            "events" -> graft.model.PropValues.pvInt(col("n"))).as("props"))
-      // localCheckpoint materializes the current version and cuts its
-      // lineage to the files we are about to overwrite (Spark rejects
-      // reading and overwriting the same path in one plan)
-      val current =
-        if (graft.core.GraphSnapshot.readManifest(snapshotDir).isDefined)
-          graft.core.GraphSnapshot.open(batch.sparkSession, snapshotDir).nodes
-            .localCheckpoint(true)
-        else batch.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          graft.core.GraphSnapshot.nodeSchema)
-      // close existing versions of arriving users (broadcast join, no
-      // driver collect), append fresh ones
-      val arriving = broadcast(incoming.select(col("id").as("__a")))
-      val closed = current.join(arriving, col("id") === col("__a"), "left")
-        .withColumn("tx_max",
-          when(col("__a").isNotNull && col("tx_max").isNull, lit(tx))
-            .otherwise(col("tx_max")))
-        .drop("__a")
-      val fresh = incoming
-        .withColumn("tx_min", lit(tx)).withColumn("tx_max", lit(null).cast("long"))
-        .select(current.columns.map(col): _*)
-      graft.core.GraphSnapshot(
-        closed.unionAll(fresh),
-        batch.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          graft.core.GraphSnapshot.edgeSchema)).write(snapshotDir)
-      ()
-    }.trigger(Trigger.AvailableNow()).start()
+  /** One micro-batch of the delta-append upsert sink: aggregate the
+    * batch's events per user and write them as fresh node versions to
+    * `node_deltas/delta_<tx>` (overwrite = idempotent replay).
+    */
+  def upsertUserBatch(batch: DataFrame, tx: Long, snapshotDir: String): Unit = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    batch.groupBy(col("user_id")).agg(cnt(lit(1)).as("n"))
+      .select(col("user_id").as("id"), lit("user").as("label"),
+        graft.model.PropValues.propsMap(
+          "events" -> graft.model.PropValues.pvInt(col("n"))).as("props"),
+        lit(tx).as("tx_min"), lit(null).cast("long").as("tx_max"))
+      .write.mode("overwrite").parquet(s"$snapshotDir/node_deltas/delta_$tx")
   }
 
   /** Run the streaming query to completion against the (finite)

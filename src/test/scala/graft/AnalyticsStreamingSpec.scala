@@ -101,22 +101,59 @@ class AnalyticsStreamingSpec extends GraftSuite {
     assert(streamed == distinct, s"doubled deliveries must dedup to $distinct, got $streamed")
   }
 
-  test("foreachBatch upsert sink publishes an MVCC snapshot with manifest") {
+  test("delta-append upsert sink: O(batches) delta files, merge-on-read, compaction") {
+    import graft.core.GraphSnapshot
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val events = graft.sources.Tables(spark, sf0001).events
+    val users = events.select("user_id").distinct().count()
+
     val q = EventStream.upsertUsersIntoSnapshot(spark, sf0001, dir)
     q.awaitTermination(120000)
-    val g = graft.core.GraphSnapshot.open(spark, dir)
-    val users = graft.sources.Tables(spark, sf0001).events
-      .select("user_id").distinct().count()
-    assert(g.nbNodes == users, "one live user node per distinct user")
-    val manifest = graft.core.GraphSnapshot.readManifest(dir)
-    assert(manifest.exists(_.contains(s""""n_nodes": $users""")), s"manifest: $manifest")
-    // re-running the same finite stream into the same snapshot upserts
-    // (closes + re-appends) rather than duplicating live rows
-    val q2 = EventStream.upsertUsersIntoSnapshot(spark, sf0001, dir)
-    q2.awaitTermination(120000)
-    val g2 = graft.core.GraphSnapshot.open(spark, dir)
-    assert(g2.nbNodes == users, "second delivery upserts, not duplicates")
+    // the sink wrote ONLY delta files — no base republish per batch
+    assert(!new java.io.File(s"$dir/nodes").exists(), "no full-table rewrite")
+    def deltaDirs = Option(new java.io.File(s"$dir/node_deltas").listFiles())
+      .map(_.count(_.isDirectory)).getOrElse(0)
+    assert(deltaDirs == 1, "AvailableNow over the finite source = one batch = one delta")
+    assert(GraphSnapshot.openWithDeltas(spark, dir).nbNodes == users,
+      "one live user node per distinct user")
+
+    // a later batch touches only its own rows: one new delta dir,
+    // upserted users get a fresh version whose predecessor derives
+    // tx_max = the successor's tx_min
+    val batch2 = events.filter(col("user_id") % 10 === 0)
+    val reupserted = batch2.select("user_id").distinct().count()
+    EventStream.upsertUserBatch(batch2, tx = 2L, dir)
+    assert(deltaDirs == 2, "second batch appends exactly one delta")
+    val g2 = GraphSnapshot.openWithDeltas(spark, dir)
+    assert(g2.nbNodes == users, "upsert closes + re-appends, no live duplicates")
+    assert(g2.nodes.filter(col("tx_max") === 2L).count() == reupserted,
+      "predecessors of re-upserted users derive tx_max = 2")
+
+    // batch replay (same tx) overwrites its own delta dir — idempotent
+    EventStream.upsertUserBatch(batch2, tx = 2L, dir)
+    assert(deltaDirs == 2 && GraphSnapshot.openWithDeltas(spark, dir).nbNodes == users)
+
+    // compaction folds deltas into a published base: plain open serves
+    // identical live rows with zero merge work, manifest included
+    val expected = GraphSnapshot.openWithDeltas(spark, dir).live.nodes
+      .select("id", "tx_min").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    GraphSnapshot.compactDeltas(spark, dir)
+    assert(!new java.io.File(s"$dir/node_deltas").exists(), "deltas removed")
+    val compacted = GraphSnapshot.open(spark, dir)
+    assert(compacted.live.nodes.select("id", "tx_min").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expected,
+      "compaction preserves the live set exactly")
+    assert(compacted.nodes.count() == users + reupserted,
+      "horizon 0 keeps full version history")
+    assert(GraphSnapshot.readManifest(dir).exists(_.contains(s""""n_nodes": $users""")))
+
+    // a horizon past the closing tx drops the dead predecessors
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-upsert2").toString
+    EventStream.upsertUserBatch(events, tx = 1L, dir2)
+    EventStream.upsertUserBatch(batch2, tx = 2L, dir2)
+    GraphSnapshot.compactDeltas(spark, dir2, horizon = 3L)
+    assert(GraphSnapshot.open(spark, dir2).nodes.count() == users,
+      "dead pre-horizon versions dropped, live set intact")
   }
 
   test("stream-stream interval join equals the batch range join") {
