@@ -88,16 +88,24 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
     * `<name>_edges` (reopen with [[GraphSnapshot.openBucketed]])
     * rather than raw parquet paths.
     */
-  def writeBucketed(name: String, buckets: Int = 64, mirrorByDst: Boolean = false): Unit = {
-    nodes.write.mode("overwrite").format("parquet")
+  def writeBucketed(name: String, buckets: Int = 64, mirrorByDst: Boolean = false,
+      path: Option[String] = None): Unit = {
+    // with `path` the tables are EXTERNAL (caller-owned location,
+    // e.g. outside the session warehouse); bucket metadata lives in
+    // the catalog either way
+    def w(df: DataFrame, table: String) = {
+      val b = df.write.mode("overwrite").format("parquet")
+      path.fold(b)(p => b.option("path", s"$p/$table"))
+    }
+    w(nodes, s"${name}_nodes")
       .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${name}_nodes")
-    edges.write.mode("overwrite").format("parquet")
+    w(edges, s"${name}_edges")
       .bucketBy(buckets, "src").sortBy("src").saveAsTable(s"${name}_edges")
     // the IN direction joins on dst; covering it shuffle-free costs a
     // second edge copy bucketed by dst — the classic adjacency
     // duplication trade, paid in storage not shuffle (SCALE.md)
     if (mirrorByDst)
-      edges.write.mode("overwrite").format("parquet")
+      w(edges, s"${name}_edges_dst")
         .bucketBy(buckets, "dst").sortBy("dst").saveAsTable(s"${name}_edges_dst")
   }
 

@@ -47,15 +47,26 @@ object QueryStep {
     * Output: src_id, rel_id, direction, rel_label, rel_props,
     * tgt_id, tgt_label, tgt_props.
     */
-  def apply(g: GraphSnapshot, sources: DataFrame, step: RelationStep): DataFrame = {
+  def apply(g: GraphSnapshot, sources: DataFrame, step: RelationStep): DataFrame =
+    apply(g, sources, step, edgesByDst = None)
+
+  /** As [[apply]], with an optional dst-clustered copy of the edge
+    * table ([[GraphSnapshot.writeBucketed]] `mirrorByDst`): the IN
+    * half expands from it, so when edges are bucketed by `src` and
+    * the mirror by `dst`, BOTH-direction expansion joins are
+    * shuffle-free in both directions.
+    */
+  def apply(g: GraphSnapshot, sources: DataFrame, step: RelationStep,
+      edgesByDst: Option[DataFrame]): DataFrame = {
     val live = g.live
+    val liveEdgesByDst = edgesByDst.map(_.filter(col("tx_max").isNull))
 
     def half(dir: Direction): DataFrame = {
       val (fromCol, toCol, toLabel) = dir match {
         case IN => ("dst", "src", "srcLabel")
         case _  => ("src", "dst", "dstLabel")
       }
-      var e = live.edges
+      var e = if (dir == IN) liveEdgesByDst.getOrElse(live.edges) else live.edges
       if (step.relTypes.nonEmpty) e = e.filter(col("label").isin(step.relTypes: _*))
       if (step.tgtTypes.nonEmpty) e = e.filter(col(toLabel).isin(step.tgtTypes: _*))
 

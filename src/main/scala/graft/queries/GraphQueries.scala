@@ -58,6 +58,56 @@ object GraphQueries extends QueryModule {
     exists(coalesce(col("props").getItem("name"), array()),
       v => v.getField("vText").startsWith("red "))
 
+  /** Publish the sf-dir graph once per session as EXTERNAL bucketed
+    * tables (nodes by id, edges by src, dst mirror) and reopen through
+    * the catalog — the cluster-scale layout SCALE.md designs, under
+    * the same oracle gate as the in-memory snapshot. Memoized per
+    * (SparkContext, dir): the publish is ingest cost (benched
+    * separately as `ingest`); the gate/bench queries measure the
+    * query-side payoff — the expansion join plans with zero Exchange
+    * because both sides arrive pre-hashed on the join key.
+    * Bucket count is sized for test SFs; at 100 TB it scales with the
+    * data (thousands), chosen once at publish time.
+    */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private[queries] def bucketedSnapshot(
+      s: org.apache.spark.sql.SparkSession, dir: String): graft.core.GraphSnapshot = {
+    val name = bucketedCache.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir), {
+        val base = "graft_bsnap_" + java.lang.Integer.toHexString(dir.hashCode)
+        val loc  = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+        TpchGraph.snapshot(s, dir).writeBucketed(base, buckets = 16,
+          mirrorByDst = true, path = Some(loc))
+        base
+      })
+    graft.core.GraphSnapshot.openBucketed(s, name)
+  }
+
+  private[queries] def bucketedDstMirror(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    bucketedSnapshot(s, dir) // ensure published
+    val name = bucketedCache((System.identityHashCode(s.sparkContext), dir))
+    s.table(s"${name}_edges_dst")
+  }
+
+  // step-query oracles, shared verbatim by the plain and bucketed
+  // variants — same semantics, different storage layout
+  private def stepOutLimitOracle: String =
+    s"""SELECT o_custkey + $CUST AS src_id,
+       |       o_orderkey + $E_PLACED AS rel_id,
+       |       o_orderkey + $ORDER AS tgt_id
+       |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+       |      FROM orders) WHERE rn <= 2""".stripMargin
+
+  private def stepBothOracle: String =
+    s"""SELECT l_orderkey + $ORDER AS src_id, 'OUT' AS direction, count(*) AS n
+       |FROM lineitem GROUP BY l_orderkey
+       |UNION ALL
+       |SELECT o_orderkey + $ORDER AS src_id, 'IN' AS direction, 1 AS n
+       |FROM orders""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     // ---- graph-level COW property update (updateObject analog) ----
     QueryDef(
@@ -188,11 +238,24 @@ object GraphQueries extends QueryModule {
           RelationStep(relTypes = Seq("placed"), direction = OUT, limit = Some(2)))
           .select(col("src_id"), col("rel_id"), col("tgt_id"))
       },
-      Some(s"""SELECT o_custkey + $CUST AS src_id,
-              |       o_orderkey + $E_PLACED AS rel_id,
-              |       o_orderkey + $ORDER AS tgt_id
-              |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
-              |      FROM orders) WHERE rn <= 2""".stripMargin)
+      Some(stepOutLimitOracle)
+    ),
+
+    // ---- the same OUT expansion over the PUBLISHED BUCKETED layout ----
+    // (SCALE.md's headline claim under the gate: nodes bucketed by id,
+    // edges by src ⇒ the expansion join is a shuffle-free sort-merge
+    // join over pre-hashed buckets; semantics must be identical to
+    // q_step_out_limit, per HGraphStorage Query.hs:42-82.)
+    QueryDef(
+      "q_step_out_limit_bucketed",
+      "1-hop OUT expansion over the published bucketed snapshot (zero-shuffle join)",
+      (s, dir) => {
+        val g = bucketedSnapshot(s, dir)
+        QueryStep(g, g.nodes.filter(col("label") === "customer"),
+          RelationStep(relTypes = Seq("placed"), direction = OUT, limit = Some(2)))
+          .select(col("src_id"), col("rel_id"), col("tgt_id"))
+      },
+      Some(stepOutLimitOracle)
     ),
 
     // ---- queryStep IN with target-type filter on the edge scan ----
@@ -224,11 +287,24 @@ object GraphQueries extends QueryModule {
           .groupBy(col("src_id"), col("direction"))
           .agg(count(lit(1)).as("n"))
       },
-      Some(s"""SELECT l_orderkey + $ORDER AS src_id, 'OUT' AS direction, count(*) AS n
-              |FROM lineitem GROUP BY l_orderkey
-              |UNION ALL
-              |SELECT o_orderkey + $ORDER AS src_id, 'IN' AS direction, 1 AS n
-              |FROM orders""".stripMargin)
+      Some(stepBothOracle)
+    ),
+
+    // ---- BOTH-direction expansion over the bucketed layout + dst mirror ----
+    // the IN half expands from the dst-bucketed edge copy, so both
+    // halves' expansion joins are shuffle-free (the adjacency
+    // duplication trade: storage, not shuffle)
+    QueryDef(
+      "q_step_both_bucketed",
+      "BOTH expansion over bucketed snapshot; IN half from the dst mirror",
+      (s, dir) => {
+        val g = bucketedSnapshot(s, dir)
+        QueryStep(g, g.nodes.filter(col("label") === "order"),
+          RelationStep(direction = BOTH), edgesByDst = Some(bucketedDstMirror(s, dir)))
+          .groupBy(col("src_id"), col("direction"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(stepBothOracle)
     ),
 
     // ---- traversal: Ns >> Has >> OutE >> Values ----

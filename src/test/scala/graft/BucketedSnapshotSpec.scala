@@ -70,4 +70,37 @@ class BucketedSnapshotSpec extends GraftSuite {
       dropLeftovers("gsnap_nodes", "gsnap_edges", "gsnap_edges_dst")
     }
   }
+
+  test("bucketed gate queries: zero-Exchange expansion, results equal the plain variants") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at 100 TB neither side broadcasts — force the large-table path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      def rows(name: String) = graft.queries.Catalog.byName(name)
+        .build(spark, sf0001).collect().map(_.toSeq).toSet
+      def exchanges(name: String): Int = {
+        val plan = graft.queries.Catalog.byName(name)
+          .build(spark, sf0001).queryExecution.executedPlan.toString
+        "Exchange".r.findAllIn(plan).size
+      }
+
+      // OUT + per-source window limit: join AND window both consume
+      // the bucket partitioning — the whole plan has no Exchange
+      assert(exchanges("q_step_out_limit_bucketed") == 0,
+        "bucketed OUT expansion + window must be shuffle-free")
+      assert(rows("q_step_out_limit_bucketed") == rows("q_step_out_limit"))
+
+      // BOTH over src-buckets + dst mirror: both expansion halves are
+      // shuffle-free SMJs, and the per-group count consumes the same
+      // hash partitioning THROUGH the union (both children cluster on
+      // src_id with the same bucket count), so the whole plan — two
+      // joins plus the aggregate — has no Exchange at all
+      assert(exchanges("q_step_both_bucketed") == 0,
+        "mirrored BOTH expansion + aggregate must be shuffle-free")
+      assert(rows("q_step_both_bucketed") == rows("q_step_both"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+  }
 }
