@@ -84,10 +84,15 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(name: String, run: () => Double, reps: Int = 3): Double = {
       run() // per-query warmup, uncounted
-      val ts = Seq.fill(reps)(run()).filter(_ >= 0).sorted
+      var ts = Seq.fill(reps)(run()).filter(_ >= 0).sorted
       if (ts.isEmpty) { spreads(name) = -1.0; return -1.0 }
+      def spreadOf(s: Seq[Double]) = (s.last - s.head) / s(s.size / 2)
+      // adaptive widening: a single GC/JIT outlier can blow the
+      // 3-rep spread past any useful threshold on a sub-second query;
+      // two more reps make the median robust to one outlier in five
+      if (spreadOf(ts) > 0.3) ts = (ts ++ Seq.fill(2)(run()).filter(_ >= 0)).sorted
       val med = ts(ts.size / 2)
-      spreads(name) = if (med > 0) BigDecimal((ts.last - ts.head) / med)
+      spreads(name) = if (med > 0) BigDecimal(spreadOf(ts))
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
       med
     }
