@@ -51,6 +51,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // local-iteration filter: comma-separated query names; unset (the
+    // driver's mode) runs the full headline set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Graft.session("graft-bench", cpus)
 
@@ -81,19 +85,28 @@ object Bench {
     // damps one-off GC/page-cache outliers in EITHER direction; the
     // spread ((max-min)/median) says how much to trust the number —
     // flag a regression only when it exceeds the recorded spread.
-    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spreads    = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spreadsPre = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val repsUsed   = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, run: () => Double, reps: Int = 3): Double = {
       run() // per-query warmup, uncounted
       var ts = Seq.fill(reps)(run()).filter(_ >= 0).sorted
-      if (ts.isEmpty) { spreads(name) = -1.0; return -1.0 }
+      if (ts.isEmpty) { spreads(name) = -1.0; spreadsPre(name) = -1.0; repsUsed(name) = 0; return -1.0 }
       def spreadOf(s: Seq[Double]) = (s.last - s.head) / s(s.size / 2)
+      def r3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the raw 3-rep spread is recorded BEFORE widening so readers can
+      // tell a genuinely stable query from one the widening rescued
+      spreadsPre(name) = r3(spreadOf(ts))
       // adaptive widening: a single GC/JIT outlier can blow the
-      // 3-rep spread past any useful threshold on a sub-second query;
-      // two more reps make the median robust to one outlier in five
-      if (spreadOf(ts) > 0.3) ts = (ts ++ Seq.fill(2)(run()).filter(_ >= 0)).sorted
+      // 3-rep spread past any useful threshold on a sub-second query.
+      // Widen two reps at a time until the spread converges below the
+      // threshold or the rep budget (9) runs out — one fixed +2 step
+      // was measured to under-deliver on noisy multi-second queries.
+      while (spreadOf(ts) > 0.3 && ts.size < 9)
+        ts = (ts ++ Seq.fill(2)(run()).filter(_ >= 0)).sorted
       val med = ts(ts.size / 2)
-      spreads(name) = if (med > 0) BigDecimal(spreadOf(ts))
-        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      spreads(name)  = if (med > 0) r3(spreadOf(ts)) else 0.0
+      repsUsed(name) = ts.size
       med
     }
     def best(n: String): Double = timed(n, () => runOnce(n))
@@ -110,13 +123,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = headline.map(n => n -> best(n)) :+
-      ("ingest" -> timed("ingest", () => ingest())) :+
-      ("index_build" -> timed("index_build", () => indexBuild()))
+    def wanted(n: String) = only.forall(_.contains(n))
+    val results = headline.filter(wanted).map(n => n -> best(n)) ++
+      (if (wanted("ingest")) Seq("ingest" -> timed("ingest", () => ingest())) else Nil) ++
+      (if (wanted("index_build")) Seq("index_build" -> timed("index_build", () => indexBuild())) else Nil)
+    // convergence rounds of the last clustering run: a swing in rounds
+    // explains a swing in seconds (q_dedup_cluster is iterative)
+    val ccRounds = graft.operators.Components.lastRounds
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val spp = spreadsPre.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rps = repsUsed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_pre":$spp,"reps":$rps,"cluster_rounds":$ccRounds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** HashMin label propagation over an arbitrary undirected edge list —
   * the shared core of [[graft.analytics.GraphAnalytics.connectedComponentsDF]]
@@ -15,8 +16,22 @@ import org.apache.spark.sql.functions._
   * diameters (clusters are quasi-cliques), so this converges in 2-3
   * rounds at any corpus size; for deep graphs bound `maxIters` and
   * prefer the GraphX form.
+  *
+  * Execution harnessing: each round is exactly ONE job — the frame is
+  * persisted (explicit MEMORY_AND_DISK, spill-not-evict) and the
+  * convergence count comes from the same aggregation that materializes
+  * it, not a second `isEmpty` pass. Superseded rounds are unpersisted
+  * eagerly, so repeated invocations (bench reps, long sessions) do not
+  * accumulate executor blocks — the accumulation was measured as the
+  * dominant run-to-run variance of the clustering bench line.
   */
 object Components {
+
+  /** Rounds taken by the most recent [[minLabel]] call in this JVM.
+    * Surfaced so the bench can record convergence alongside the
+    * timing: a swing in rounds explains a swing in seconds.
+    */
+  @volatile var lastRounds: Int = 0
 
   /** `nodes`: single column `id`. `edges`: columns `u`, `v` (each
     * undirected pair in either or both orientations). Returns
@@ -24,31 +39,37 @@ object Components {
     * `id` (isolated nodes map to themselves).
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    // symmetrize once; localCheckpoint materializes it for reuse every
-    // round (cluster scale: reliable checkpoint instead)
+    // symmetrize once; persisted because every round re-reads it
     val nbrs = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    var comp  = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = nodes.select(col("id"), col("id").as("component"))
+    var persisted: DataFrame = null // the cached frame backing `comp`
     var round = 0
     var done  = false
     while (!done && round < maxIters) {
       val nbrMin = nbrs
         .join(comp.select(col("id").as("v"), col("component").as("vc")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vc")).as("nc"))
-      // carry the did-anything-change flag IN the round's frame: the
-      // localCheckpoint materializes it, so convergence detection is
-      // a scan of cached blocks, not a second join per round
       val next = comp
         .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
           (coalesce(col("nc"), col("component")) < col("component")).as("changed"))
-        .localCheckpoint()
-      done = next.filter(col("changed")).isEmpty
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // one job: builds the round's cached blocks AND counts changes
+      val changed = next.agg(count(when(col("changed"), lit(1))).as("c")).head().getLong(0)
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = next
       comp = next.select("id", "component")
+      done = changed == 0L
       round += 1
     }
+    lastRounds = round
+    // the final round's blocks stay cached for the caller; the
+    // symmetrized edges are no longer needed (a lost final block
+    // recomputes through lineage — standard fault story)
+    nbrs.unpersist(blocking = false)
     comp
   }
 }

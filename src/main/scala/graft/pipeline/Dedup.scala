@@ -122,12 +122,20 @@ object Dedup {
       maxIters: Int = 50): DataFrame = {
     // materialize the (possibly expensive) pair-mining plan ONCE: both
     // the node list and the propagation edges derive from it, and the
-    // HashMin loop re-reads it every round
-    val edges = pairs.select(col(a).as("u"), col(b).as("v")).localCheckpoint()
+    // HashMin loop re-reads it every round. Explicit persist (not
+    // localCheckpoint) so it can be released as soon as the loop
+    // converges — checkpoint blocks that outlive the call were the
+    // measured source of bench-to-bench variance.
+    val edges = pairs.select(col(a).as("u"), col(b).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id"))).distinct()
-    graft.operators.Components.minLabel(ids, edges, maxIters)
+    val comp = graft.operators.Components.minLabel(ids, edges, maxIters)
       .select(col("id"), col("component").as("canonical"))
+    // minLabel materialized its final round before returning; the
+    // mined pairs are no longer read by the result plan's hot path
+    edges.unpersist(blocking = false)
+    comp
   }
 
   /** Benchmark decontamination: training documents sharing at least
