@@ -47,7 +47,13 @@ object Bench {
     // memoized per session); timed reps measure the query-side payoff
     // of the zero-shuffle expansion join vs the unbucketed q_step_*
     "q_step_out_limit_bucketed",
-    "q_step_both_bucketed")
+    "q_step_both_bucketed",
+    // round 6: IVF over the cell-PARTITIONED published layout — the
+    // warmup rep pays train+publish (memoized per session); timed reps
+    // measure the probe reading nprobe/nlist of the files vs q_ann_ivf,
+    // which re-trains and assigns cells over the full corpus per run
+    "q_ann_ivf",
+    "q_ann_ivf_probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

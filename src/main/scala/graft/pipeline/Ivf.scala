@@ -61,23 +61,65 @@ object Ivf {
     IvfIndex(centroids)
   }
 
-  /** Search: probe the query's nprobe nearest cells, cosine top-k
-    * within them (native expression), deterministic ordering.
+  /** Cells in probe order for `query`: ascending distance to the
+    * centroid, ties to the lower cell id. Driver-side over the KB-MB
+    * centroid matrix — the probe list enters the plan as a literal.
     */
-  def topK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
-      index: IvfIndex, query: Array[Float], k: Int, nprobe: Int): DataFrame = {
-    graft.functions.CosineSim.register(spark)
-    NearestCell.register(spark)
+  def probeOrder(index: IvfIndex, query: Array[Float]): Seq[Int] = {
     val q2 = (c: Array[Float]) => {
       var d = 0.0; var i = 0
       while (i < c.length) { d += (query(i).toDouble - c(i)) * (query(i).toDouble - c(i)); i += 1 }
       d
     }
-    val probeCells = index.centroids.zipWithIndex
-      .sortBy { case (c, i) => (q2(c), i) }.take(nprobe).map(_._2).toSeq
+    index.centroids.zipWithIndex.sortBy { case (c, i) => (q2(c), i) }.map(_._2).toSeq
+  }
+
+  /** Search: probe the query's nprobe nearest cells, cosine top-k
+    * within them (native expression), deterministic ordering. Assigns
+    * cells over the full corpus at query time — correct anywhere, but
+    * the scale path is [[writePartitioned]] + [[topKPartitioned]],
+    * where the probe filter prunes at the FILE level.
+    */
+  def topK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex, query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    NearestCell.register(spark)
+    val probeCells = probeOrder(index, query).take(nprobe)
     emb
       .withColumn("cell", assign(col(vecCol), index))
       .filter(col("cell").isin(probeCells: _*))
+      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"), col("cell"))
+  }
+
+  /** Publish the corpus PARTITIONED BY trained cell id — the ANN
+    * analog of [[graft.core.GraphSnapshot.writeBucketed]] and the
+    * missing half of the Ivf scale story: cell assignment happens ONCE
+    * at publish time, and a probe then reads only nprobe/nlist of the
+    * files via partition pruning (reference intent: ID→offset O(1)
+    * access, HGraphStorage FileOps.hs:153-169 — here cell→directory).
+    * At 100 TB add bucketing within cells; the pruning mechanics are
+    * identical.
+    */
+  def writePartitioned(emb: DataFrame, vecCol: String, index: IvfIndex, path: String): Unit =
+    emb.withColumn("cell", assign(col(vecCol), index))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search over a published cell-partitioned corpus. The probe-cell
+    * filter is a PARTITION filter — only the probed directories are
+    * listed and read (IvfSpec pins selectedPartitions == nprobe) — and
+    * [[NearestCell]] is never evaluated at query time. `pred` is an
+    * extra row filter applied before the top-k (pushed to the scan).
+    */
+  def topKPartitioned(spark: SparkSession, path: String, idCol: String, vecCol: String,
+      index: IvfIndex, query: Array[Float], k: Int, nprobe: Int,
+      pred: Column = lit(true)): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val probeCells = probeOrder(index, query).take(nprobe)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*) && pred)
       .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)

@@ -69,28 +69,21 @@ object GraphQueries extends QueryModule {
     * Bucket count is sized for test SFs; at 100 TB it scales with the
     * data (thousands), chosen once at publish time.
     */
-  private val bucketedCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def bucketedName(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    SessionPublish.once(s, "bsnap|" + dir) {
+      val base = "graft_bsnap_" + SessionPublish.token(dir)
+      TpchGraph.snapshot(s, dir).writeBucketed(base, buckets = 16,
+        mirrorByDst = true, path = Some(SessionPublish.tempDir("graft-bucketed")))
+      base
+    }
 
   private[queries] def bucketedSnapshot(
-      s: org.apache.spark.sql.SparkSession, dir: String): graft.core.GraphSnapshot = {
-    val name = bucketedCache.getOrElseUpdate(
-      (System.identityHashCode(s.sparkContext), dir), {
-        val base = "graft_bsnap_" + java.lang.Integer.toHexString(dir.hashCode)
-        val loc  = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
-        TpchGraph.snapshot(s, dir).writeBucketed(base, buckets = 16,
-          mirrorByDst = true, path = Some(loc))
-        base
-      })
-    graft.core.GraphSnapshot.openBucketed(s, name)
-  }
+      s: org.apache.spark.sql.SparkSession, dir: String): graft.core.GraphSnapshot =
+    graft.core.GraphSnapshot.openBucketed(s, bucketedName(s, dir))
 
   private[queries] def bucketedDstMirror(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    bucketedSnapshot(s, dir) // ensure published
-    val name = bucketedCache((System.identityHashCode(s.sparkContext), dir))
-    s.table(s"${name}_edges_dst")
-  }
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    s.table(s"${bucketedName(s, dir)}_edges_dst")
 
   // step-query oracles, shared verbatim by the plain and bucketed
   // variants — same semantics, different storage layout

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memoization for published storage layouts (bucketed
+  * graph tables, cell-partitioned ANN corpora). Publishing is ingest
+  * cost, paid once per (application, source dir); queries then measure
+  * only the read-side payoff.
+  *
+  * Hardening (each fixes a real race/collision):
+  *  - keys include `sparkContext.applicationId`, not an identity hash
+  *    of the context — a stopped-then-recreated context can reuse an
+  *    identity hash and would be served a table name that no longer
+  *    exists in the new catalog;
+  *  - the publish body runs under a per-key lock
+  *    (`ConcurrentHashMap.computeIfAbsent`) so two racing threads
+  *    cannot both run a side-effecting publish against the same table
+  *    names with different external paths;
+  *  - derived table names use a SHA-256 prefix of the full source dir
+  *    ([[token]]) — 32-bit String.hashCode collisions would let two
+  *    distinct dirs publish to the same names, the second overwriting
+  *    the first's catalog entries;
+  *  - temp directories are deleted on JVM exit ([[tempDir]]) so fresh
+  *    sessions do not permanently leak full published copies.
+  */
+private[graft] object SessionPublish {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Collision-resistant filesystem/catalog-safe token for a source
+    * path (48 bits of SHA-256 — no birthday collisions at any
+    * realistic number of dirs per session).
+    */
+  def token(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** A temp directory that is removed when the JVM exits. Long-lived
+    * deployments should pass an owned, managed location instead.
+    */
+  def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+    d.toString
+  }
+
+  /** Run `publish` at most once per (application, key); concurrent
+    * callers for the same key block until the first finishes and then
+    * share its result.
+    */
+  def once[A <: AnyRef](spark: SparkSession, key: String)(publish: => A): A =
+    cache.computeIfAbsent(spark.sparkContext.applicationId + "|" + key,
+      _ => publish).asInstanceOf[A]
+}

@@ -17,6 +17,25 @@ object SimilarityQueries extends QueryModule {
   private def signSql(p: Int, d: Int) =
     s"(CASE WHEN CAST(('0x' || substr(md5('${p}_$d'), 1, 2)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
 
+  /** Train an IVF index and publish the corpus partitioned by cell —
+    * once per (application, dir, nlist); the index build is ingest
+    * cost, the probed queries below measure the read-side payoff
+    * (partition-pruned scans).
+    */
+  private def ivfLayout(s: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int): (graft.pipeline.Ivf.IvfIndex, String) =
+    SessionPublish.once(s, s"ivf|$dir|$nlist") {
+      val emb  = Tables(s, dir).embeddings
+      val idx  = graft.pipeline.Ivf.train(s, emb, "vec_id", "embedding", nlist)
+      val path = SessionPublish.tempDir("graft-ivf")
+      graft.pipeline.Ivf.writePartitioned(emb, "embedding", idx, path)
+      (idx, path)
+    }
+
+  private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Array[Float] =
+    Tables(s, dir).embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
   override def queries: Seq[QueryDef] = Seq(
     // ---- brute-force cosine top-k against a stored query vector ----
     QueryDef(
@@ -169,6 +188,47 @@ object SimilarityQueries extends QueryModule {
              |   sqrt(list_dot_product(qv, qv))), 6) AS cos
              |FROM embeddings, q WHERE vec_id <> 0
              |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ---- IVF over the published cell-PARTITIONED layout ----
+    // Same gate shape as q_ann_ivf (nprobe = nlist ≡ brute force, so
+    // the brute-force SQL is an exact oracle), but the corpus is read
+    // from the cell-partitioned publish: assignment happened at write
+    // time, the probe filter prunes partitions, and NearestCell never
+    // runs at query time. IvfSpec pins selectedPartitions == nprobe.
+    QueryDef(
+      "q_ann_ivf_partitioned",
+      "IVF top-10 over the cell-partitioned published corpus, probe all cells (≡ brute force)",
+      (s, dir) => {
+        val (idx, path) = ivfLayout(s, dir, nlist = 8)
+        graft.pipeline.Ivf.topKPartitioned(s, path, "vec_id", "embedding",
+          idx, queryVec(s, dir), k = 10, nprobe = idx.nlist,
+          pred = col("vec_id") =!= 0L)
+          .drop("cell")
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /
+             |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ---- IVF partial probe over the partitioned layout (scale path) ----
+    // nprobe=2 of 8: the scan lists and reads 1/4 of the corpus files.
+    // Training-dependent (which vectors land in the probed cells), so
+    // no SQL oracle — the driver records rows>0; IvfSpec asserts
+    // recall and the partition-pruned plan.
+    QueryDef(
+      "q_ann_ivf_probe",
+      "IVF top-10 probing 2/8 cells of the partitioned corpus (partition-pruned scan)",
+      (s, dir) => {
+        val (idx, path) = ivfLayout(s, dir, nlist = 8)
+        graft.pipeline.Ivf.topKPartitioned(s, path, "vec_id", "embedding",
+          idx, queryVec(s, dir), k = 10, nprobe = 2,
+          pred = col("vec_id") =!= 0L)
+      },
+      None
     ),
 
     // ---- multi-probe LSH ANN (bucket + Hamming-2 neighbors) ----

@@ -55,6 +55,52 @@ class IvfSpec extends GraftSuite {
     assert(diff == 0, s"$diff assignments differ between the two formulations")
   }
 
+  test("cell-partitioned layout: probes prune partitions and preserve results") {
+    val idx = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf-part").toString
+    Ivf.writePartitioned(emb, "embedding", idx, path)
+
+    // one directory per occupied cell on disk
+    val cellDirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).toSet
+    val occupied = emb.select(Ivf.assign(col("embedding"), idx).as("cell"))
+      .distinct().collect().map(r => s"cell=${r.getInt(0)}").toSet
+    assert(cellDirs == occupied, "layout is partitioned by trained cell id")
+
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+    // full probe over the layout == brute force (same contract as topK)
+    val exact = Similarity.topK(emb.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", q.toSeq, 10)
+      .collect().map(_.getLong(0)).toSet
+    val full = Ivf.topKPartitioned(spark, path, "vec_id", "embedding",
+        idx, q, 10, nprobe = 8, pred = col("vec_id") =!= 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact, "probing every partition must equal brute force")
+
+    // partial probe reads ONLY the probed directories: the cell filter
+    // must be a partition filter (selectedPartitions == nprobe), and
+    // cell assignment must not be recomputed at query time
+    val probed = Ivf.topKPartitioned(spark, path, "vec_id", "embedding",
+      idx, q, 10, nprobe = 2, pred = col("vec_id") =!= 0L)
+    val scans = probed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "plan reads files")
+    assert(scans.map(_.relation.location.inputFiles.length).sum > 0)
+    val partsRead = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(partsRead == 2, s"probe must read exactly nprobe partitions, read $partsRead")
+    assert(!probed.queryExecution.executedPlan.toString.contains("nearest_cell"),
+      "cell assignment happens at publish time, not query time")
+    // and the probed results agree with assigning cells on the fly
+    val onTheFly = Ivf.topK(spark, emb.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", idx, q, 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val viaLayout = probed.collect().map(_.getLong(0)).toSeq
+    assert(viaLayout == onTheFly, "layout changes I/O, not semantics")
+  }
+
   test("IVF stays viable at realistic cell counts (nlist=1024)") {
     // the per-centroid expression tree this replaced would exceed
     // Janino/plan limits here; NearestCell is one expression at any nlist
