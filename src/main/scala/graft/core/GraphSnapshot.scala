@@ -179,14 +179,19 @@ object GraphSnapshot {
 
   /** Open a snapshot INCLUDING un-compacted streaming deltas — the
     * merge-on-read view of the delta-append upsert sink
-    * ([[graft.streaming.EventStream.upsertUserBatch]]). Base versions
-    * keep their stored tx_max; a delta version implicitly closes its
-    * predecessor, and in an upsert stream the closing tx is exactly
-    * the successor's tx_min — so the derived
-    * `coalesce(tx_max, lead(tx_min) per id)` equals what an in-place
-    * close would have written. Cost: one hash shuffle by id at read
-    * time, which [[compactDeltas]] removes; per-batch write cost stays
-    * O(batch) instead of O(corpus).
+    * ([[graft.streaming.EventStream.upsertUserBatch]] /
+    * [[graft.streaming.EventStream.upsertEdgeBatch]] — the reference's
+    * write-behind writer applies WrittenEdge/DeletedEdge the same way,
+    * STMGraph Raw.hs:253-306). Base versions keep their stored tx_max;
+    * a delta version implicitly closes its predecessor, and in an
+    * upsert stream the closing tx is exactly the successor's tx_min —
+    * so the derived `coalesce(tx_max, lead(tx_min) per id)` equals
+    * what an in-place close would have written. A DELETE delta is a
+    * tombstone (tx_max = tx_min): it closes its predecessor via the
+    * lead window and is itself dead under every visibility predicate.
+    * Cost: one hash shuffle per table by id at read time, which
+    * [[compactDeltas]] removes; per-batch write cost stays O(batch)
+    * instead of O(corpus).
     */
   def openWithDeltas(spark: SparkSession, dir: String): GraphSnapshot = {
     def empty(schema: StructType): DataFrame =
@@ -194,17 +199,20 @@ object GraphSnapshot {
     val (baseNodes, baseEdges) =
       if (readManifest(dir).isDefined) { val g = open(spark, dir); (g.nodes, g.edges) }
       else (empty(nodeSchema), empty(edgeSchema))
-    val deltaDir = s"$dir/node_deltas"
-    val deltas =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(deltaDir)))
-        spark.read.schema(nodeSchema)
-          .option("recursiveFileLookup", "true").parquet(deltaDir)
-      else empty(nodeSchema)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("tx_min"))
-    val nodes = baseNodes.unionByName(deltas)
-      .withColumn("tx_max", coalesce(col("tx_max"), lead(col("tx_min"), 1).over(w)))
-    GraphSnapshot(nodes, baseEdges)
+    def merged(base: DataFrame, schema: StructType, deltaDir: String): DataFrame = {
+      val deltas =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(deltaDir)))
+          spark.read.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(deltaDir)
+        else empty(schema)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("tx_min"))
+      base.unionByName(deltas)
+        .withColumn("tx_max", coalesce(col("tx_max"), lead(col("tx_min"), 1).over(w)))
+    }
+    GraphSnapshot(
+      merged(baseNodes, nodeSchema, s"$dir/node_deltas"),
+      merged(baseEdges, edgeSchema, s"$dir/edge_deltas"))
   }
 
   /** Fold streaming deltas into the published base: materialize the
@@ -222,10 +230,12 @@ object GraphSnapshot {
     // localCheckpoint cuts lineage to the files about to be overwritten
     val folded = GraphSnapshot(
       graft.operators.Mvcc.compact(g.nodes, horizon).localCheckpoint(true),
-      g.edges.localCheckpoint(true))
+      graft.operators.Mvcc.compact(g.edges, horizon).localCheckpoint(true))
     folded.write(dir)
-    val deltaDir = new java.io.File(s"$dir/node_deltas")
-    if (deltaDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(deltaDir)
+    Seq("node_deltas", "edge_deltas").foreach { d =>
+      val deltaDir = new java.io.File(s"$dir/$d")
+      if (deltaDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(deltaDir)
+    }
   }
 
   /** The dst-bucketed edge mirror (written with `mirrorByDst = true`):

@@ -145,6 +145,85 @@ object EventStream {
       .write.mode("overwrite").parquet(s"$snapshotDir/node_deltas/delta_$tx")
   }
 
+  /** One micro-batch of EDGE deltas — the WrittenEdge/DeletedEdge leg
+    * of the reference's write-behind writer (STMGraph Raw.hs:253-306,
+    * Types.hs:507-518), which the sink previously lacked: a streamed
+    * graph that gained edges had to fall back to full republish.
+    * `edges` carries the canonical edge identity + payload columns
+    * (`id`, `src`, `srcLabel`, `dst`, `dstLabel`, `label`, `props`)
+    * plus an optional boolean `deleted`: a deleted row is written as a
+    * TOMBSTONE version (tx_max = tx_min = tx) — it closes the live
+    * predecessor through the merge-on-read lead window and is itself
+    * invisible to every visibility predicate. Written rows open fresh
+    * versions at `tx`. Overwrite per batch id = idempotent replay,
+    * same contract as the node leg.
+    */
+  def upsertEdgeBatch(edges: DataFrame, tx: Long, snapshotDir: String): Unit = {
+    val del = if (edges.columns.contains("deleted")) col("deleted") else lit(false)
+    edges
+      .select(col("id"), col("src"), col("srcLabel"), col("dst"), col("dstLabel"),
+        col("label"), col("props"),
+        lit(tx).as("tx_min"),
+        when(del, lit(tx)).otherwise(lit(null)).cast("long").as("tx_max"))
+      .write.mode("overwrite").parquet(s"$snapshotDir/edge_deltas/delta_$tx")
+  }
+
+  /** Streaming graph ingestion with BOTH legs: each micro-batch
+    * upserts the batch's user nodes, the event-type hub nodes it
+    * touches, and one (user)-[:did]->(event_type) edge per observed
+    * pair, all as O(batch) delta appends. Edge/hub identities are
+    * deterministic hashes of their natural keys (xxhash64 — stable
+    * across replays and engines), so an upsert in a later batch closes
+    * the pair's previous version via the merge-on-read window exactly
+    * like the node leg.
+    */
+  def upsertInteractionsIntoSnapshot(spark: SparkSession, srcDir: String,
+      snapshotDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(srcDir)
+    val w = src.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      upsertInteractionBatch(batch, batchId + 1, snapshotDir)
+    }
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** Deterministic id for an event-type hub node. */
+  def typeNodeId: Column = xxhash64(lit("etype"), col("event_type"))
+
+  /** One interaction micro-batch: user nodes + type hub nodes into
+    * `node_deltas`, (user)-[:did]->(type) count edges into
+    * `edge_deltas` — three O(batch) writes, nothing rewritten.
+    */
+  def upsertInteractionBatch(batch: DataFrame, tx: Long, snapshotDir: String): Unit = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val users = batch.groupBy(col("user_id")).agg(cnt(lit(1)).as("n"))
+      .select(col("user_id").as("id"), lit("user").as("label"),
+        graft.model.PropValues.propsMap(
+          "events" -> graft.model.PropValues.pvInt(col("n"))).as("props"),
+        lit(tx).as("tx_min"), lit(null).cast("long").as("tx_max"))
+    val types = batch.groupBy(col("event_type")).agg(cnt(lit(1)).as("n"))
+      .select(typeNodeId.as("id"), lit("etype").as("label"),
+        graft.model.PropValues.propsMap(
+          "name" -> graft.model.PropValues.pvText(col("event_type")),
+          "events" -> graft.model.PropValues.pvInt(col("n"))).as("props"),
+        lit(tx).as("tx_min"), lit(null).cast("long").as("tx_max"))
+    users.unionByName(types)
+      .write.mode("overwrite").parquet(s"$snapshotDir/node_deltas/delta_$tx")
+    val pairEdges = batch.groupBy(col("user_id"), col("event_type"))
+      .agg(cnt(lit(1)).as("n"))
+      .select(
+        xxhash64(lit("did"), col("user_id"), col("event_type")).as("id"),
+        col("user_id").as("src"), lit("user").as("srcLabel"),
+        typeNodeId.as("dst"), lit("etype").as("dstLabel"),
+        lit("did").as("label"),
+        graft.model.PropValues.propsMap(
+          "count" -> graft.model.PropValues.pvInt(col("n"))).as("props"))
+    upsertEdgeBatch(pairEdges, tx, snapshotDir)
+  }
+
   /** Run the streaming query to completion against the (finite)
     * parquet source into a named memory sink; returns the query.
     */

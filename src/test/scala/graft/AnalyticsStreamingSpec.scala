@@ -156,6 +156,74 @@ class AnalyticsStreamingSpec extends GraftSuite {
       "dead pre-horizon versions dropped, live set intact")
   }
 
+  test("edge deltas: streamed node+edge upserts replay to the in-place graph") {
+    import graft.core.GraphSnapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-e").toString
+    val events = graft.sources.Tables(spark, sf0001).events
+
+    val q = EventStream.upsertInteractionsIntoSnapshot(spark, sf0001, dir)
+    q.awaitTermination(120000)
+    assert(new java.io.File(s"$dir/edge_deltas").exists(), "edge leg written")
+
+    // expected live edges, computed in-place from the same batch
+    def expectedEdges(batch: org.apache.spark.sql.DataFrame) = batch
+      .groupBy(col("user_id"), col("event_type")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val g1 = GraphSnapshot.openWithDeltas(spark, dir).live
+    def liveEdges(g: graft.core.GraphSnapshot) = g.edges
+      .select(col("src"), col("props").getItem("count").getItem(0).getField("vInt").cast("long"),
+        col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val typeIds = g1.nodes.filter(col("label") === "etype")
+      .select(col("id"), col("props").getItem("name").getItem(0).getField("vText"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamed1 = liveEdges(g1).map { case (u, n, d) => (u, typeIds(d), n) }.toSet
+    assert(streamed1 == expectedEdges(events), "one live edge per (user, type), batch counts")
+
+    // a later batch closes ONLY the pairs it touches
+    val batch2 = events.filter(col("user_id") % 10 === 0)
+    val touched = batch2.select("user_id", "event_type").distinct().count()
+    EventStream.upsertInteractionBatch(batch2, tx = 2L, dir)
+    val g2 = GraphSnapshot.openWithDeltas(spark, dir)
+    assert(g2.edges.filter(col("tx_max") === 2L).count() == touched,
+      "predecessors of re-upserted pairs derive tx_max = 2")
+    assert(g2.live.edges.count() == expectedEdges(events).size, "no live duplicates")
+
+    // DeletedEdge analog: tombstones close without successors
+    val dead = batch2.groupBy(col("user_id"), col("event_type")).count()
+      .select(xxhash64(lit("did"), col("user_id"), col("event_type")).as("id"),
+        col("user_id").as("src"), lit("user").as("srcLabel"),
+        EventStream.typeNodeId.as("dst"), lit("etype").as("dstLabel"),
+        lit("did").as("label"),
+        graft.model.PropValues.propsMap(
+          "count" -> graft.model.PropValues.pvInt(lit(0L))).as("props"),
+        lit(true).as("deleted"))
+    EventStream.upsertEdgeBatch(dead, tx = 3L, dir)
+    val g3 = GraphSnapshot.openWithDeltas(spark, dir)
+    assert(g3.live.edges.count() == expectedEdges(events).size - touched,
+      "tombstoned pairs are no longer live")
+
+    // compaction folds BOTH delta dirs; plain open serves the same graph
+    val expectLiveE = g3.live.edges.select("id", "tx_min").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectLiveN = g3.live.nodes.select("id", "tx_min").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    GraphSnapshot.compactDeltas(spark, dir)
+    assert(!new java.io.File(s"$dir/node_deltas").exists())
+    assert(!new java.io.File(s"$dir/edge_deltas").exists())
+    val folded = GraphSnapshot.open(spark, dir)
+    assert(folded.live.edges.select("id", "tx_min").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expectLiveE)
+    assert(folded.live.nodes.select("id", "tx_min").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expectLiveN)
+
+    // a horizon past the tombstones drops dead edge versions entirely
+    GraphSnapshot.compactDeltas(spark, dir, horizon = 4L)
+    val pruned = GraphSnapshot.open(spark, dir)
+    assert(pruned.edges.count() == pruned.live.edges.count(),
+      "post-horizon compaction keeps only live edge versions")
+  }
+
   test("stream-stream interval join equals the batch range join") {
     import org.apache.spark.sql.streaming.Trigger
     val q = EventStream.streamIntervalJoin(spark, sf0001)
