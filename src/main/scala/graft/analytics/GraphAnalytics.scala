@@ -27,9 +27,21 @@ object GraphAnalytics {
   // twice -> same cached graph, even across fresh DataFrame objects)
   // PLUS a content token over the backing files, and their RDDs
   // cached, so repeated analytics over one snapshot pay the
-  // conversion once per JVM.
+  // conversion once per JVM. Bounded at MaxCached with LRU eviction
+  // of ONE entry (access-ordered LinkedHashMap): evicting wholesale
+  // would silently un-cache graphs still hot elsewhere in a long
+  // session — their handles keep working but recompute every use.
+  private type Key = (Int, Int, Int, Int, Int)
+  private val MaxCached = 8
   private val graphCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Int, Int), Graph[String, String]]
+    new java.util.LinkedHashMap[Key, Graph[String, String]](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Key, Graph[String, String]]): Boolean =
+        if (size() > MaxCached) { e.getValue.unpersist(blocking = false); true } else false
+    }
+
+  /** Test hook: is this snapshot's converted graph currently cached? */
+  private[graft] def isCached(g: GraphSnapshot): Boolean =
+    graphCache.synchronized(graphCache.containsKey(cacheKey(g)))
 
   // Overwriting a snapshot path writes NEW uuid-named part files, so
   // the sorted file listing is a cheap version signal: a republish to
@@ -49,28 +61,31 @@ object GraphAnalytics {
     * unpersist means any still-held handle silently recomputes on next
     * use — same caveat as cache eviction.
     */
-  def invalidate(g: GraphSnapshot): Unit =
-    graphCache.remove(cacheKey(g)).foreach(_.unpersist(blocking = false))
+  def invalidate(g: GraphSnapshot): Unit = graphCache.synchronized {
+    Option(graphCache.remove(cacheKey(g))).foreach(_.unpersist(blocking = false))
+  }
 
   /** Live snapshot -> GraphX graph. Vertex attr = label. Memoized +
-    * RDD-cached per (SparkContext, snapshot plan, backing files) — see
-    * above.
+    * RDD-cached per (SparkContext, snapshot plan, backing files) with
+    * single-entry LRU eviction — see above.
     */
   def toGraphX(g: GraphSnapshot): Graph[String, String] = {
     val key = cacheKey(g)
-    graphCache.getOrElseUpdate(key, {
-      if (graphCache.size >= 8) { // bound the cache; evicted graphs release executor memory
-        graphCache.values.foreach(_.unpersist(blocking = false))
-        graphCache.clear()
+    graphCache.synchronized {
+      val hit = graphCache.get(key) // get() refreshes LRU order
+      if (hit != null) hit
+      else {
+        val live = g.live
+        val vs: RDD[(VertexId, String)] =
+          live.nodes.select("id", "label").rdd.map(r => (r.getLong(0), r.getString(1)))
+        val es: RDD[Edge[String]] =
+          live.edges.select("src", "dst", "label").rdd
+            .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+        val built = Graph(vs, es).cache() // lazy: builds the plan, not the data
+        graphCache.put(key, built)        // may LRU-evict exactly one entry
+        built
       }
-      val live = g.live
-      val vs: RDD[(VertexId, String)] =
-        live.nodes.select("id", "label").rdd.map(r => (r.getLong(0), r.getString(1)))
-      val es: RDD[Edge[String]] =
-        live.edges.select("src", "dst", "label").rdd
-          .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
-      Graph(vs, es).cache()
-    })
+    }
   }
 
   /** Connected components: (id, component) where component = the

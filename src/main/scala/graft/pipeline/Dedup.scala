@@ -87,6 +87,46 @@ object Dedup {
     a.join(b, Seq("band")).filter(col("da") < col("db")).select("da", "db").distinct()
   }
 
+  /** (id, rep) for every document: rep = the minimum id among docs
+    * with byte-identical content (rep == id for unique docs). One
+    * uniform groupBy + join on the content hash — the scale-safe
+    * prequel to LSH mining on duplicate-heavy corpora.
+    */
+  def canonicalize(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val h = df.select(col(idCol).as("id"), md5(text).as("h"))
+    val reps = h.groupBy(col("h")).agg(min(col("id")).as("rep"))
+    h.join(reps, Seq("h")).select(col("id"), col("rep"))
+  }
+
+  /** One representative document per distinct content: (id, t) with
+    * id = the exact-duplicate cluster's minimum member.
+    */
+  private def canonicalDocs(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol).as("id"), text.as("t"), md5(text).as("h"))
+      .groupBy(col("h"))
+      // same hash => same text, so any value is THE value
+      .agg(min(col("id")).as("id"), first(col("t")).as("t"))
+      .select(col("id"), col("t"))
+
+  /** [[nearDuplicates]] hardened for duplicate-heavy corpora (the
+    * realistic web-scale shape): every member of an exact-duplicate
+    * cluster shares EVERY band key, so a boilerplate page with 100k
+    * copies turns one LSH bucket's pair join quadratic (10^10 pairs) —
+    * the "uniform md5 band keys" argument only holds for distinct
+    * content. Mining over one canonical representative per distinct
+    * content ([[canonicalize]]) bounds every bucket by the number of
+    * distinct contents; pair semantics on the canonical set are
+    * identical to [[nearDuplicates]] on a deduplicated corpus
+    * (DedupScaleSpec), and membership of exact clusters rejoins via
+    * the (id, rep) map. Endpoints are canonical ids; two copies of the
+    * same content never form a mined pair (they are exact, not near,
+    * duplicates).
+    */
+  def nearDuplicatesCanonical(df: DataFrame, idCol: String, text: Column,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame =
+    nearDuplicates(canonicalDocs(df, idCol, text), "id", col("t"),
+      threshold, numHashes, bands, shingleN)
+
   /** Verified near-dup pairs: LSH candidates re-checked with true
     * shingle Jaccard >= threshold; shingle sets are fetched only for
     * candidate ids.

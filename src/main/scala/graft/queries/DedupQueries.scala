@@ -62,6 +62,21 @@ object DedupQueries extends QueryModule {
              |FROM documents GROUP BY md5(text)""".stripMargin)
     ),
 
+    // ---- exact-duplicate canonical map (the LSH prequel at scale) ----
+    // every doc maps to the min doc id sharing its exact content; LSH
+    // then mines only canonical survivors (DedupScaleSpec pins the
+    // duplicate-heavy-corpus behavior)
+    QueryDef(
+      "q_dedup_canonical",
+      "canonical map: doc_id -> min doc_id with byte-identical content",
+      (s, dir) =>
+        Dedup.canonicalize(Tables(s, dir).documents, "doc_id", col("text"))
+          .select(col("id").as("doc_id"), col("rep")),
+      Some("""SELECT d.doc_id, r.rep
+             |FROM documents d JOIN (SELECT md5(text) AS h, min(doc_id) AS rep
+             |                       FROM documents GROUP BY 1) r ON md5(d.text) = r.h""".stripMargin)
+    ),
+
     // ---- n-gram Jaccard near-dup pairs (verification-grade) ----
     QueryDef(
       "q_dedup_jaccard",

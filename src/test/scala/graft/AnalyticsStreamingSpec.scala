@@ -83,6 +83,34 @@ class AnalyticsStreamingSpec extends GraftSuite {
     assert(ghost.isEmpty)
   }
 
+  test("graph cache evicts exactly the least-recently-used entry") {
+    import org.apache.spark.storage.StorageLevel
+    // distinct graphs (different node counts -> different plan hashes)
+    def mk(n: Int) = {
+      val b = new GraphBuilder
+      val ids = (1 to n).map(_ => b.addNode("t"))
+      ids.sliding(2).foreach { case Seq(x, y) => b.addEdge(x, y, "r"); case _ => }
+      b.snapshot(spark)
+    }
+    val gs = (10 to 18).map(mk) // 9 graphs; cache bound is 8
+    val first = GraphAnalytics.toGraphX(gs(0))
+    (1 until 8).foreach(i => GraphAnalytics.toGraphX(gs(i)))
+    // touch g0 again: g1 becomes the LRU entry
+    GraphAnalytics.toGraphX(gs(0))
+    val second = GraphAnalytics.toGraphX(gs(1))
+    GraphAnalytics.toGraphX(gs(8)) // 9th insert evicts exactly one entry
+
+    assert(GraphAnalytics.isCached(gs(0)), "recently-touched graph survives")
+    assert(GraphAnalytics.isCached(gs(1)), "second-recently-touched graph survives")
+    assert(!GraphAnalytics.isCached(gs(2)), "the actual LRU entry is evicted")
+    assert((3 to 8).forall(i => GraphAnalytics.isCached(gs(i))), "everything else survives")
+    assert(first.vertices.getStorageLevel != StorageLevel.NONE, "hot graph stays persisted")
+    assert(second.vertices.getStorageLevel != StorageLevel.NONE)
+    // and the evicted handle was unpersisted, not leaked
+    GraphAnalytics.invalidate(gs(8))
+    assert(!GraphAnalytics.isCached(gs(8)))
+  }
+
   test("streaming dedup drops duplicate deliveries within the watermark") {
     import org.apache.spark.sql.streaming.Trigger
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

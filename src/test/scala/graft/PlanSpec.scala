@@ -97,6 +97,25 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("prefixRange bounds reach the parquet scan as pushed range filters") {
+    // startsWith on a published index column must arrive at the scan
+    // as sargable >=/< bounds — on a sorted/bucketed layout that is
+    // what lets row groups skip (the trie-descend analog)
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("idx-prefix").toString
+    spark.range(0, 1000).selectExpr("concat('key', id) AS key", "id AS node")
+      .write.mode("overwrite").parquet(dir)
+    val ranged = spark.read.parquet(dir)
+      .filter(graft.operators.UniqueIndex.prefixRange(col("key"), "key1"))
+    val p = ranged.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(key,key1)") && p.contains("LessThan(key,key2)"),
+      s"expected pushed >=/< bounds in:\n$p")
+    // and the range form selects exactly the startsWith rows
+    val viaStarts = spark.read.parquet(dir)
+      .filter(col("key").startsWith("key1")).count()
+    assert(ranged.count() == viaStarts && viaStarts == 111L)
+  }
+
   test("edge label filters prune non-matching union branches (no fact-table scan)") {
     // every TpchGraph edge branch carries a top-level literal label,
     // so a label filter constant-folds the others away — the
