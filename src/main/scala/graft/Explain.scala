@@ -1,0 +1,22 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Plan probe: print the executed plan of a named catalog query over
+  * a given sf dir — the `.explain` loop for catching plan flips
+  * (broadcast→SMJ, lost pushdowns) when the data scales.
+  *
+  * Usage: runMain graft.Explain <queryName> <sfDir> [maxChars]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir  = args(1)
+    val max  = if (args.length > 2) args(2).toInt else 6000
+    val spark = graft.core.Graft.session("graft-explain",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val plan = Catalog.byName(name).build(spark, dir).queryExecution.executedPlan.toString
+    println(plan.take(max))
+    spark.stop()
+  }
+}

@@ -212,10 +212,14 @@ object TextOps {
     val lp = tf.crossJoin(tot).select(col("token"),
       expr("CAST(round(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)")
         .as("lp_micro"))
+    // the per-doc score stays in EXACT integer micro-nats: a final
+    // `round(sum/1e6/n, 6)` double was engine-divergent on 0.5-ulp
+    // ties (10/50k docs at 10x scale); sum + count are hash-proof at
+    // any SF and the average is a consumer-side division
     toks.join(lp, "token")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round((sum(col("lp_micro")) / lit(1000000.0)) / count(lit(1)), 6).as("avg_logprob"))
+        sum(col("lp_micro")).as("sum_lp_micro"))
   }
 
   /** Quality features: exact integer counts (cross-engine safe) plus

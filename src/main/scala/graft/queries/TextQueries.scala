@@ -234,7 +234,7 @@ object TextQueries extends QueryModule {
              |         CAST(round(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) AS lp_micro
              |       FROM tf, tot)
              |SELECT doc_id, count(*) AS n_tokens,
-             |  round((sum(lp_micro) / 1000000.0) / count(*), 6) AS avg_logprob
+             |  CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro
              |FROM toks JOIN lp USING (token)
              |GROUP BY doc_id""".stripMargin)
     ),

@@ -57,7 +57,21 @@ def main():
     con = duckdb.connect()
     for tb in TABLES:
         p = os.path.join(sfdir, f"{tb}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table dir (graft.ScaleUp)
+            src = f"read_parquet('{p}/*.parquet')"
+            sel = "*"
+            if tb == "events":
+                # Spark reads TIMESTAMP(NANOS) as epoch-nano BIGINT and
+                # writes it back as such; restore the original type so
+                # the oracles' epoch()/time_bucket() calls bind
+                ts_t = con.execute(
+                    f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+                if ts_t == "BIGINT":
+                    # micros are enough: every oracle output floors to
+                    # seconds, and 1000 | 1e9 keeps boundaries aligned
+                    sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+            con.execute(f"CREATE VIEW {tb} AS SELECT {sel} FROM {src}")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
