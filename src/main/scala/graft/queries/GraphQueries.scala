@@ -72,7 +72,15 @@ object GraphQueries extends QueryModule {
   private def bucketedName(s: org.apache.spark.sql.SparkSession, dir: String): String =
     SessionPublish.once(s, "bsnap|" + dir) {
       val base = "graft_bsnap_" + SessionPublish.token(dir)
-      TpchGraph.snapshot(s, dir).writeBucketed(base, buckets = 16,
+      // Publish-time knob. A/B at 10x SF (ROUND6.md): 32 buckets was
+      // ~40% SLOWER than 16 — each input partition writes a file per
+      // bucket, so bucket count multiplies file count and the scan's
+      // per-file + in-bucket merge overhead beats the extra
+      // parallelism at these SFs. Size buckets by BYTES per bucket
+      // (hundreds of MB at 100 TB), not by core count; here the data
+      // fits comfortably in 16.
+      val buckets = s.conf.getOption("graft.snapshot.buckets").map(_.toInt).getOrElse(16)
+      TpchGraph.snapshot(s, dir).writeBucketed(base, buckets,
         mirrorByDst = true, path = Some(SessionPublish.tempDir("graft-bucketed")))
       base
     }
