@@ -92,20 +92,28 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
       path: Option[String] = None): Unit = {
     // with `path` the tables are EXTERNAL (caller-owned location,
     // e.g. outside the session warehouse); bucket metadata lives in
-    // the catalog either way
-    def w(df: DataFrame, table: String) = {
-      val b = df.write.mode("overwrite").format("parquet")
+    // the catalog either way.
+    // Each writer task emits one file PER BUCKET it holds rows for, so
+    // writing from P input partitions yields up to P files per bucket —
+    // and the bucketed scan then merge-sorts all of them inside every
+    // task, which at 100x SF cost more than the shuffle the layout
+    // saves. Repartitioning on the bucket key first (same Murmur3 hash
+    // as the bucket spec) aligns writer tasks with buckets: one sorted
+    // file per bucket, scan-side sort is a straight file read.
+    def w(df: DataFrame, table: String, key: String) = {
+      val b = df.repartition(buckets, col(key))
+        .write.mode("overwrite").format("parquet")
       path.fold(b)(p => b.option("path", s"$p/$table"))
     }
-    w(nodes, s"${name}_nodes")
+    w(nodes, s"${name}_nodes", "id")
       .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${name}_nodes")
-    w(edges, s"${name}_edges")
+    w(edges, s"${name}_edges", "src")
       .bucketBy(buckets, "src").sortBy("src").saveAsTable(s"${name}_edges")
     // the IN direction joins on dst; covering it shuffle-free costs a
     // second edge copy bucketed by dst — the classic adjacency
     // duplication trade, paid in storage not shuffle (SCALE.md)
     if (mirrorByDst)
-      w(edges, s"${name}_edges_dst")
+      w(edges, s"${name}_edges_dst", "dst")
         .bucketBy(buckets, "dst").sortBy("dst").saveAsTable(s"${name}_edges_dst")
   }
 

@@ -79,7 +79,8 @@ object GraphQueries extends QueryModule {
       // parallelism at these SFs. Size buckets by BYTES per bucket
       // (hundreds of MB at 100 TB), not by core count; here the data
       // fits comfortably in 16.
-      val buckets = s.conf.getOption("graft.snapshot.buckets").map(_.toInt).getOrElse(16)
+      val buckets = s.conf.getOption("graft.snapshot.buckets")
+        .orElse(sys.env.get("SPARK_GRAFT_BUCKETS")).map(_.toInt).getOrElse(16)
       TpchGraph.snapshot(s, dir).writeBucketed(base, buckets,
         mirrorByDst = true, path = Some(SessionPublish.tempDir("graft-bucketed")))
       base
