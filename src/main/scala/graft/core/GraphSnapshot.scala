@@ -88,6 +88,19 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
     * `<name>_edges` (reopen with [[GraphSnapshot.openBucketed]])
     * rather than raw parquet paths.
     */
+  /** Bucket count sized by BYTES per bucket, not core count — the
+    * conclusion of the 10x/100x A/B in ROUND6.md. Uses the optimizer's
+    * size estimate for the edge table (the largest side of every
+    * expansion join); power-of-two counts keep layouts
+    * merge-compatible across republishes. At test SFs this clamps to
+    * the floor (16); at 100 TB it lands in the thousands, each bucket
+    * a few hundred MB — small enough to sort-merge in one task's
+    * memory, large enough that per-file open cost stays negligible.
+    */
+  def autoBuckets(targetBytesPerBucket: Long = 256L << 20): Int =
+    GraphSnapshot.bucketsForBytes(
+      edges.queryExecution.optimizedPlan.stats.sizeInBytes, targetBytesPerBucket)
+
   def writeBucketed(name: String, buckets: Int = 64, mirrorByDst: Boolean = false,
       path: Option[String] = None): Unit = {
     // with `path` the tables are EXTERNAL (caller-owned location,
@@ -149,6 +162,19 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
 }
 
 object GraphSnapshot {
+  /** ceil(bytes/target), rounded up to a power of two, clamped to
+    * [16, 4096]. The floor keeps small publishes parallel enough to
+    * matter on a 32-core node; the ceiling bounds file count (and the
+    * driver-side listing cost) at extreme scale.
+    */
+  def bucketsForBytes(bytes: BigInt, targetBytesPerBucket: Long): Int = {
+    val raw = ((bytes.max(1) + targetBytesPerBucket - 1) / targetBytesPerBucket)
+      .min(4096).toInt.max(16)
+    var p = 16
+    while (p < raw) p <<= 1
+    p
+  }
+
   val nodeSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("label", StringType, nullable = false),

@@ -37,4 +37,24 @@ class BucketingSpec extends GraftSuite {
       assert(joined.count() == t.orders.count(), "join is still correct")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("bucket count is sized by bytes per bucket, power-of-two, clamped") {
+    import graft.core.GraphSnapshot.bucketsForBytes
+    val target = 256L << 20
+    // small publishes clamp to the 16-bucket parallelism floor
+    assert(bucketsForBytes(BigInt(1) << 20, target) == 16)
+    assert(bucketsForBytes(BigInt(0), target) == 16)
+    // 14 GB / 256 MB = 56 -> next pow2 = 64 (the measured 100x optimum)
+    assert(bucketsForBytes(BigInt(14) << 30, target) == 64)
+    // 100 TB lands at the 4096 ceiling: ~25 GB/bucket would exceed a
+    // task's memory, but the ceiling bounds file-listing cost; a real
+    // deployment raises the ceiling with the cluster size
+    assert(bucketsForBytes(BigInt(100) << 40, target) == 4096)
+    // monotone around a pow2 boundary
+    assert(bucketsForBytes(BigInt(16) * target, target) == 16)
+    assert(bucketsForBytes(BigInt(16) * target + 1, target) == 32)
+    // test-SF snapshots hit the floor through the instance method
+    val snap = graft.core.TpchGraph.snapshot(spark, sf0001)
+    assert(snap.autoBuckets() == 16)
+  }
 }
