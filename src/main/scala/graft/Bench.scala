@@ -53,7 +53,10 @@ object Bench {
     // measure the probe reading nprobe/nlist of the files vs q_ann_ivf,
     // which re-trains and assigns cells over the full corpus per run
     "q_ann_ivf",
-    "q_ann_ivf_probe")
+    "q_ann_ivf_probe",
+    // round 6: incremental dedup — batch banding + published-band-index
+    // join + candidate-only verify; warmup pays the corpus band publish
+    "q_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -72,16 +72,29 @@ object Dedup {
   private def bandKey(b: Int, rows: Int): Column =
     md5(concat_ws(",", lit(b.toString) +: (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*))
 
-  /** Candidate near-duplicate pairs via MinHash-LSH. */
-  def lshCandidates(df: DataFrame, idCol: String, text: Column,
+  /** LSH band-key table `(id, band)` — the publishable dedup index
+    * artifact. A document's band keys depend only on its own text, so
+    * the table is incrementally maintainable: band a new batch with
+    * this same function and union/append, never re-banding the
+    * corpus ([[nearDuplicatesIncremental]]). At cluster scale publish
+    * it bucketed by `band` so the candidate self-join is
+    * exchange-free, exactly like the graph snapshot's bucketed edges.
+    */
+  def bandTable(df: DataFrame, idCol: String, text: Column,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): leftover signature " +
         "columns would be silently dropped, weakening recall")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, text, numHashes, shingleN)
-    val keyed = sig.select(col("id"),
+    sig.select(col("id"),
       explode(array((0 until bands).map(bandKey(_, rows)): _*)).as("band"))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash-LSH. */
+  def lshCandidates(df: DataFrame, idCol: String, text: Column,
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val keyed = bandTable(df, idCol, text, numHashes, bands, shingleN)
     val a = keyed.select(col("band"), col("id").as("da"))
     val b = keyed.select(col("band"), col("id").as("db"))
     a.join(b, Seq("band")).filter(col("da") < col("db")).select("da", "db").distinct()
@@ -127,14 +140,17 @@ object Dedup {
     nearDuplicates(canonicalDocs(df, idCol, text), "id", col("t"),
       threshold, numHashes, bands, shingleN)
 
-  /** Verified near-dup pairs: LSH candidates re-checked with true
-    * shingle Jaccard >= threshold; shingle sets are fetched only for
-    * candidate ids.
+  /** True-Jaccard verification of candidate pairs against `(id, t)`
+    * docs. The semi-join bounds shingling to candidate endpoints:
+    * non-candidate docs contribute one id to a hash join and never
+    * have their text shingled.
     */
-  def nearDuplicates(df: DataFrame, idCol: String, text: Column,
-      threshold: Double, numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val cand = lshCandidates(df, idCol, text, numHashes, bands, shingleN)
-    val sh = df.select(col(idCol).as("id"), TextOps.shingles(text, shingleN).as("sh"))
+  private def verifyPairs(cand: DataFrame, docs: DataFrame,
+      threshold: Double, shingleN: Int): DataFrame = {
+    val candIds = cand.select(col("da").as("id"))
+      .unionAll(cand.select(col("db").as("id"))).distinct()
+    val sh = docs.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), TextOps.shingles(col("t"), shingleN).as("sh"))
     cand
       .join(sh.withColumnRenamed("id", "da").withColumnRenamed("sh", "sha"), Seq("da"))
       .join(sh.withColumnRenamed("id", "db").withColumnRenamed("sh", "shb"), Seq("db"))
@@ -143,6 +159,53 @@ object Dedup {
           size(array_union(col("sha"), col("shb"))), 4))
       .filter(col("jac") >= threshold)
       .select(col("da"), col("db"), col("jac"))
+  }
+
+  /** Verified near-dup pairs: LSH candidates re-checked with true
+    * shingle Jaccard >= threshold; shingle sets are fetched only for
+    * candidate ids.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, text: Column,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val cand = lshCandidates(df, idCol, text, numHashes, bands, shingleN)
+    verifyPairs(cand, df.select(col(idCol).as("id"), text.as("t")), threshold, shingleN)
+  }
+
+  /** Incremental near-dup mining: verified pairs INVOLVING at least
+    * one new document, computed WITHOUT re-banding or re-shingling the
+    * corpus — the 100 TB ingestion shape, where a daily batch is a
+    * fraction of a percent of the standing corpus and a full re-mine
+    * would dominate the pipeline.
+    *
+    *  - `corpusBands` is the published [[bandTable]] of the standing
+    *    corpus (band a batch once, append — signatures depend only on
+    *    each doc's own text, so appended rows equal a re-band);
+    *  - candidates = band-key matches with >= 1 endpoint in the
+    *    batch: batch-batch and batch-corpus pairs surface,
+    *    corpus-corpus pairs (already mined when the corpus was built)
+    *    never re-form;
+    *  - verification shingles only candidate endpoints (semi-join),
+    *    so corpus text is read only for docs an LSH bucket actually
+    *    matched.
+    *
+    * Equals `nearDuplicates(corpus ∪ batch)` restricted to pairs with
+    * a batch endpoint (DedupIncrementalSpec pins row equality). Ids
+    * must be disjoint between corpus and batch.
+    */
+  def nearDuplicatesIncremental(corpus: DataFrame, corpusBands: DataFrame,
+      newDocs: DataFrame, idCol: String, text: Column, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val nb = bandTable(newDocs, idCol, text, numHashes, bands, shingleN)
+    val all = corpusBands.select(col("id"), col("band")).unionAll(nb)
+    val cand = nb.select(col("band"), col("id").as("na"))
+      .join(all.select(col("band"), col("id").as("ob")), Seq("band"))
+      .filter(col("na") =!= col("ob"))
+      .select(least(col("na"), col("ob")).as("da"),
+        greatest(col("na"), col("ob")).as("db"))
+      .distinct()
+    val docs = corpus.select(col(idCol).as("id"), text.as("t"))
+      .unionAll(newDocs.select(col(idCol).as("id"), text.as("t")))
+    verifyPairs(cand, docs, threshold, shingleN)
   }
 
   /** Near-duplicate CLUSTERS from verified pairs: connected

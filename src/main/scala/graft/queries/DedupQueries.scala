@@ -121,6 +121,34 @@ object DedupQueries extends QueryModule {
               |SELECT da, db, jac FROM pairs""".stripMargin)
     ),
 
+    // ---- incremental near-dup mining: a new batch against the
+    // PUBLISHED corpus band table — the 100 TB ingestion shape (band
+    // the batch, join the standing index, never re-mine the corpus).
+    // The warmup rep pays the one-off corpus band publish (memoized
+    // per session, the same ingest-vs-query split as the bucketed
+    // snapshot); timed reps measure batch banding + index join +
+    // candidate-only verification ----
+    QueryDef(
+      "q_dedup_incremental",
+      "near-dup pairs involving the doc_id%7=3 batch, via the published band table",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+        val bandsPath = SessionPublish.once(s, "dedup_bands|" + dir) {
+          val p = SessionPublish.tempDir("graft-dedup-bands") + "/bands"
+          Dedup.bandTable(corpus, "doc_id", col("text")).write.mode("overwrite").parquet(p)
+          p
+        }
+        Dedup.nearDuplicatesIncremental(corpus, s.read.parquet(bandsPath), batch,
+          "doc_id", col("text"), 0.7)
+      },
+      // oracle: the FULL mine filtered to pairs with a batch endpoint —
+      // the equivalence the incremental path must preserve
+      Some(s"""WITH ${lshPairsCtes(0.7)}
+              |SELECT da, db, jac FROM pairs WHERE da % 7 = 3 OR db % 7 = 3""".stripMargin)
+    ),
+
     // ---- near-dup clustering: pairs -> transitive groups -> one
     // canonical survivor per group (the step after pair mining that
     // actually decides keep/drop; pairs alone over-delete chains) ----

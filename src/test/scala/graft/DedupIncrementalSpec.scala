@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+import graft.sources.Tables
+
+/** Incremental near-dup mining must equal the full re-mine restricted
+  * to pairs involving the new batch — the invariant that lets a 100 TB
+  * pipeline band only the daily batch and join the standing band
+  * index instead of re-mining the corpus.
+  */
+class DedupIncrementalSpec extends GraftSuite {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("da", "db", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental == full re-mine filtered to batch-involving pairs (real docs)") {
+    val docs = Tables(spark, sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+
+    val inc = Dedup.nearDuplicatesIncremental(
+      corpus, Dedup.bandTable(corpus, "doc_id", col("text")), batch,
+      "doc_id", col("text"), 0.7)
+
+    val full = Dedup.nearDuplicates(docs, "doc_id", col("text"), 0.7)
+      .filter(col("da") % 7 === 3 || col("db") % 7 === 3)
+
+    val (gi, gf) = (pairSet(inc), pairSet(full))
+    assert(gi == gf, s"incremental=$gi full-filtered=$gf")
+    assert(gi.nonEmpty, "split should leave at least one batch-involving pair at sf0.001")
+  }
+
+  test("batch-batch and batch-corpus pairs surface; corpus-corpus pairs never re-form") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "completely different content with other words entirely")
+    )).toDF("id", "text")
+    val batch = spark.createDataFrame(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // near-dup of 1/2
+      (11L, "alpha beta gamma delta epsilon zeta eta kappa"), // near-dup of 10
+      (12L, "unrelated batch document about something else plainly")
+    )).toDF("id", "text")
+
+    val got = pairSet(Dedup.nearDuplicatesIncremental(
+      corpus, Dedup.bandTable(corpus, "id", col("text")), batch,
+      "id", col("text"), 0.5))
+
+    assert(got.forall { case (a, b, _) => a >= 10 || b >= 10 },
+      s"corpus-corpus pair leaked into $got")
+    assert(got.exists { case (a, b, _) => a >= 10 && b >= 10 }, "batch-batch pair missing")
+    assert(got.exists { case (a, b, _) => a < 10 && b >= 10 }, "batch-corpus pair missing")
+    // and the excluded corpus-corpus pair really is a near-dup the full
+    // mine would find — proving the exclusion is deliberate, not recall loss
+    val full = pairSet(Dedup.nearDuplicates(
+      corpus.unionByName(batch), "id", col("text"), 0.5))
+    assert(full.contains((1L, 2L, full.find(p => p._1 == 1L && p._2 == 2L).get._3)))
+    assert(got == full.filter { case (a, b, _) => a >= 10 || b >= 10 })
+  }
+}
