@@ -194,7 +194,8 @@ object Dedup {
     */
   def nearDuplicatesIncremental(corpus: DataFrame, corpusBands: DataFrame,
       newDocs: DataFrame, idCol: String, text: Column, threshold: Double,
-      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      maxDriverPairs: Int = 200000): DataFrame = {
     val nb = bandTable(newDocs, idCol, text, numHashes, bands, shingleN)
     val all = corpusBands.select(col("id"), col("band")).unionAll(nb)
     val cand = nb.select(col("band"), col("id").as("na"))
@@ -205,7 +206,23 @@ object Dedup {
       .distinct()
     val docs = corpus.select(col(idCol).as("id"), text.as("t"))
       .unionAll(newDocs.select(col(idCol).as("id"), text.as("t")))
-    verifyPairs(cand, docs, threshold, shingleN)
+    // For a realistic daily batch the candidate set is driver-small
+    // (MBs), and the dominant remaining cost is the corpus text scan
+    // feeding verification. Collecting the pairs turns the endpoint
+    // set into an `isin` predicate the parquet scan prunes row groups
+    // with (the same explicit-id-list pushdown queryStep uses) — the
+    // corpus is then READ, not just shingled, proportionally to the
+    // candidates. Above the cap, fall back to the distributed
+    // semi-join path; semantics are identical either way.
+    val taken = cand.take(maxDriverPairs + 1)
+    if (taken.length <= maxDriverPairs) {
+      val spark = corpus.sparkSession
+      val candLit = spark.createDataFrame(
+        java.util.Arrays.asList(taken: _*), cand.schema)
+      val ids = taken.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val needed = if (ids.isEmpty) docs.limit(0) else docs.filter(col("id").isin(ids: _*))
+      verifyPairs(candLit, needed, threshold, shingleN)
+    } else verifyPairs(cand, docs, threshold, shingleN)
   }
 
   /** Near-duplicate CLUSTERS from verified pairs: connected

@@ -60,4 +60,27 @@ class DedupIncrementalSpec extends GraftSuite {
     assert(full.contains((1L, 2L, full.find(p => p._1 == 1L && p._2 == 2L).get._3)))
     assert(got == full.filter { case (a, b, _) => a >= 10 || b >= 10 })
   }
+
+  test("small candidate sets push endpoint ids into the corpus parquet scan") {
+    val docs = Tables(spark, sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val inc = Dedup.nearDuplicatesIncremental(
+      corpus, Dedup.bandTable(corpus, "doc_id", col("text")), batch,
+      "doc_id", col("text"), 0.7)
+    // verification must READ the corpus proportionally to the
+    // candidates: the collected endpoint ids reach the documents scan
+    // as a pushed In filter (row-group pruning), not a post-scan join
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("In(doc_id, ["),
+      s"endpoint ids must be pushed into the scan:\n$plan")
+
+    // above the cap the distributed semi-join path takes over, with
+    // identical pairs
+    val fallback = Dedup.nearDuplicatesIncremental(
+      corpus, Dedup.bandTable(corpus, "doc_id", col("text")), batch,
+      "doc_id", col("text"), 0.7, maxDriverPairs = 0)
+    assert(!fallback.queryExecution.executedPlan.toString.contains("In(doc_id, ["))
+    assert(pairSet(inc) == pairSet(fallback))
+  }
 }
