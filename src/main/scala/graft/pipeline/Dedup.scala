@@ -141,16 +141,16 @@ object Dedup {
       threshold, numHashes, bands, shingleN)
 
   /** True-Jaccard verification of candidate pairs against `(id, t)`
-    * docs. The semi-join bounds shingling to candidate endpoints:
-    * non-candidate docs contribute one id to a hash join and never
-    * have their text shingled.
+    * docs. Deliberately NO candidate-id pre-filter here: deriving the
+    * endpoint set from `cand` would make the plan compute the
+    * candidate join twice (measured +60% on the full-mine bench), and
+    * in the full path every doc is hashed for signatures anyway. The
+    * incremental path prunes `docs` BEFORE calling (collected-id
+    * `isin` → parquet row-group pruning), which is strictly stronger.
     */
   private def verifyPairs(cand: DataFrame, docs: DataFrame,
       threshold: Double, shingleN: Int): DataFrame = {
-    val candIds = cand.select(col("da").as("id"))
-      .unionAll(cand.select(col("db").as("id"))).distinct()
-    val sh = docs.join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), TextOps.shingles(col("t"), shingleN).as("sh"))
+    val sh = docs.select(col("id"), TextOps.shingles(col("t"), shingleN).as("sh"))
     cand
       .join(sh.withColumnRenamed("id", "da").withColumnRenamed("sh", "sha"), Seq("da"))
       .join(sh.withColumnRenamed("id", "db").withColumnRenamed("sh", "shb"), Seq("db"))
@@ -184,9 +184,11 @@ object Dedup {
     *    batch: batch-batch and batch-corpus pairs surface,
     *    corpus-corpus pairs (already mined when the corpus was built)
     *    never re-form;
-    *  - verification shingles only candidate endpoints (semi-join),
-    *    so corpus text is read only for docs an LSH bucket actually
-    *    matched.
+    *  - when the candidate set is driver-small (the realistic batch
+    *    shape) the endpoint ids push into the corpus scan as an `In`
+    *    filter, so corpus text is READ only for docs an LSH bucket
+    *    actually matched (row-group pruning); above the cap the
+    *    verification joins the full doc set like the batch path.
     *
     * Equals `nearDuplicates(corpus ∪ batch)` restricted to pairs with
     * a batch endpoint (DedupIncrementalSpec pins row equality). Ids
