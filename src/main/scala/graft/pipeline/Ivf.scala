@@ -107,6 +107,20 @@ object Ivf {
     emb.withColumn("cell", assign(col(vecCol), index))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Append a batch to a published cell-partitioned corpus WITHOUT
+    * retraining or rewriting: assign the batch with the SAME
+    * base-trained centroids and append its files into the matching
+    * cell directories. O(batch) work per ingestion — the ANN analog
+    * of the dedup band-index append and the streaming delta sink.
+    * Probes see appended vectors immediately (partition listing picks
+    * up new files). Centroids deliberately do NOT move: retrain +
+    * republish when drift degrades recall, exactly like periodic
+    * delta compaction.
+    */
+  def appendPartitioned(newEmb: DataFrame, vecCol: String, index: IvfIndex, path: String): Unit =
+    newEmb.withColumn("cell", assign(col(vecCol), index))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Search over a published cell-partitioned corpus. The probe-cell
     * filter is a PARTITION filter — only the probed directories are
     * listed and read (IvfSpec pins selectedPartitions == nprobe) — and

@@ -32,6 +32,25 @@ object SimilarityQueries extends QueryModule {
       (idx, path)
     }
 
+  /** Incremental-ingestion layout: train + publish on the BASE corpus
+    * (vec_id % 5 != 0 besides the query vector), then APPEND the
+    * batch (vec_id % 5 = 0, vec_id != 0) with the base-trained
+    * centroids — once per (application, dir). The gate then proves
+    * appended vectors surface in probed search exactly.
+    */
+  private def ivfIncrementalLayout(s: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int): (graft.pipeline.Ivf.IvfIndex, String) =
+    SessionPublish.once(s, s"ivfinc|$dir|$nlist") {
+      val emb   = Tables(s, dir).embeddings
+      val base  = emb.filter(col("vec_id") % 5 =!= 0 || col("vec_id") === 0L)
+      val batch = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0L)
+      val idx   = graft.pipeline.Ivf.train(s, base, "vec_id", "embedding", nlist)
+      val path  = SessionPublish.tempDir("graft-ivf-inc")
+      graft.pipeline.Ivf.writePartitioned(base, "embedding", idx, path)
+      graft.pipeline.Ivf.appendPartitioned(batch, "embedding", idx, path)
+      (idx, path)
+    }
+
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Array[Float] =
     Tables(s, dir).embeddings.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -201,6 +220,28 @@ object SimilarityQueries extends QueryModule {
       "IVF top-10 over the cell-partitioned published corpus, probe all cells (≡ brute force)",
       (s, dir) => {
         val (idx, path) = ivfLayout(s, dir, nlist = 8)
+        graft.pipeline.Ivf.topKPartitioned(s, path, "vec_id", "embedding",
+          idx, queryVec(s, dir), k = 10, nprobe = idx.nlist,
+          pred = col("vec_id") =!= 0L)
+          .drop("cell")
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /
+             |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ---- incremental ANN ingestion: batch appended to the published
+    // layout with base-trained centroids; nprobe = nlist ≡ brute
+    // force over base ∪ batch, so the oracle is the full-corpus
+    // brute-force SQL — appended vectors MUST surface exactly ----
+    QueryDef(
+      "q_ann_ivf_incremental",
+      "IVF top-10 after appending the vec_id%5=0 batch to the published layout",
+      (s, dir) => {
+        val (idx, path) = ivfIncrementalLayout(s, dir, nlist = 8)
         graft.pipeline.Ivf.topKPartitioned(s, path, "vec_id", "embedding",
           idx, queryVec(s, dir), k = 10, nprobe = idx.nlist,
           pred = col("vec_id") =!= 0L)

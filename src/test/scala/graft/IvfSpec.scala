@@ -101,6 +101,37 @@ class IvfSpec extends GraftSuite {
     assert(viaLayout == onTheFly, "layout changes I/O, not semantics")
   }
 
+  test("appendPartitioned: batch surfaces exactly, base files untouched") {
+    val base  = emb.filter(col("vec_id") % 5 =!= 0 || col("vec_id") === 0L)
+    val batch = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0L)
+    val idx = Ivf.train(spark, base, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf-inc").toString
+    Ivf.writePartitioned(base, "embedding", idx, path)
+    def files() = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(path), Array("parquet"), true)
+    val baseFiles = files().toArray(Array.empty[java.io.File]).map(_.getPath).toSet
+    Ivf.appendPartitioned(batch, "embedding", idx, path)
+
+    // append-only: every base file still present, new files added
+    val afterFiles = files().toArray(Array.empty[java.io.File]).map(_.getPath).toSet
+    assert(baseFiles.subsetOf(afterFiles), "append must not rewrite base files")
+    assert(afterFiles.size > baseFiles.size, "append must add batch files")
+
+    // full probe over the appended layout == brute force over base ∪ batch
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val exact = Similarity.topK(emb.filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", q.toSeq, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = Ivf.topKPartitioned(spark, path, "vec_id", "embedding",
+        idx, q, 10, nprobe = 8, pred = col("vec_id") =!= 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == exact, "appended vectors must surface exactly in probed search")
+    // ...and at least one appended vector is actually in the top-k,
+    // otherwise this test proves nothing about the append
+    assert(got.exists(id => id % 5 == 0), s"no batch vector in top-10: $got")
+  }
+
   test("IVF stays viable at realistic cell counts (nlist=1024)") {
     // the per-centroid expression tree this replaced would exceed
     // Janino/plan limits here; NearestCell is one expression at any nlist
