@@ -77,6 +77,30 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
   def deleteEdges(pred: org.apache.spark.sql.Column, tx: Long): GraphSnapshot =
     GraphSnapshot(nodes, graft.operators.Mvcc.delete(edges, pred, tx))
 
+  /** Bucket count sized by BYTES per bucket, not core count — the
+    * conclusion of the 10x/100x A/B in ROUND6.md. Sizes from the
+    * optimizer's estimate for the edge table (the largest side of
+    * every expansion join), with a guard: for a lineage containing a
+    * join the top-level stat is the product-of-children heuristic and
+    * can overshoot by orders of magnitude, silently saturating the
+    * bucket ceiling — when it exceeds the leaf-scan byte sum by more
+    * than the width factor a projection can plausibly add (256x), the
+    * leaf sum is used instead (real file bytes; an underestimate for
+    * denormalized rows, never astronomically wrong). Power-of-two
+    * counts keep layouts merge-compatible across republishes. At test
+    * SFs this clamps to the floor (16); at 100 TB it lands in the
+    * thousands, each bucket a few hundred MB — small enough to
+    * sort-merge in one task's memory, large enough that per-file open
+    * cost stays negligible.
+    */
+  def autoBuckets(targetBytesPerBucket: Long = 256L << 20): Int = {
+    val plan = edges.queryExecution.optimizedPlan
+    val top = plan.stats.sizeInBytes
+    val leaves = plan.collectLeaves().map(_.stats.sizeInBytes).sum.max(1)
+    val bytes = if (top > leaves * 256) leaves else top
+    GraphSnapshot.bucketsForBytes(bytes, targetBytesPerBucket)
+  }
+
   /** Publish as a BUCKETED snapshot: nodes bucketed (and sorted) by
     * `id`, edges by `src`, same bucket count — the cluster-scale
     * layout SCALE.md designs. A queryStep expansion join
@@ -88,19 +112,6 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
     * `<name>_edges` (reopen with [[GraphSnapshot.openBucketed]])
     * rather than raw parquet paths.
     */
-  /** Bucket count sized by BYTES per bucket, not core count — the
-    * conclusion of the 10x/100x A/B in ROUND6.md. Uses the optimizer's
-    * size estimate for the edge table (the largest side of every
-    * expansion join); power-of-two counts keep layouts
-    * merge-compatible across republishes. At test SFs this clamps to
-    * the floor (16); at 100 TB it lands in the thousands, each bucket
-    * a few hundred MB — small enough to sort-merge in one task's
-    * memory, large enough that per-file open cost stays negligible.
-    */
-  def autoBuckets(targetBytesPerBucket: Long = 256L << 20): Int =
-    GraphSnapshot.bucketsForBytes(
-      edges.queryExecution.optimizedPlan.stats.sizeInBytes, targetBytesPerBucket)
-
   def writeBucketed(name: String, buckets: Int = 64, mirrorByDst: Boolean = false,
       path: Option[String] = None): Unit = {
     // with `path` the tables are EXTERNAL (caller-owned location,

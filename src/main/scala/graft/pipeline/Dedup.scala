@@ -198,7 +198,12 @@ object Dedup {
       newDocs: DataFrame, idCol: String, text: Column, threshold: Double,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
       maxDriverPairs: Int = 200000): DataFrame = {
+    // the batch band table feeds the candidate join twice (as the
+    // probe side and inside the union); persist it for the size-probe
+    // job so batch shingling + the minhash groupBy run once, and
+    // release it as soon as the probe decided the path
     val nb = bandTable(newDocs, idCol, text, numHashes, bands, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = corpusBands.select(col("id"), col("band")).unionAll(nb)
     val cand = nb.select(col("band"), col("id").as("na"))
       .join(all.select(col("band"), col("id").as("ob")), Seq("band"))
@@ -214,14 +219,18 @@ object Dedup {
     // set into an `isin` predicate the parquet scan prunes row groups
     // with (the same explicit-id-list pushdown queryStep uses) — the
     // corpus is then READ, not just shingled, proportionally to the
-    // candidates. Above the cap, fall back to the distributed
-    // semi-join path; semantics are identical either way.
-    val taken = cand.take(maxDriverPairs + 1)
+    // candidates. Above the cap, fall back to the distributed path
+    // (which re-derives the candidate join — the one-off size probe
+    // is the price of the common case); semantics are identical.
+    val taken = try cand.take(maxDriverPairs + 1)
+    finally nb.unpersist(blocking = false)
     if (taken.length <= maxDriverPairs) {
       val spark = corpus.sparkSession
       val candLit = spark.createDataFrame(
         java.util.Arrays.asList(taken: _*), cand.schema)
-      val ids = taken.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      // ids stay generically typed: the dedup API does not require
+      // Long ids, and the literal path must not either
+      val ids = taken.flatMap(r => Seq(r.get(0), r.get(1))).distinct
       val needed = if (ids.isEmpty) docs.limit(0) else docs.filter(col("id").isin(ids: _*))
       verifyPairs(candLit, needed, threshold, shingleN)
     } else verifyPairs(cand, docs, threshold, shingleN)

@@ -103,9 +103,25 @@ object Ivf {
     * At 100 TB add bucketing within cells; the pruning mechanics are
     * identical.
     */
-  def writePartitioned(emb: DataFrame, vecCol: String, index: IvfIndex, path: String): Unit =
+  /** Fingerprint of the centroid matrix, stored as a sidecar in the
+    * published layout so appends can detect an index/layout mismatch.
+    */
+  private def fingerprint(index: IvfIndex): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(4)
+    index.centroids.foreach(_.foreach { f =>
+      bb.clear(); bb.putFloat(f); md.update(bb.array()) })
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  private def fingerprintPath(path: String) =
+    java.nio.file.Paths.get(path, "_ivf_centroids.sha")
+
+  def writePartitioned(emb: DataFrame, vecCol: String, index: IvfIndex, path: String): Unit = {
     emb.withColumn("cell", assign(col(vecCol), index))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    java.nio.file.Files.writeString(fingerprintPath(path), fingerprint(index))
+  }
 
   /** Append a batch to a published cell-partitioned corpus WITHOUT
     * retraining or rewriting: assign the batch with the SAME
@@ -117,9 +133,22 @@ object Ivf {
     * republish when drift degrades recall, exactly like periodic
     * delta compaction.
     */
-  def appendPartitioned(newEmb: DataFrame, vecCol: String, index: IvfIndex, path: String): Unit =
+  def appendPartitioned(newEmb: DataFrame, vecCol: String, index: IvfIndex, path: String): Unit = {
+    // guard the documented failure mode: retraining after drift and
+    // then APPENDING with the new index would mix two cell geometries
+    // in one layout — probes at nprobe < nlist silently lose recall.
+    // The publish-time fingerprint makes that an error, not a mystery.
+    val fp = fingerprintPath(path)
+    if (java.nio.file.Files.exists(fp)) {
+      val published = java.nio.file.Files.readString(fp)
+      require(published == fingerprint(index),
+        s"IVF index mismatch: layout at $path was published with centroids " +
+          s"$published but the append uses ${fingerprint(index)} — after a " +
+          "retrain, republish with writePartitioned instead of appending")
+    }
     newEmb.withColumn("cell", assign(col(vecCol), index))
       .write.mode("append").partitionBy("cell").parquet(path)
+  }
 
   /** Search over a published cell-partitioned corpus. The probe-cell
     * filter is a PARTITION filter — only the probed directories are

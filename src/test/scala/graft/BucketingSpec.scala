@@ -57,4 +57,18 @@ class BucketingSpec extends GraftSuite {
     val snap = graft.core.TpchGraph.snapshot(spark, sf0001)
     assert(snap.autoBuckets() == 16)
   }
+
+  test("autoBuckets is not fooled by join-inflated size estimates") {
+    val snap = graft.core.TpchGraph.snapshot(spark, sf0001)
+    // an edges lineage containing a join: the top-level size stat is
+    // the product-of-children heuristic (~GBs for KB inputs) and
+    // would saturate the bucket count without the leaf-sum guard
+    val joinedEdges = snap.edges.as("e")
+      .join(snap.nodes.select(col("id")).as("n"), col("e.src") === col("n.id"))
+      .select(snap.edges.columns.map(c => col(s"e.$c")): _*)
+    val g = graft.core.GraphSnapshot(snap.nodes, joinedEdges)
+    val top = joinedEdges.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(top > (BigInt(1) << 30), s"precondition: join estimate should be inflated, got $top")
+    assert(g.autoBuckets() == 16, "guard must fall back to leaf-scan bytes")
+  }
 }

@@ -61,6 +61,21 @@ class DedupIncrementalSpec extends GraftSuite {
     assert(got == full.filter { case (a, b, _) => a >= 10 || b >= 10 })
   }
 
+  test("the driver-small path works for non-Long id types") {
+    val corpus = spark.createDataFrame(Seq(
+      ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("b", "completely different content with other words entirely")
+    )).toDF("doc", "text")
+    val batch = spark.createDataFrame(Seq(
+      ("x", "alpha beta gamma delta epsilon zeta eta iota")
+    )).toDF("doc", "text")
+    val got = Dedup.nearDuplicatesIncremental(
+      corpus, Dedup.bandTable(corpus, "doc", col("text")), batch,
+      "doc", col("text"), 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "x")), s"string-id pair mining failed: $got")
+  }
+
   test("small candidate sets push endpoint ids into the corpus parquet scan") {
     val docs = Tables(spark, sf0001).documents
     val corpus = docs.filter(col("doc_id") % 7 =!= 3)

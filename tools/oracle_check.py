@@ -63,11 +63,13 @@ def main():
     skip, only = set(), None
     args = sys.argv[3:]
     while args:
+        if args[0] in ("--skip", "--only") and len(args) < 2:
+            sys.exit(f"{args[0]} needs a comma-separated list of query names")
         if args[0] == "--skip":
             skip |= set(args[1].split(","))
             args = args[2:]
         elif args[0] == "--only":
-            only = set(args[1].split(","))
+            only = (only or set()) | set(args[1].split(","))
             args = args[2:]
         else:
             sys.exit(f"unknown arg {args[0]}")
@@ -91,6 +93,11 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    # a typo'd --skip/--only name must be an error, not a silently
+    # green gate that verified nothing
+    unknown = (skip | (only or set())) - set(oracles)
+    if unknown:
+        sys.exit(f"unknown query names in --skip/--only: {sorted(unknown)}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if name in skip or (only is not None and name not in only):
@@ -151,7 +158,8 @@ def main():
             _, rows, _ = read_spark(outdir, qn)
             print(f"INFO {qn}: no oracle, {len(rows) if rows is not None else 0} rows")
     print(f"== {n_pass} pass, {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    # "nothing ran" must not read as green
+    sys.exit(1 if n_fail or n_pass == 0 else 0)
 
 
 if __name__ == "__main__":
