@@ -24,7 +24,17 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Deferred oracles render here (after the queries ran — Verify's
+    * dump order); a thunk that fails drops ONLY its own entry, so one
+    * broken query cannot zero the whole round's correctness gate.
     */
   def oracleSql: Map[String, String] =
-    Catalog.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    Catalog.all.flatMap { q =>
+      try q.oracle.get.map(q.name -> _)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[oracle] ${q.name}: oracle render failed: ${e.getMessage}")
+          None
+      }
+    }.toMap
 }

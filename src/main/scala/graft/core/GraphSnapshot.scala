@@ -328,6 +328,8 @@ final class GraphBuilder {
 
   def addEdge(src: Long, dst: Long, label: String,
       props: Map[String, Seq[PropertyValue]] = Map.empty): Long = {
+    require(labels.contains(src), s"addEdge: unknown src node id $src — addNode it first")
+    require(labels.contains(dst), s"addEdge: unknown dst node id $dst — addNode it first")
     val id = nextEdge; nextEdge += 1
     edgeRows += Row(id, src, labels(src), dst, labels(dst), label,
       props.map { case (k, v) => k -> cells(v) }, 0L, null)

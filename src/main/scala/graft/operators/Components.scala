@@ -28,17 +28,58 @@ import org.apache.spark.storage.StorageLevel
 object Components {
 
   /** Rounds taken by the most recent [[minLabel]] call in this JVM.
-    * Surfaced so the bench can record convergence alongside the
-    * timing: a swing in rounds explains a swing in seconds.
+    * SINGLE-THREADED BENCH TELEMETRY ONLY: a JVM-global last-writer-
+    * wins cell — concurrent component computations overwrite each
+    * other here. Anything that needs the count reliably (parallel
+    * sessions, tests) should use [[minLabelManaged]], which returns
+    * the rounds alongside the result instead of through this global.
     */
   @volatile var lastRounds: Int = 0
+
+  /** Components plus the run's metadata: `rounds` to convergence and
+    * a `release` thunk that unpersists the final round's cached
+    * blocks. Call `release()` once the result (or anything derived
+    * from it) has been materialized — afterwards the frame is still
+    * valid, it just recomputes through lineage if re-read.
+    */
+  final case class Result(components: DataFrame, rounds: Int, release: () => Unit)
+
+  /** Final-round frames from [[minLabel]] calls whose caller has no
+    * release handle. Swept (unpersisted) at the START of the next
+    * invocation: cached entries then never accumulate beyond the one
+    * live invocation, which bench reps measured as the dominant
+    * run-to-run variance. Sweeping a frame a concurrent caller is
+    * still reading is CORRECT (Spark recomputes lost blocks through
+    * lineage) — at worst that caller pays a recompute.
+    */
+  private val unreleased = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  private def sweep(): Unit = {
+    var f = unreleased.poll()
+    while (f != null) { f(); f = unreleased.poll() }
+  }
 
   /** `nodes`: single column `id`. `edges`: columns `u`, `v` (each
     * undirected pair in either or both orientations). Returns
     * (id, component) with component = the minimum id reachable from
     * `id` (isolated nodes map to themselves).
+    *
+    * The final round stays cached so the caller's first
+    * materialization does not redo the loop; the NEXT invocation in
+    * this JVM sweeps it. For deterministic release (long sessions,
+    * concurrent callers) use [[minLabelManaged]].
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val r = minLabelManaged(nodes, edges, maxIters)
+    unreleased.add(r.release)
+    r.components
+  }
+
+  /** [[minLabel]] with caller-driven cache release and a race-free
+    * rounds count (closes the two lifecycle gaps of the bare form).
+    */
+  def minLabelManaged(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): Result = {
+    sweep()
     // symmetrize once; persisted because every round re-reads it
     val nbrs = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
@@ -70,6 +111,8 @@ object Components {
     // symmetrized edges are no longer needed (a lost final block
     // recomputes through lineage — standard fault story)
     nbrs.unpersist(blocking = false)
-    comp
+    val last = persisted
+    Result(comp, round,
+      () => if (last != null) last.unpersist(blocking = false): Unit)
   }
 }

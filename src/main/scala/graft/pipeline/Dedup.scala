@@ -192,7 +192,12 @@ object Dedup {
     *
     * Equals `nearDuplicates(corpus ∪ batch)` restricted to pairs with
     * a batch endpoint (DedupIncrementalSpec pins row equality). Ids
-    * must be disjoint between corpus and batch.
+    * must be disjoint between corpus and batch — ENFORCED here: a
+    * reappearing id would silently lose its self-pair to the
+    * `na =!= ob` filter and break the re-mine equivalence, so the
+    * violation is an error, not a quiet wrong answer. The check is
+    * one id-column scan of the published band index (KBs per row,
+    * column-pruned) against the broadcast batch ids.
     */
   def nearDuplicatesIncremental(corpus: DataFrame, corpusBands: DataFrame,
       newDocs: DataFrame, idCol: String, text: Column, threshold: Double,
@@ -202,6 +207,13 @@ object Dedup {
     // probe side and inside the union); persist it for the size-probe
     // job so batch shingling + the minhash groupBy run once, and
     // release it as soon as the probe decided the path
+    val clash = corpusBands.select(col("id"))
+      .join(broadcast(newDocs.select(col(idCol).as("id")).distinct()), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(clash.isEmpty,
+      s"batch ids already present in the corpus band index (sample: ${clash.mkString(", ")}) — " +
+        "incremental mining requires disjoint ids; re-ingest those docs under fresh ids " +
+        "or rebuild the corpus index including them")
     val nb = bandTable(newDocs, idCol, text, numHashes, bands, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = corpusBands.select(col("id"), col("band")).unionAll(nb)

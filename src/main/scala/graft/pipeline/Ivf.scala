@@ -103,8 +103,8 @@ object Ivf {
     * At 100 TB add bucketing within cells; the pruning mechanics are
     * identical.
     */
-  /** Fingerprint of the centroid matrix, stored as a sidecar in the
-    * published layout so appends can detect an index/layout mismatch.
+  /** Fingerprint of the centroid matrix, stored in the layout's
+    * metadata sidecar so appends can detect an index/layout mismatch.
     */
   private def fingerprint(index: IvfIndex): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -114,13 +114,47 @@ object Ivf {
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
-  private def fingerprintPath(path: String) =
-    java.nio.file.Paths.get(path, "_ivf_centroids.sha")
+  // Sidecar I/O uses java.nio, so like the snapshot manifest writes it
+  // is LOCAL-FILESYSTEM ONLY; on hdfs:// or s3:// paths, route these
+  // few bytes through the Hadoop FileSystem API instead.
+  private def metaPath(path: String) =
+    java.nio.file.Paths.get(path, "_ivf_meta.properties")
+
+  /** Mean squared distance of each vector to its assigned centroid —
+    * the layout's publish-time dispersion, the yardstick appends are
+    * drift-checked against. One scan + one tiny agg (publish cost).
+    */
+  private def meanAssignedDist(emb: DataFrame, vecCol: String, index: IvfIndex): Double = {
+    val cents = typedLit(index.centroids.map(_.toSeq).toSeq)
+    val cv = element_at(cents, col("cell") + 1)
+    val d2 = aggregate(
+      zip_with(col(vecCol), cv,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (a, x) => a + x)
+    val r = emb.withColumn("cell", assign(col(vecCol), index))
+      .agg(avg(d2).as("m")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0) // null iff the frame is empty
+  }
+
+  /** Drift report from [[appendPartitioned]]: how the batch's
+    * dispersion around the FROZEN centroids compares to the corpus the
+    * centroids were trained on. A ratio near 1 means the batch is
+    * in-distribution; a large ratio means recall at nprobe < nlist is
+    * degrading and the layout deserves a retrain + republish.
+    */
+  final case class IvfDrift(baseMeanDist: Double, batchMeanDist: Double) {
+    def ratio: Double =
+      if (baseMeanDist > 0) batchMeanDist / baseMeanDist
+      else if (batchMeanDist > 0) Double.PositiveInfinity else 1.0
+    def drifted(threshold: Double = 1.5): Boolean = ratio > threshold
+  }
 
   def writePartitioned(emb: DataFrame, vecCol: String, index: IvfIndex, path: String): Unit = {
     emb.withColumn("cell", assign(col(vecCol), index))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    java.nio.file.Files.writeString(fingerprintPath(path), fingerprint(index))
+    val mean = meanAssignedDist(emb, vecCol, index)
+    java.nio.file.Files.writeString(metaPath(path),
+      s"fingerprint=${fingerprint(index)}\nmean_dist=$mean\n")
   }
 
   /** Append a batch to a published cell-partitioned corpus WITHOUT
@@ -129,25 +163,32 @@ object Ivf {
     * cell directories. O(batch) work per ingestion — the ANN analog
     * of the dedup band-index append and the streaming delta sink.
     * Probes see appended vectors immediately (partition listing picks
-    * up new files). Centroids deliberately do NOT move: retrain +
-    * republish when drift degrades recall, exactly like periodic
-    * delta compaction.
+    * up new files). Centroids deliberately do NOT move: the returned
+    * [[IvfDrift]] says when to retrain + republish, exactly like
+    * periodic delta compaction.
     */
-  def appendPartitioned(newEmb: DataFrame, vecCol: String, index: IvfIndex, path: String): Unit = {
+  def appendPartitioned(newEmb: DataFrame, vecCol: String, index: IvfIndex, path: String): IvfDrift = {
     // guard the documented failure mode: retraining after drift and
     // then APPENDING with the new index would mix two cell geometries
     // in one layout — probes at nprobe < nlist silently lose recall.
-    // The publish-time fingerprint makes that an error, not a mystery.
-    val fp = fingerprintPath(path)
-    if (java.nio.file.Files.exists(fp)) {
-      val published = java.nio.file.Files.readString(fp)
-      require(published == fingerprint(index),
-        s"IVF index mismatch: layout at $path was published with centroids " +
-          s"$published but the append uses ${fingerprint(index)} — after a " +
-          "retrain, republish with writePartitioned instead of appending")
-    }
+    // The publish-time fingerprint makes that an error, not a mystery;
+    // a MISSING sidecar is equally an error (nothing proves the layout
+    // and the index agree), not a skipped check.
+    val mp = metaPath(path)
+    require(java.nio.file.Files.exists(mp),
+      s"no IVF metadata sidecar at $mp: the layout was not published by " +
+        "writePartitioned (or the sidecar was lost) — republish with " +
+        "writePartitioned; appending unverified would risk mixing cell geometries")
+    val meta = java.nio.file.Files.readString(mp).linesIterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    require(meta.get("fingerprint").contains(fingerprint(index)),
+      s"IVF index mismatch: layout at $path was published with centroids " +
+        s"${meta.getOrElse("fingerprint", "?")} but the append uses ${fingerprint(index)} — " +
+        "after a retrain, republish with writePartitioned instead of appending")
     newEmb.withColumn("cell", assign(col(vecCol), index))
       .write.mode("append").partitionBy("cell").parquet(path)
+    IvfDrift(meta.get("mean_dist").map(_.toDouble).getOrElse(0.0),
+      meanAssignedDist(newEmb, vecCol, index))
   }
 
   /** Search over a published cell-partitioned corpus. The probe-cell
@@ -167,5 +208,55 @@ object Ivf {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"), col("cell"))
+  }
+
+  /** Batch kNN JOIN — the training-data pipeline's dominant ANN shape
+    * (retrieval dedup, hard-negative mining): top-k probed neighbors
+    * for EVERY vector of a query set in one job, against a published
+    * cell-partitioned corpus. Reference analog: the every-key lookup
+    * sweep (HGraphStorage perf/.../HackageTest.hs:150-165).
+    *
+    * Shape, stage by stage:
+    *  1. each query's nprobe probe cells come from ONE codegen'd
+    *     [[NearestCells]] scan of the query set, exploded to
+    *     (q_id, q_vec, cell) — no per-query driver work;
+    *  2. the UNION of probe cells (≤ nlist ints, a driver-tiny
+    *     collect) becomes a literal partition filter, so the corpus
+    *     scan stays file-pruned exactly like [[topKPartitioned]];
+    *  3. the exploded query side is broadcast and joined cell-to-cell:
+    *     the corpus never shuffles, and each corpus row meets only the
+    *     queries probing its cell;
+    *  4. scoring projects down to (q_id, id, cos) BEFORE the per-query
+    *     rank, so the only shuffle in the plan moves narrow triples,
+    *     never vectors.
+    *
+    * At 100 TB the query set that no longer fits a broadcast is sliced
+    * into broadcastable slabs driven by an outer loop — each slab keeps
+    * this exact plan (pruned scan, no corpus shuffle); co-partitioning
+    * both sides by cell would instead put the whole corpus through a
+    * skewed low-cardinality exchange.
+    *
+    * `pairFilter` may reference `q_id` and corpus columns (e.g.
+    * `col("q_id") =!= col(idCol)` to drop self-matches when the query
+    * set is drawn from the corpus). Output: (q_id, idCol, cos).
+    */
+  def topKBatch(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      index: IvfIndex, k: Int, nprobe: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    graft.functions.NearestCells.register(spark)
+    val np = math.min(nprobe, index.nlist)
+    val qcells = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
+      explode(graft.functions.NearestCells.col(col(qVecCol), index.centroids, np)).as("cell"))
+    val wanted = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path).filter(col("cell").isin(wanted: _*))
+    val scored = corpus.join(broadcast(qcells), Seq("cell"))
+      .filter(pairFilter)
+      .select(col("q_id"), col(idCol),
+        round(graft.functions.CosineSim.col(col(vecCol), col("q_vec")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 }

@@ -129,6 +129,78 @@ object Similarity {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** The publishable half of [[lshBlockedPairs]]: each vector's
+    * hyperplane bucket as a standing (id, bucket) index. Bucket ids
+    * depend only on the vector itself (hash-derived plane signs, no
+    * trained state), so a batch bucketed later is bit-identical to
+    * re-bucketing — the property [[lshBlockedPairsIncremental]] relies
+    * on, and the same contract as [[graft.pipeline.Dedup.bandTable]]
+    * for text.
+    */
+  def bucketTable(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int = 8): DataFrame =
+    embeddings.select(col(idCol).as("id"),
+      lshBucket(col(vecCol), planes, dim).as("bucket"))
+
+  /** Incremental embedding near-dup mining: a new batch against the
+    * PUBLISHED bucket index, never re-bucketing the corpus — the
+    * embedding-side analog of [[graft.pipeline.Dedup.nearDuplicatesIncremental]]
+    * (text bands) and the third leg of the O(batch) ingestion story.
+    *
+    *  - candidates = bucket matches with >= 1 endpoint in the batch:
+    *    batch-batch and batch-corpus pairs surface, corpus-corpus
+    *    pairs (mined when the corpus was built) never re-form;
+    *  - when the candidate set is driver-small (the realistic batch
+    *    shape) the endpoint ids push into the corpus embedding scan
+    *    as an `isin` predicate (row-group pruning) — corpus vectors
+    *    are READ only for ids an LSH bucket actually matched; above
+    *    the cap, verification joins the full vector set.
+    *
+    * Equals `lshBlockedPairs(corpus ∪ batch)` restricted to pairs
+    * with a batch endpoint (SimilarityIncrementalSpec pins row
+    * equality). Ids must be disjoint between corpus and batch —
+    * enforced (a reappearing id would silently lose pairs to the
+    * self-pair filter), one column-pruned scan of the bucket index
+    * against the broadcast batch ids.
+    */
+  def lshBlockedPairsIncremental(corpus: DataFrame, corpusBuckets: DataFrame,
+      newEmb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      minCos: Double, planes: Int = 8, maxDriverPairs: Int = 200000,
+      cosFn: (Column, Column) => Column = cosine): DataFrame = {
+    val clash = corpusBuckets.select(col("id"))
+      .join(broadcast(newEmb.select(col(idCol).as("id")).distinct()), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(clash.isEmpty,
+      s"batch ids already present in the corpus bucket index (sample: ${clash.mkString(", ")}) — " +
+        "incremental mining requires disjoint ids")
+    val nb = bucketTable(newEmb, idCol, vecCol, dim, planes)
+    val all = corpusBuckets.select(col("id"), col("bucket")).unionAll(nb)
+    val cand = nb.select(col("bucket"), col("id").as("na"))
+      .join(all.select(col("bucket"), col("id").as("ob")), Seq("bucket"))
+      .filter(col("na") =!= col("ob"))
+      .select(least(col("na"), col("ob")).as("va"),
+        greatest(col("na"), col("ob")).as("vb"))
+      .distinct()
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("e"))
+      .unionAll(newEmb.select(col(idCol).as("id"), col(vecCol).as("e")))
+    def verify(pairs: DataFrame, within: DataFrame): DataFrame =
+      pairs
+        .join(within.select(col("id").as("va"), col("e").as("ea")), Seq("va"))
+        .join(within.select(col("id").as("vb"), col("e").as("eb")), Seq("vb"))
+        .withColumn("cos", round(cosFn(col("ea"), col("eb")), 6))
+        .filter(col("cos") >= minCos)
+        .select(col("va"), col("vb"), col("cos"))
+    val taken = cand.take(maxDriverPairs + 1)
+    if (taken.length <= maxDriverPairs) {
+      val spark = corpus.sparkSession
+      val candLit = spark.createDataFrame(
+        java.util.Arrays.asList(taken: _*), cand.schema)
+      val ids = taken.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+      val needed = if (ids.isEmpty) vecs.limit(0) else vecs.filter(col("id").isin(ids: _*))
+      verify(candLit, needed)
+    } else verify(cand, vecs)
+  }
+
   /** Scalar int8 quantization per vector: `scale = max|x_i|`,
     * `q_i = round(x_i / scale * 127)` ∈ [-127, 127]. 4× smaller
     * vectors (the storage/bandwidth lever for ANN over 100 TB of

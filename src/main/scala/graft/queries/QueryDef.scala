@@ -1,6 +1,27 @@
 package graft.queries
 
+import scala.language.implicitConversions
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle SQL for a query — either a fixed string (the common case)
+  * or DEFERRED: rendered only when the dump asks for it, AFTER the
+  * Spark queries ran. Deferral exists for queries whose exact SQL
+  * depends on values the run itself produces (e.g. trained IVF
+  * centroids emitted as literals): Verify runs every query first and
+  * dumps oracle_sql.json last, so a deferred thunk can read state the
+  * query's build recorded. The implicit view from `Option[String]`
+  * keeps every plain-SQL QueryDef call site unchanged.
+  */
+final class Oracle private (private val thunk: Option[() => String]) {
+  /** Rendered SQL; deferred thunks evaluate here. */
+  def get: Option[String] = thunk.map(_())
+}
+
+object Oracle {
+  implicit def fromOption(o: Option[String]): Oracle = new Oracle(o.map(s => () => s))
+  def deferred(f: => String): Oracle = new Oracle(Some(() => f))
+}
 
 /** A named, driver-verifiable query.
   *
@@ -14,7 +35,7 @@ final case class QueryDef(
     name: String,
     doc: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Oracle)
 
 trait QueryModule {
   def queries: Seq[QueryDef]

@@ -12,10 +12,14 @@ import org.apache.spark.sql.SparkSession
   *    of the context — a stopped-then-recreated context can reuse an
   *    identity hash and would be served a table name that no longer
   *    exists in the new catalog;
-  *  - the publish body runs under a per-key lock
-  *    (`ConcurrentHashMap.computeIfAbsent`) so two racing threads
+  *  - the publish body runs under a PER-KEY lock (a lazily-forced
+  *    holder inserted via `computeIfAbsent`) so two racing threads
   *    cannot both run a side-effecting publish against the same table
-  *    names with different external paths;
+  *    names — while the map's bin lock is held only for the cheap
+  *    holder construction, never for the multi-second publish itself
+  *    (running jobs inside `computeIfAbsent` serializes unrelated
+  *    same-bin keys and risks IllegalStateException/livelock on
+  *    nested computeIfAbsent per the CHM contract);
   *  - derived table names use a SHA-256 prefix of the full source dir
   *    ([[token]]) — 32-bit String.hashCode collisions would let two
   *    distinct dirs publish to the same names, the second overwriting
@@ -25,7 +29,15 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object SessionPublish {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  /** One-shot cell: `computeIfAbsent` installs the (cheap) holder;
+    * forcing the `lazy val` runs the publish under the holder's own
+    * monitor — per-key mutual exclusion, map locks untouched. A failed
+    * publish re-runs on the next access (Scala lazy-val retry
+    * semantics), so a transient failure is not cached forever.
+    */
+  private final class Cell(body: () => AnyRef) { lazy val value: AnyRef = body() }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Cell]()
 
   /** Collision-resistant filesystem/catalog-safe token for a source
     * path (48 bits of SHA-256 — no birthday collisions at any
@@ -51,5 +63,5 @@ private[graft] object SessionPublish {
     */
   def once[A <: AnyRef](spark: SparkSession, key: String)(publish: => A): A =
     cache.computeIfAbsent(spark.sparkContext.applicationId + "|" + key,
-      _ => publish).asInstanceOf[A]
+      _ => new Cell(() => publish)).value.asInstanceOf[A]
 }

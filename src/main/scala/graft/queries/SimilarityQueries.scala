@@ -55,6 +55,71 @@ object SimilarityQueries extends QueryModule {
     Tables(s, dir).embeddings.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  /** The exact trained centroids behind the session's published IVF
+    * layout, recorded by the probed-query builds for their DEFERRED
+    * oracles ([[graft.queries.Oracle.deferred]]): probe semantics are
+    * SQL-expressible only once the centroid values are known, and they
+    * are known only after training ran. Verify runs every query before
+    * dumping oracle SQL, so the state is always set by render time
+    * (and a missing value fails only this oracle, not the dump).
+    */
+  private object IvfOracleState {
+    @volatile var centroids: Option[Array[Array[Float]]] = None
+  }
+
+  // ---- centroid-literal SQL rendering for the deferred oracles ----
+  // Every constant goes through a string cast ('…'::DOUBLE): DuckDB
+  // parses bare decimal literals as DECIMAL, and only the string form
+  // guarantees the exact nearest-double round-trip of Double.toString.
+  private def dlit(x: Double): String = s"'$x'::DOUBLE"
+
+  /** Same fold as NearestCell's cached |c|²: left-to-right over dims. */
+  private def c2Of(c: Array[Float]): Double =
+    c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+
+  /** `|c|² - 2 v·c` with NearestCell's exact arithmetic: dot terms
+    * (centroid * element) summed left-to-right in doubles.
+    */
+  private def cellDistSql(c: Array[Float], v: String): String = {
+    val dot = c.indices.map(d => s"${dlit(c(d).toDouble)} * $v[${d + 1}]").mkString(" + ")
+    s"${dlit(c2Of(c))} - 2.0 * ($dot)"
+  }
+
+  /** First-wins argmin cell id via lexicographic sort of [dist, cell]
+    * pairs — NearestCell's strict-< scan keeps the lower cell on ties,
+    * exactly what (dist, cell) ascending yields.
+    */
+  private def cellSql(cents: Array[Array[Float]], v: String): String = {
+    val entries = cents.zipWithIndex
+      .map { case (c, i) => s"[${cellDistSql(c, v)}, CAST($i AS DOUBLE)]" }
+      .mkString(", ")
+    s"CAST(list_sort([$entries])[1][2] AS INT)"
+  }
+
+  /** `np` probe cells ascending by the given per-cell distance SQL
+    * (ties to the lower cell id), as an INT list.
+    */
+  private def probeListSql(cents: Array[Array[Float]], np: Int,
+      distSql: (Array[Float], String) => String, v: String): String = {
+    val entries = cents.zipWithIndex
+      .map { case (c, i) => s"[${distSql(c, v)}, CAST($i AS DOUBLE)]" }
+      .mkString(", ")
+    s"list_transform(list_sort([$entries])[1:$np], x -> CAST(x[2] AS INT))"
+  }
+
+  /** Squared Euclidean distance with [[graft.pipeline.Ivf.probeOrder]]'s
+    * exact arithmetic: (v_i - c_i)² accumulated left-to-right.
+    */
+  private def euclidDistSql(c: Array[Float], v: String): String =
+    c.indices.map { d =>
+      s"($v[${d + 1}] - ${dlit(c(d).toDouble)}) * ($v[${d + 1}] - ${dlit(c(d).toDouble)})"
+    }.mkString(" + ")
+
+  private def trainedCentroids: Array[Array[Float]] =
+    IvfOracleState.centroids.getOrElse(
+      throw new IllegalStateException(
+        "IVF centroids not recorded — run the probed IVF queries before rendering their oracles"))
+
   override def queries: Seq[QueryDef] = Seq(
     // ---- brute-force cosine top-k against a stored query vector ----
     QueryDef(
@@ -168,6 +233,49 @@ object SimilarityQueries extends QueryModule {
       })
     ),
 
+    // ---- incremental embedding near-dup mining: batch vs the
+    // PUBLISHED bucket index — the embedding leg of the O(batch)
+    // ingestion story (text bands: q_dedup_incremental; ANN cells:
+    // q_ann_ivf_incremental). The warmup rep pays the one-off corpus
+    // bucket publish (memoized per session); timed reps measure batch
+    // bucketing + index join + candidate-only verification ----
+    QueryDef(
+      "q_dedup_embed_incremental",
+      "similar pairs (cosine >= 0.25) involving the vec_id%7=3 batch, via the published bucket index",
+      (s, dir) => {
+        graft.functions.CosineSim.register(s)
+        val emb = Tables(s, dir).embeddings
+        val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+        val batch  = emb.filter(col("vec_id") % 7 === 3)
+        val bucketsPath = SessionPublish.once(s, "embed_buckets|" + dir) {
+          val p = SessionPublish.tempDir("graft-embed-buckets") + "/buckets"
+          Similarity.bucketTable(corpus, "vec_id", "embedding", DIM).write.mode("overwrite").parquet(p)
+          p
+        }
+        Similarity.lshBlockedPairsIncremental(corpus, s.read.parquet(bucketsPath),
+          batch, "vec_id", "embedding", DIM, minCos = 0.25,
+          cosFn = graft.functions.CosineSim.col)
+      },
+      // oracle: the FULL bucket-blocked mine filtered to pairs with a
+      // batch endpoint — the equivalence the incremental path must keep
+      Some({
+        val bits = (0 until 8).map { p =>
+          val terms = (0 until DIM).map(d => s"e[${d + 1}] * ${signSql(p, d)}").mkString(" + ")
+          s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+           |                  CAST($bits AS BIGINT) AS bucket
+           |           FROM embeddings)
+           |SELECT a.vec_id AS va, c.vec_id AS vb,
+           |  round(list_dot_product(a.e, c.e) /
+           |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+           |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |WHERE (a.vec_id % 7 = 3 OR c.vec_id % 7 = 3)
+           |  AND round(list_dot_product(a.e, c.e) /
+           |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25""".stripMargin
+      })
+    ),
+
     // ---- vector norms (feature hygiene: catch zero/degenerate) ----
     QueryDef(
       "q_embed_norms",
@@ -257,19 +365,100 @@ object SimilarityQueries extends QueryModule {
 
     // ---- IVF partial probe over the partitioned layout (scale path) ----
     // nprobe=2 of 8: the scan lists and reads 1/4 of the corpus files.
-    // Training-dependent (which vectors land in the probed cells), so
-    // no SQL oracle — the driver records rows>0; IvfSpec asserts
-    // recall and the partition-pruned plan.
+    // Training-dependent, yet still exactly verifiable: the build
+    // records the trained centroids, and a DEFERRED oracle re-derives
+    // in SQL — from those values as literals — each vector's argmin
+    // cell (NearestCell's exact arithmetic), the 2-cell probe list
+    // (probeOrder's exact arithmetic), and the in-probe cosine top-10.
     QueryDef(
       "q_ann_ivf_probe",
       "IVF top-10 probing 2/8 cells of the partitioned corpus (partition-pruned scan)",
       (s, dir) => {
         val (idx, path) = ivfLayout(s, dir, nlist = 8)
+        IvfOracleState.centroids = Some(idx.centroids)
         graft.pipeline.Ivf.topKPartitioned(s, path, "vec_id", "embedding",
           idx, queryVec(s, dir), k = 10, nprobe = 2,
           pred = col("vec_id") =!= 0L)
       },
-      None
+      Oracle.deferred {
+        val cents = trainedCentroids
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT vec_id, e, ${cellSql(cents, "e")} AS cell FROM v),
+           |q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+           |p AS (SELECT ${probeListSql(cents, 2, euclidDistSql, "qv")} AS probes FROM q)
+           |SELECT a.vec_id, round(list_dot_product(a.e, q.qv) /
+           |  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos,
+           |  a.cell
+           |FROM a, q, p WHERE a.vec_id <> 0 AND list_contains(p.probes, a.cell)
+           |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
+    // ---- batch kNN JOIN over the partitioned layout (probe-all) ----
+    // The pipeline's dominant ANN shape: top-10 for EVERY query of a
+    // set in one job. nprobe = nlist makes it provably per-query brute
+    // force, so the oracle is plain SQL (cross join + rank window) with
+    // no centroid dependence; the partial-probe twin below gates the
+    // pruned path. IvfBatchSpec pins the plan (pruned corpus scan,
+    // broadcast query side, narrow-triple rank shuffle).
+    QueryDef(
+      "q_ann_topk_batch",
+      "batch kNN join: top-10 per query vector (vec_id < 8), probe all cells (≡ brute force)",
+      (s, dir) => {
+        val (idx, path) = ivfLayout(s, dir, nlist = 8)
+        val qs = Tables(s, dir).embeddings.filter(col("vec_id") < 8)
+        graft.pipeline.Ivf.topKBatch(s, path, qs, "vec_id", "embedding",
+          "vec_id", "embedding", idx, k = 10, nprobe = idx.nlist,
+          pairFilter = col("q_id") =!= col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             |           FROM embeddings WHERE vec_id < 8),
+             |s AS (SELECT q.q_id, e.vec_id,
+             |        round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+             |          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |           sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+             |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+             |r AS (SELECT q_id, vec_id, cos,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+             |      FROM s)
+             |SELECT q_id, vec_id, cos FROM r WHERE rk <= 10""".stripMargin)
+    ),
+
+    // ---- batch kNN JOIN, partial probe (the 100 TB read path) ----
+    // nprobe=2 of 8 per query: each query meets only the corpus rows
+    // in its own 2 probe cells, and the corpus scan reads only the
+    // union of probed partitions. The deferred oracle re-derives each
+    // query's probe list with NearestCells' arithmetic (|c|² - 2 v·c
+    // over the centroid literals) and each corpus vector's cell, then
+    // ranks within the probed candidates — an exact end-to-end check
+    // of the approximate path's semantics.
+    QueryDef(
+      "q_ann_topk_batch_probe",
+      "batch kNN join: top-10 per query vector (vec_id < 8) probing 2/8 cells each",
+      (s, dir) => {
+        val (idx, path) = ivfLayout(s, dir, nlist = 8)
+        IvfOracleState.centroids = Some(idx.centroids)
+        val qs = Tables(s, dir).embeddings.filter(col("vec_id") < 8)
+        graft.pipeline.Ivf.topKBatch(s, path, qs, "vec_id", "embedding",
+          "vec_id", "embedding", idx, k = 10, nprobe = 2,
+          pairFilter = col("q_id") =!= col("vec_id"))
+      },
+      Oracle.deferred {
+        val cents = trainedCentroids
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT vec_id, e, ${cellSql(cents, "e")} AS cell FROM v),
+           |q AS (SELECT vec_id AS q_id, e AS qv,
+           |        ${probeListSql(cents, 2, cellDistSql, "e")} AS probes
+           |      FROM v WHERE vec_id < 8),
+           |s AS (SELECT q.q_id, a.vec_id,
+           |        round(list_dot_product(a.e, q.qv) /
+           |          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+           |      FROM a, q WHERE list_contains(q.probes, a.cell) AND a.vec_id <> q.q_id),
+           |r AS (SELECT q_id, vec_id, cos,
+           |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+           |      FROM s)
+           |SELECT q_id, vec_id, cos FROM r WHERE rk <= 10""".stripMargin
+      }
     ),
 
     // ---- multi-probe LSH ANN (bucket + Hamming-2 neighbors) ----

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+import graft.sources.Tables
+
+/** Incremental embedding near-dup mining must equal the full
+  * bucket-blocked mine restricted to pairs involving the new batch —
+  * the same invariant DedupIncrementalSpec pins for text bands,
+  * on the embedding leg of the O(batch) ingestion story.
+  */
+class SimilarityIncrementalSpec extends GraftSuite {
+
+  private val DIM = 64
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("va", "vb", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental == full mine filtered to batch-involving pairs") {
+    val emb = Tables(spark, sf001).embeddings
+    val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch  = emb.filter(col("vec_id") % 7 === 3)
+
+    val inc = Similarity.lshBlockedPairsIncremental(
+      corpus, Similarity.bucketTable(corpus, "vec_id", "embedding", DIM),
+      batch, "vec_id", "embedding", DIM, minCos = 0.25)
+
+    val full = Similarity.lshBlockedPairs(emb, "vec_id", "embedding", DIM, minCos = 0.25)
+      .filter(col("va") % 7 === 3 || col("vb") % 7 === 3)
+
+    val (gi, gf) = (pairSet(inc), pairSet(full))
+    assert(gi == gf, s"incremental=$gi full-filtered=$gf")
+    assert(gi.nonEmpty, "split should leave at least one batch-involving pair at sf0.01")
+  }
+
+  test("corpus-corpus pairs never re-form; batch-batch and batch-corpus surface") {
+    // 4 hand-built vectors: 1~2 corpus near-dups (excluded), 10~1
+    // batch-corpus, 10~11 batch-batch, 3 isolated
+    def v(seed: Int): Seq[Float] =
+      Seq.tabulate(DIM)(d => (math.sin(seed * 31 + d).toFloat))
+    def jitter(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val corpus = spark.createDataFrame(Seq(
+      (1L, v(1)), (2L, jitter(v(1), 0.01f)), (3L, v(99)))).toDF("id", "e")
+    val batch = spark.createDataFrame(Seq(
+      (10L, jitter(v(1), 0.02f)), (11L, jitter(v(1), 0.03f)))).toDF("id", "e")
+
+    val got = Similarity.lshBlockedPairsIncremental(
+      corpus, Similarity.bucketTable(corpus, "id", "e", DIM),
+      batch, "id", "e", DIM, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(got.forall { case (a, b) => a >= 10 || b >= 10 },
+      s"corpus-corpus pair leaked into $got")
+    assert(got.contains((10L, 11L)), s"batch-batch pair missing from $got")
+    assert(got.exists { case (a, b) => a < 10 || b < 10 }, s"batch-corpus pair missing from $got")
+    // the 1~2 corpus pair the full mine WOULD find is deliberately absent
+    val full = Similarity.lshBlockedPairs(corpus.unionByName(batch), "id", "e", DIM, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((1L, 2L)), "sanity: corpus pair exists in the full mine")
+    assert(got == full.filter { case (a, b) => a >= 10 || b >= 10 })
+  }
+
+  test("a batch id already in the corpus index is an error, not silent pair loss") {
+    val emb = Tables(spark, sf001).embeddings
+    val corpus = emb.filter(col("vec_id") < 50)
+    val batch  = emb.filter(col("vec_id") < 10) // overlaps
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshBlockedPairsIncremental(
+        corpus, Similarity.bucketTable(corpus, "vec_id", "embedding", DIM),
+        batch, "vec_id", "embedding", DIM, minCos = 0.25)
+    }
+    assert(e.getMessage.contains("disjoint ids"), e.getMessage)
+  }
+}
