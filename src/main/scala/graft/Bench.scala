@@ -110,12 +110,29 @@ object Bench {
       val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
       var s = 0L; while (it.hasNext) s += it.next().getCollectionTime; s
     }
+    val warmups = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, run: () => Double, reps: Int = 3): Double = {
-      run() // per-query warmup, uncounted
-      // per-rep (duration, GC-time-during-rep) in arrival order: the
-      // r6 bucketed lines had one ~10x-median rep that widening never
-      // converged away — recording WHICH rep and whether a GC pause
-      // accounts for it turns that from a mystery into a diagnosis
+      // ADAPTIVE warmup, uncounted: keep warming until two consecutive
+      // reps agree within 10% (cap 8). Diagnosed per-rep in r7: with a
+      // single warmup the FIRST timed rep of the sub-second bucketed
+      // step queries ran ~2x the median with ZERO GC time — JIT/C2 of
+      // the generated code and the file-listing caches settle over
+      // MANY executions (a slow monotone decay, not one cold rep), and
+      // that decay was the whole r6 "noise" (spread 1.7-2.1 at 9 reps
+      // that widening could not converge). Warming to a fixpoint
+      // attacks the cause; a 20% tolerance was still fooled by the
+      // decay's adjacent-rep similarity, 10% was not. Multi-second
+      // queries stabilize in the minimum 2 reps, so their added cost
+      // is one extra rep.
+      var w1 = run(); var w2 = run(); var warm = 2
+      while (warm < 8 && w2 >= 0 &&
+          (w1 < 0 || math.abs(w2 - w1) > 0.1 * math.max(w2, 0.05))) {
+        w1 = w2; w2 = run(); warm += 1
+      }
+      warmups(name) = warm
+      // per-rep (duration, GC-time-during-rep) in arrival order: a
+      // slow rep with matching GC time is a pause, one without is a
+      // warm-in or interference — recorded so outliers stay diagnosable
       def rep(): (Double, Long) = { val g0 = gcMs; val t = run(); (t, gcMs - g0) }
       var raw = Seq.fill(reps)(rep()).filter(_._1 >= 0)
       if (raw.isEmpty) { spreads(name) = -1.0; spreadsPre(name) = -1.0; repsUsed(name) = 0; return -1.0 }
@@ -184,10 +201,11 @@ object Bench {
     val sp = spreads.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val spp = spreadsPre.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rps = repsUsed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val wus = warmups.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rts = repTimes.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val rgc = repGcMs.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_pre":$spp,"reps":$rps,"rep_times":$rts,"rep_gc_ms":$rgc,"cluster_rounds":$ccRounds,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_pre":$spp,"reps":$rps,"warmups":$wus,"rep_times":$rts,"rep_gc_ms":$rgc,"cluster_rounds":$ccRounds,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a stdout TAIL, which has truncated the
     // medians map two rounds running — also persist the full line to a

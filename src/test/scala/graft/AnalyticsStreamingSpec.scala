@@ -18,6 +18,15 @@ class AnalyticsStreamingSpec extends GraftSuite {
     b.snapshot(spark)
   }
 
+  test("addEdge on an unknown endpoint id is a described error") {
+    val b = new GraphBuilder
+    val n = b.addNode("t")
+    val e1 = intercept[IllegalArgumentException](b.addEdge(n, 999L, "r"))
+    assert(e1.getMessage.contains("unknown dst node id 999"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](b.addEdge(999L, n, "r"))
+    assert(e2.getMessage.contains("unknown src node id 999"), e2.getMessage)
+  }
+
   test("connected components find both components with min-id labels") {
     val cc = GraphAnalytics.connectedComponents(spark, g)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
