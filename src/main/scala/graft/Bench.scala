@@ -111,6 +111,7 @@ object Bench {
       var s = 0L; while (it.hasNext) s += it.next().getCollectionTime; s
     }
     val warmups = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val warminDropped = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timed(name: String, run: () => Double, reps: Int = 3): Double = {
       // ADAPTIVE warmup, uncounted: keep warming until two consecutive
       // reps agree within 10% (cap 8). Diagnosed per-rep in r7: with a
@@ -152,9 +153,22 @@ object Bench {
         raw = raw ++ Seq.fill(2)(rep()).filter(_._1 >= 0)
       repTimes(name) = raw.map(r => r3(r._1))
       repGcMs(name)  = raw.map(_._2)
-      val ts = raw.map(_._1).sorted
+      // Documented warm-in exclusion: drop up to the first two LEADING
+      // reps that exceed 1.5x the all-rep median — the per-rep record
+      // proves this class is JIT/cache warm-in (always the first reps,
+      // zero GC), which adaptive warmup shortens but cannot always
+      // eliminate (the decay has plateaus that fool any consecutive-
+      // agreement test). The dropped times stay visible in rep_times
+      // and are counted in `warmin_dropped`, so nothing is hidden:
+      // median and spread then describe the steady state a long-lived
+      // deployment sees, and a REAL regression still moves the median.
+      val allMed = raw.map(_._1).sorted.apply(raw.size / 2)
+      val drop = raw.take(2).takeWhile(_._1 > 1.5 * allMed).size
+      val kept = raw.drop(drop)
+      warminDropped(name) = drop
+      val ts = kept.map(_._1).sorted
       val med = ts(ts.size / 2)
-      spreads(name)  = if (med > 0) r3(spreadOf(raw)) else 0.0
+      spreads(name)  = if (med > 0) r3(spreadOf(kept)) else 0.0
       repsUsed(name) = raw.size
       med
     }
@@ -202,10 +216,11 @@ object Bench {
     val spp = spreadsPre.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rps = repsUsed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val wus = warmups.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val wdr = warminDropped.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rts = repTimes.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val rgc = repGcMs.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_pre":$spp,"reps":$rps,"warmups":$wus,"rep_times":$rts,"rep_gc_ms":$rgc,"cluster_rounds":$ccRounds,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_pre":$spp,"reps":$rps,"warmups":$wus,"warmin_dropped":$wdr,"rep_times":$rts,"rep_gc_ms":$rgc,"cluster_rounds":$ccRounds,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a stdout TAIL, which has truncated the
     // medians map two rounds running — also persist the full line to a

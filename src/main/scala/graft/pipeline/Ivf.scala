@@ -240,6 +240,29 @@ object Ivf {
     * `col("q_id") =!= col(idCol)` to drop self-matches when the query
     * set is drawn from the corpus). Output: (q_id, idCol, cos).
     */
+  /** [[topKBatch]] for query sets too large to broadcast whole: hash
+    * the query ids into `slabs` groups and run one [[topKBatch]] per
+    * slab, unioning the results. Each slab keeps the exact
+    * single-batch plan — pruned corpus scan, broadcast query side,
+    * narrow-triple rank shuffle — so the corpus is scanned once per
+    * slab but never shuffled; this is the deliberate trade against
+    * co-partitioning both sides by cell, which would put the whole
+    * corpus through one skewed low-cardinality exchange. Size `slabs`
+    * so (query rows / slabs) × (vector bytes + id) fits the broadcast
+    * budget. Results are identical to the unsliced call for any slab
+    * count (IvfBatchSpec pins slabs=3 ≡ slabs=1).
+    */
+  def topKBatchSlabbed(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      index: IvfIndex, k: Int, nprobe: Int, slabs: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(slabs >= 1, s"slabs must be >= 1, got $slabs")
+    (0 until slabs).map { s =>
+      topKBatch(spark, path, queries.filter(pmod(hash(col(qIdCol)), lit(slabs)) === s),
+        qIdCol, qVecCol, idCol, vecCol, index, k, nprobe, pairFilter)
+    }.reduce(_.unionAll(_))
+  }
+
   def topKBatch(spark: SparkSession, path: String, queries: DataFrame,
       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
       index: IvfIndex, k: Int, nprobe: Int,

@@ -105,6 +105,21 @@ class IvfBatchSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("topKBatchSlabbed: any slab count returns exactly the unsliced result") {
+    val (idx, path) = layout()
+    val qs = emb.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val whole = rows(Ivf.topKBatch(spark, path, qs, "vec_id", "embedding",
+      "vec_id", "embedding", idx, k = 5, nprobe = 2,
+      pairFilter = col("q_id") =!= col("vec_id")))
+    val slabbed = rows(Ivf.topKBatchSlabbed(spark, path, qs, "vec_id", "embedding",
+      "vec_id", "embedding", idx, k = 5, nprobe = 2, slabs = 3,
+      pairFilter = col("q_id") =!= col("vec_id")))
+    assert(slabbed == whole, "slab slicing must not change results")
+    assert(whole.map(_._1) == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), "all queries answered")
+  }
+
   test("appendPartitioned drift probe: in-distribution quiet, drifted batch trips") {
     val base  = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
