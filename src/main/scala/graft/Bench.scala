@@ -61,7 +61,10 @@ object Bench {
     // vector answered in one job; the probe twin reads only the union
     // of probed cell directories (the 100 TB read path)
     "q_ann_topk_batch",
-    "q_ann_topk_batch_probe")
+    "q_ann_topk_batch_probe",
+    // round 7: embedding-side incremental near-dup (published bucket
+    // index + batch-only re-bucket) — the third O(batch) ingestion leg
+    "q_dedup_embed_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
