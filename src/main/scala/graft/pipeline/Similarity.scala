@@ -56,6 +56,28 @@ object Similarity {
     if (Integer.parseInt(hex.substring(0, 2), 16) % 2 == 0) 1 else -1
   }
 
+  /** Hyperplane count sized to the corpus — the embedding analog of
+    * the graph side's measured `autoBuckets`: with `p` planes the
+    * corpus splits into ~2^p hash-uniform buckets, and the blocked
+    * pair join does ~N²/2^(p+1) candidate comparisons, so a FIXED p
+    * grows quadratically with corpus size (measured: the 8-plane
+    * incremental mine went 0.9 s → 48 s from 2k to 200k vectors —
+    * 78M candidate pairs; 16 planes would have been ~305k). Sizing
+    * p = log2(N / targetBucketRows) keeps per-bucket occupancy — and
+    * with it the candidate space per new row — constant at any scale.
+    * The trade is recall at LOW thresholds (less-similar vectors stop
+    * co-bucketing as p grows); near-identical vectors (the dedup
+    * regime) agree on almost every plane, so their recall survives —
+    * SimilarityIncrementalSpec pins that 8 and 16 planes find the
+    * same near-identical pairs.
+    */
+  def autoPlanes(corpusRows: Long, targetBucketRows: Int = 32,
+      minPlanes: Int = 6, maxPlanes: Int = 20): Int = {
+    val want = math.ceil(
+      math.log(math.max(corpusRows, 1).toDouble / targetBucketRows) / math.log(2)).toInt
+    math.min(maxPlanes, math.max(minPlanes, want))
+  }
+
   /** LSH bucket id: bit p = (v · plane_p > 0). Pure expression. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>

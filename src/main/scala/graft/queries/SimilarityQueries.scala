@@ -17,6 +17,26 @@ object SimilarityQueries extends QueryModule {
   private def signSql(p: Int, d: Int) =
     s"(CASE WHEN CAST(('0x' || substr(md5('${p}_$d'), 1, 2)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
 
+  /** DuckDB-side hyperplane bucket id over `planes` planes for a
+    * DOUBLE[] column `e` — the SQL twin of [[Similarity.lshBucket]].
+    */
+  private def bucketSql(planes: Int): String =
+    (0 until planes).map { p =>
+      val terms = (0 until DIM).map(d => s"e[${d + 1}] * ${signSql(p, d)}").mkString(" + ")
+      s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** Plane counts the embed-mining builds actually used, recorded for
+    * their DEFERRED oracles: the count is corpus-sized
+    * ([[Similarity.autoPlanes]]), so the exact SQL depends on the run.
+    */
+  private object EmbedOracleState {
+    @volatile var planes: Map[String, Int] = Map.empty
+    def record(q: String, p: Int): Unit = synchronized { planes += q -> p }
+    def of(q: String): Int = planes.getOrElse(q,
+      throw new IllegalStateException(s"plane count for $q not recorded — run the query first"))
+  }
+
   /** Train an IVF index and publish the corpus partitioned by cell —
     * once per (application, dir, nlist); the index build is ingest
     * cost, the probed queries below measure the read-side payoff
@@ -202,25 +222,28 @@ object SimilarityQueries extends QueryModule {
 
     // ---- LSH-blocked similarity pairs (embedding dedup at scale) ----
     // The label-blocked q_dedup_embed pair join is corpus² within a
-    // label; this is the 100 TB shape: pairs must share an LSH bucket
-    // (1/2^8 of the pair space, hash-uniform), then verify exact
-    // cosine. Threshold 0.25 because this corpus has no true near-
-    // dups (max pairwise cosine ≈ 0.45) — the mechanics are identical
-    // at any threshold.
+    // label; this is the 100 TB shape: pairs must share an LSH bucket,
+    // then verify exact cosine. The plane count is CORPUS-SIZED
+    // (autoPlanes): a fixed count makes the blocked pair space grow
+    // quadratically with the corpus (measured 0.9 s → 48 s from 2k to
+    // 200k vectors at 8 planes), so the build records the count it
+    // used and the DEFERRED oracle renders the same bucket SQL.
+    // Threshold 0.25 because this corpus has no true near-dups (max
+    // pairwise cosine ≈ 0.45) — the mechanics are identical at any
+    // threshold.
     QueryDef(
       "q_dedup_embed_lsh",
-      "similar pairs (cosine >= 0.25) among LSH-bucket-blocked candidates",
+      "similar pairs (cosine >= 0.25) among LSH-bucket-blocked candidates (corpus-sized planes)",
       (s, dir) => {
         graft.functions.CosineSim.register(s)
         val emb = Tables(s, dir).embeddings
+        val planes = Similarity.autoPlanes(emb.count())
+        EmbedOracleState.record("q_dedup_embed_lsh", planes)
         Similarity.lshBlockedPairs(emb, "vec_id", "embedding", DIM,
-          minCos = 0.25, planes = 8, cosFn = graft.functions.CosineSim.col)
+          minCos = 0.25, planes = planes, cosFn = graft.functions.CosineSim.col)
       },
-      Some({
-        val bits = (0 until 8).map { p =>
-          val terms = (0 until DIM).map(d => s"e[${d + 1}] * ${signSql(p, d)}").mkString(" + ")
-          s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
-        }.mkString(" + ")
+      Oracle.deferred {
+        val bits = bucketSql(EmbedOracleState.of("q_dedup_embed_lsh"))
         s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
            |                  CAST($bits AS BIGINT) AS bucket
            |           FROM embeddings)
@@ -230,7 +253,7 @@ object SimilarityQueries extends QueryModule {
            |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
            |WHERE round(list_dot_product(a.e, c.e) /
            |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25""".stripMargin
-      })
+      }
     ),
 
     // ---- incremental embedding near-dup mining: batch vs the
@@ -247,22 +270,25 @@ object SimilarityQueries extends QueryModule {
         val emb = Tables(s, dir).embeddings
         val corpus = emb.filter(col("vec_id") % 7 =!= 3)
         val batch  = emb.filter(col("vec_id") % 7 === 3)
-        val bucketsPath = SessionPublish.once(s, "embed_buckets|" + dir) {
+        // corpus-sized planes (see q_dedup_embed_lsh); the published
+        // index is keyed by the count so probe and index always agree
+        val planes = Similarity.autoPlanes(corpus.count())
+        EmbedOracleState.record("q_dedup_embed_incremental", planes)
+        val bucketsPath = SessionPublish.once(s, s"embed_buckets|$dir|$planes") {
           val p = SessionPublish.tempDir("graft-embed-buckets") + "/buckets"
-          Similarity.bucketTable(corpus, "vec_id", "embedding", DIM).write.mode("overwrite").parquet(p)
+          Similarity.bucketTable(corpus, "vec_id", "embedding", DIM, planes)
+            .write.mode("overwrite").parquet(p)
           p
         }
         Similarity.lshBlockedPairsIncremental(corpus, s.read.parquet(bucketsPath),
-          batch, "vec_id", "embedding", DIM, minCos = 0.25,
+          batch, "vec_id", "embedding", DIM, minCos = 0.25, planes = planes,
           cosFn = graft.functions.CosineSim.col)
       },
-      // oracle: the FULL bucket-blocked mine filtered to pairs with a
-      // batch endpoint — the equivalence the incremental path must keep
-      Some({
-        val bits = (0 until 8).map { p =>
-          val terms = (0 until DIM).map(d => s"e[${d + 1}] * ${signSql(p, d)}").mkString(" + ")
-          s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
-        }.mkString(" + ")
+      // oracle: the FULL bucket-blocked mine (same recorded plane
+      // count) filtered to pairs with a batch endpoint — the
+      // equivalence the incremental path must keep
+      Oracle.deferred {
+        val bits = bucketSql(EmbedOracleState.of("q_dedup_embed_incremental"))
         s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
            |                  CAST($bits AS BIGINT) AS bucket
            |           FROM embeddings)
@@ -273,7 +299,7 @@ object SimilarityQueries extends QueryModule {
            |WHERE (a.vec_id % 7 = 3 OR c.vec_id % 7 = 3)
            |  AND round(list_dot_product(a.e, c.e) /
            |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25""".stripMargin
-      })
+      }
     ),
 
     // ---- vector norms (feature hygiene: catch zero/degenerate) ----

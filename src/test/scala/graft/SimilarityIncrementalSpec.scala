@@ -63,6 +63,38 @@ class SimilarityIncrementalSpec extends GraftSuite {
     assert(got == full.filter { case (a, b) => a >= 10 || b >= 10 })
   }
 
+  test("autoPlanes sizes the bucket space to the corpus, clamped") {
+    assert(Similarity.autoPlanes(100) == 6, "min clamp")
+    assert(Similarity.autoPlanes(2048, targetBucketRows = 32) == 6)
+    assert(Similarity.autoPlanes(200000) == 13, "200k vectors need ~8k buckets")
+    assert(Similarity.autoPlanes(1000000000L) == 20, "max clamp")
+    // occupancy ~ constant: doubling the corpus adds ~one plane
+    assert(Similarity.autoPlanes(400000) == Similarity.autoPlanes(200000) + 1)
+  }
+
+  test("more planes shrink bucket occupancy; exact duplicates survive any plane count") {
+    val emb = Tables(spark, sf001).embeddings
+    def maxBucket(planes: Int): Long =
+      Similarity.bucketTable(emb, "vec_id", "embedding", DIM, planes)
+        .groupBy("bucket").count().agg(max("count")).head().getLong(0)
+    val coarse = maxBucket(6)
+    val fine = maxBucket(12)
+    assert(fine < coarse, s"12 planes must cut occupancy: $fine vs $coarse")
+
+    // an exact duplicate co-buckets at EVERY plane count — the dedup
+    // regime autoPlanes' recall note relies on
+    val base = emb.limit(1).select(col("embedding")).head().getSeq[Float](0)
+    val corpus = spark.createDataFrame(Seq((1L, base), (2L, Seq.fill(DIM)(9.9f)))).toDF("id", "e")
+    val batch  = spark.createDataFrame(Seq((10L, base))).toDF("id", "e")
+    for (p <- Seq(8, 16, 20)) {
+      val got = Similarity.lshBlockedPairsIncremental(
+        corpus, Similarity.bucketTable(corpus, "id", "e", DIM, p),
+        batch, "id", "e", DIM, minCos = 0.99, planes = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 10L)), s"exact dup lost at $p planes: $got")
+    }
+  }
+
   test("a batch id already in the corpus index is an error, not silent pair loss") {
     val emb = Tables(spark, sf001).embeddings
     val corpus = emb.filter(col("vec_id") < 50)
