@@ -27,6 +27,20 @@ object Ivf {
     def nlist: Int = centroids.length
   }
 
+  /** Cell count sized to the corpus — the IVF analog of
+    * [[Similarity.autoPlanes]]: a probe scores nlist centroids and
+    * then scans ~nprobe·N/nlist vectors, so the per-query cost is
+    * minimized around nlist ≈ √N (the standard IVF heuristic). A
+    * FIXED nlist at a growing corpus silently degrades into a near
+    * full scan per probe. Clamped to [8, 65536]; [[NearestCell]] and
+    * [[graft.functions.NearestCells]] stay O(1)-sized expressions at
+    * any count (IvfSpec proves nlist=1024 viability).
+    */
+  def autoNlist(corpusRows: Long): Int = {
+    val want = math.ceil(math.sqrt(math.max(corpusRows, 1).toDouble)).toInt
+    math.min(65536, math.max(8, want))
+  }
+
   /** Cell assignment: argmin_c ||v - c||² = argmin_c (|c|² - 2 v·c).
     * Ties break to the lower cell id (first-wins scan order). One
     * codegen'd expression regardless of nlist; requires

@@ -105,6 +105,13 @@ class IvfBatchSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("autoNlist sizes cells to ~sqrt(corpus), clamped") {
+    assert(Ivf.autoNlist(10) == 8, "min clamp")
+    assert(Ivf.autoNlist(10000) == 100)
+    assert(Ivf.autoNlist(1000000) == 1000)
+    assert(Ivf.autoNlist(Long.MaxValue) == 65536, "max clamp")
+  }
+
   test("topKBatchSlabbed: any slab count returns exactly the unsliced result") {
     val (idx, path) = layout()
     val qs = emb.filter(col("vec_id") < 8)
