@@ -64,10 +64,10 @@ object Mvcc {
     val hit     = vis && pred
     val closed  = versioned.withColumn("tx_max", when(hit, lit(tx)).otherwise(col("tx_max")))
     val dataCols = versioned.columns.filterNot(c => c == "tx_min" || c == "tx_max")
-    val fresh = mutate(versioned.filter(hit).selectExpr(dataCols: _*))
+    val fresh = mutate(versioned.filter(hit).selectExpr(dataCols.toIndexedSeq: _*))
       .withColumn("tx_min", lit(tx))
       .withColumn("tx_max", lit(null).cast("long"))
-      .select(versioned.columns.map(col): _*)
+      .select(versioned.columns.toIndexedSeq.map(col): _*)
     closed.unionAll(fresh)
   }
 

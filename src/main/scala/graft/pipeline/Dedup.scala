@@ -243,7 +243,7 @@ object Dedup {
       // ids stay generically typed: the dedup API does not require
       // Long ids, and the literal path must not either
       val ids = taken.flatMap(r => Seq(r.get(0), r.get(1))).distinct
-      val needed = if (ids.isEmpty) docs.limit(0) else docs.filter(col("id").isin(ids: _*))
+      val needed = if (ids.isEmpty) docs.limit(0) else docs.filter(col("id").isin(ids.toIndexedSeq: _*))
       verifyPairs(candLit, needed, threshold, shingleN)
     } else verifyPairs(cand, docs, threshold, shingleN)
   }

@@ -218,7 +218,7 @@ object Similarity {
       val candLit = spark.createDataFrame(
         java.util.Arrays.asList(taken: _*), cand.schema)
       val ids = taken.flatMap(r => Seq(r.get(0), r.get(1))).distinct
-      val needed = if (ids.isEmpty) vecs.limit(0) else vecs.filter(col("id").isin(ids: _*))
+      val needed = if (ids.isEmpty) vecs.limit(0) else vecs.filter(col("id").isin(ids.toIndexedSeq: _*))
       verify(candLit, needed)
     } else verify(cand, vecs)
   }

@@ -65,7 +65,7 @@ class BucketingSpec extends GraftSuite {
     // would saturate the bucket count without the leaf-sum guard
     val joinedEdges = snap.edges.as("e")
       .join(snap.nodes.select(col("id")).as("n"), col("e.src") === col("n.id"))
-      .select(snap.edges.columns.map(c => col(s"e.$c")): _*)
+      .select(snap.edges.columns.toIndexedSeq.map(c => col(s"e.$c")): _*)
     val g = graft.core.GraphSnapshot(snap.nodes, joinedEdges)
     val top = joinedEdges.queryExecution.optimizedPlan.stats.sizeInBytes
     assert(top > (BigInt(1) << 30), s"precondition: join estimate should be inflated, got $top")
