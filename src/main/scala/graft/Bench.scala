@@ -200,7 +200,10 @@ object Bench {
       try {
         val emb = graft.sources.Tables(spark, sfDir).embeddings
         val idx = graft.pipeline.Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
-        val out = java.nio.file.Files.createTempDirectory("graft-ivf-train").toString
+        // tempDir registers a JVM-exit delete: warmup + reps call this
+        // up to ~17 times, and a bare createTempDirectory would leak a
+        // full corpus copy per call
+        val out = graft.queries.SessionPublish.tempDir("graft-ivf-train")
         graft.pipeline.Ivf.writePartitioned(emb, "embedding", idx, out)
       } catch { case e: Throwable => System.err.println(s"[bench] ivf_train failed: $e"); return -1.0 }
       (System.nanoTime() - t0) / 1e9

@@ -28,8 +28,15 @@ object SparkEntry {
     * dump order); a thunk that fails drops ONLY its own entry, so one
     * broken query cannot zero the whole round's correctness gate.
     */
-  def oracleSql: Map[String, String] =
-    Catalog.all.flatMap { q =>
+  def oracleSql: Map[String, String] = oracleSqlFor(None)
+
+  /** [[oracleSql]] restricted to `names` BEFORE rendering: deferred
+    * oracles of filtered-out queries must not be evaluated at all —
+    * their builds never ran under the filter, so rendering them can
+    * only waste work and log failure-looking noise.
+    */
+  def oracleSqlFor(names: Option[Set[String]]): Map[String, String] =
+    Catalog.all.filter(q => names.forall(_.contains(q.name))).flatMap { q =>
       try q.oracle.get.map(q.name -> _)
       catch {
         case e: Throwable =>

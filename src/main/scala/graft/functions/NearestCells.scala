@@ -65,7 +65,14 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
     val x = v.asInstanceOf[ArrayData].toFloatArray()
     val n = math.min(dim, x.length)
     val bd = Array.fill(k)(Double.PositiveInfinity)
-    val bc = new Array[Int](k)
+    // seed slots with DISTINCT cells: a NaN-bearing vector scores NaN
+    // against every centroid (all comparisons false, no insertions),
+    // and an all-zeros buffer would then emit k copies of cell 0 —
+    // duplicate (query, cell) rows after the explode, duplicate ids
+    // in the per-query top-k. Seeded, the degenerate output is the
+    // first k cells: arbitrary but valid, and the "k = nlist emits
+    // every cell once" invariant holds for every input.
+    val bc = Array.tabulate(k)(identity)
     var c = 0
     while (c < centroids.length) {
       var dot = 0.0
@@ -96,6 +103,7 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
          |double[] $bd = new double[$k];
          |int[] $bc = new int[$k];
          |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |for (int $j = 0; $j < $k; $j++) { $bc[$j] = $j; } // NaN-vector seed (see eval)
          |for (int $c = 0; $c < $nlist; $c++) {
          |  double $dot = 0.0;
          |  int $off = $c * $dim;

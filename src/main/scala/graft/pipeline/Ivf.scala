@@ -134,6 +134,30 @@ object Ivf {
   private def metaPath(path: String) =
     java.nio.file.Paths.get(path, "_ivf_meta.properties")
 
+  // the pre-r7 sidecar: a bare fingerprint file. Layouts are
+  // append-forever artifacts that outlive code revisions, so the old
+  // form must keep verifying appends (fingerprint honored; no
+  // publish-time dispersion was recorded, so drift baselines default
+  // to the batch's own mean until the layout is republished).
+  private def legacyFingerprintPath(path: String) =
+    java.nio.file.Paths.get(path, "_ivf_centroids.sha")
+
+  /** Sidecar contents: at least `fingerprint`, plus `mean_dist` for
+    * layouts published since the dispersion baseline existed.
+    */
+  private def readMeta(path: String): Option[Map[String, String]] = {
+    val mp = metaPath(path)
+    if (java.nio.file.Files.exists(mp))
+      Some(java.nio.file.Files.readString(mp).linesIterator
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
+    else {
+      val lp = legacyFingerprintPath(path)
+      if (java.nio.file.Files.exists(lp))
+        Some(Map("fingerprint" -> java.nio.file.Files.readString(lp).trim))
+      else None
+    }
+  }
+
   /** Mean squared distance of each vector to its assigned centroid —
     * the layout's publish-time dispersion, the yardstick appends are
     * drift-checked against. One scan + one tiny agg (publish cost).
@@ -188,21 +212,22 @@ object Ivf {
     // The publish-time fingerprint makes that an error, not a mystery;
     // a MISSING sidecar is equally an error (nothing proves the layout
     // and the index agree), not a skipped check.
-    val mp = metaPath(path)
-    require(java.nio.file.Files.exists(mp),
-      s"no IVF metadata sidecar at $mp: the layout was not published by " +
+    val meta = readMeta(path).getOrElse(throw new IllegalArgumentException(
+      s"no IVF metadata sidecar at ${metaPath(path)} (nor the legacy " +
+        s"${legacyFingerprintPath(path)}): the layout was not published by " +
         "writePartitioned (or the sidecar was lost) — republish with " +
-        "writePartitioned; appending unverified would risk mixing cell geometries")
-    val meta = java.nio.file.Files.readString(mp).linesIterator
-      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+        "writePartitioned; appending unverified would risk mixing cell geometries"))
     require(meta.get("fingerprint").contains(fingerprint(index)),
       s"IVF index mismatch: layout at $path was published with centroids " +
         s"${meta.getOrElse("fingerprint", "?")} but the append uses ${fingerprint(index)} — " +
         "after a retrain, republish with writePartitioned instead of appending")
     newEmb.withColumn("cell", assign(col(vecCol), index))
       .write.mode("append").partitionBy("cell").parquet(path)
-    IvfDrift(meta.get("mean_dist").map(_.toDouble).getOrElse(0.0),
-      meanAssignedDist(newEmb, vecCol, index))
+    val batchMean = meanAssignedDist(newEmb, vecCol, index)
+    // legacy layouts recorded no publish-time dispersion: baseline to
+    // the batch's own mean (ratio 1, never trips) rather than 0
+    // (ratio +Inf, always trips) — republish to get a real baseline
+    IvfDrift(meta.get("mean_dist").map(_.toDouble).getOrElse(batchMean), batchMean)
   }
 
   /** Search over a published cell-partitioned corpus. The probe-cell

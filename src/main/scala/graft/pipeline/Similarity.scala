@@ -164,6 +164,48 @@ object Similarity {
     embeddings.select(col(idCol).as("id"),
       lshBucket(col(vecCol), planes, dim).as("bucket"))
 
+  // Sidecar I/O is java.nio — LOCAL-FILESYSTEM ONLY, like the IVF
+  // layout metadata; route through the Hadoop FileSystem API for
+  // hdfs:// or s3:// paths.
+  private def bucketMetaPath(path: String) =
+    java.nio.file.Paths.get(path, "_lsh_meta.properties")
+
+  /** Publish the corpus bucket index with its geometry (planes, dim)
+    * recorded in a sidecar, so [[openBucketTable]] can refuse a
+    * mismatched read — without the check, probing a 13-plane index
+    * with 14-plane batch buckets silently matches nothing and
+    * near-dup pairs are LOST, the same failure class the IVF
+    * centroid fingerprint turns into an error. Use this pair (not a
+    * bare parquet write/read) whenever the plane count is dynamic
+    * (e.g. [[autoPlanes]]).
+    */
+  def publishBucketTable(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, path: String): Unit = {
+    bucketTable(embeddings, idCol, vecCol, dim, planes)
+      .write.mode("overwrite").parquet(path)
+    java.nio.file.Files.writeString(bucketMetaPath(path), s"planes=$planes\ndim=$dim\n")
+  }
+
+  /** Read a published bucket index, verifying it was built with the
+    * SAME (planes, dim) the caller is about to bucket a batch with.
+    */
+  def openBucketTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      dim: Int, planes: Int): DataFrame = {
+    val mp = bucketMetaPath(path)
+    require(java.nio.file.Files.exists(mp),
+      s"no bucket-index sidecar at $mp: the index was not published by " +
+        "publishBucketTable — republish with it; probing with unverified " +
+        "geometry risks silently matching nothing")
+    val meta = java.nio.file.Files.readString(mp).linesIterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    require(meta.get("planes").contains(planes.toString) && meta.get("dim").contains(dim.toString),
+      s"bucket-index geometry mismatch at $path: published with " +
+        s"planes=${meta.getOrElse("planes", "?")} dim=${meta.getOrElse("dim", "?")} but the " +
+        s"caller uses planes=$planes dim=$dim — re-derive the plane count from the SAME " +
+        "corpus the index was built on, or republish")
+    spark.read.parquet(path)
+  }
+
   /** Incremental embedding near-dup mining: a new batch against the
     * PUBLISHED bucket index, never re-bucketing the corpus — the
     * embedding-side analog of [[graft.pipeline.Dedup.nearDuplicatesIncremental]]
@@ -195,7 +237,14 @@ object Similarity {
     require(clash.isEmpty,
       s"batch ids already present in the corpus bucket index (sample: ${clash.mkString(", ")}) — " +
         "incremental mining requires disjoint ids")
+    // the batch bucket table feeds the candidate join twice (probe
+    // side and inside the union); persist for the size-probe job so
+    // batch bucketing runs once, release as soon as the probe decided
+    // the path (same contract as Dedup.nearDuplicatesIncremental —
+    // the over-cap distributed path re-derives it, the price of the
+    // driver-small common case)
     val nb = bucketTable(newEmb, idCol, vecCol, dim, planes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = corpusBuckets.select(col("id"), col("bucket")).unionAll(nb)
     val cand = nb.select(col("bucket"), col("id").as("na"))
       .join(all.select(col("bucket"), col("id").as("ob")), Seq("bucket"))
@@ -212,7 +261,8 @@ object Similarity {
         .withColumn("cos", round(cosFn(col("ea"), col("eb")), 6))
         .filter(col("cos") >= minCos)
         .select(col("va"), col("vb"), col("cos"))
-    val taken = cand.take(maxDriverPairs + 1)
+    val taken = try cand.take(maxDriverPairs + 1)
+    finally nb.unpersist(blocking = false)
     if (taken.length <= maxDriverPairs) {
       val spark = corpus.sparkSession
       val candLit = spark.createDataFrame(

@@ -276,11 +276,11 @@ object SimilarityQueries extends QueryModule {
         EmbedOracleState.record("q_dedup_embed_incremental", planes)
         val bucketsPath = SessionPublish.once(s, s"embed_buckets|$dir|$planes") {
           val p = SessionPublish.tempDir("graft-embed-buckets") + "/buckets"
-          Similarity.bucketTable(corpus, "vec_id", "embedding", DIM, planes)
-            .write.mode("overwrite").parquet(p)
+          Similarity.publishBucketTable(corpus, "vec_id", "embedding", DIM, planes, p)
           p
         }
-        Similarity.lshBlockedPairsIncremental(corpus, s.read.parquet(bucketsPath),
+        Similarity.lshBlockedPairsIncremental(corpus,
+          Similarity.openBucketTable(s, bucketsPath, DIM, planes),
           batch, "vec_id", "embedding", DIM, minCos = 0.25, planes = planes,
           cosFn = graft.functions.CosineSim.col)
       },

@@ -17,51 +17,72 @@ import graft.pipeline.Ivf
   * Exactly-once: appends cannot be replayed by overwrite the way the
   * batch-id-keyed delta sinks can (the layout's cell directories are
   * shared), so applied batch ids are recorded in a sidecar and
-  * replayed ids are SKIPPED — idempotent under Structured Streaming's
-  * batch-id replay contract for a single writer. A crash between the
-  * data write and the marker write re-appends that one batch; a
-  * production deployment closes that window with a transactional
-  * commit protocol (staged files + manifest swap), the same upgrade
-  * path as the snapshot manifest. Sidecar I/O is java.nio —
-  * LOCAL-FILESYSTEM ONLY, like the other layout metadata.
+  * replayed ids are SKIPPED. Batch ids are only meaningful relative
+  * to a checkpoint — a checkpoint-less query restarts them at 0, and
+  * a bare-id marker would then silently DROP never-seen data whose
+  * batch id collides with an applied one — so `checkpointDir` is
+  * REQUIRED and the marker is keyed by (checkpoint, batchId). Two
+  * writers with different checkpoints appending to one layout dedupe
+  * independently, which is correct: their batch id spaces are
+  * unrelated. A crash between the data write and the marker write
+  * re-appends that one batch; a production deployment closes that
+  * window with a transactional commit protocol (staged files +
+  * manifest swap), the same upgrade path as the snapshot manifest.
+  * Sidecar I/O is java.nio — LOCAL-FILESYSTEM ONLY, like the other
+  * layout metadata.
   */
 object AnnStream {
 
   private def appliedPath(layout: String) =
     java.nio.file.Paths.get(layout, "_ivf_applied_batches")
 
-  /** Batch ids already appended to the layout by this sink. */
-  def appliedBatches(layout: String): Set[Long] = {
+  /** (checkpoint-token, batch-id) keys already appended to the layout. */
+  def appliedBatches(layout: String): Set[String] = {
     val p = appliedPath(layout)
     if (!java.nio.file.Files.exists(p)) Set.empty
-    else java.nio.file.Files.readString(p).linesIterator
-      .filter(_.nonEmpty).map(_.toLong).toSet
+    else java.nio.file.Files.readString(p).linesIterator.filter(_.nonEmpty).toSet
   }
 
-  private def markApplied(layout: String, id: Long): Unit =
-    java.nio.file.Files.writeString(appliedPath(layout), s"$id\n",
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  private def batchKey(checkpointDir: String, id: Long): String =
+    s"${graft.queries.SessionPublish.token(checkpointDir)}:$id"
+
+  /** One micro-batch: append unless this (checkpoint, id) was already
+    * applied. Returns the drift report, or None for a skipped replay.
+    * Factored out of the sink so the idempotency contract is directly
+    * testable without simulating a mid-commit crash.
+    */
+  def appendBatch(batch: org.apache.spark.sql.DataFrame, checkpointDir: String,
+      batchId: Long, vecCol: String, index: Ivf.IvfIndex,
+      layoutPath: String): Option[Ivf.IvfDrift] = {
+    val key = batchKey(checkpointDir, batchId)
+    if (appliedBatches(layoutPath).contains(key)) None
+    else {
+      val drift = Ivf.appendPartitioned(batch, vecCol, index, layoutPath)
+      java.nio.file.Files.writeString(appliedPath(layoutPath), s"$key\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      Some(drift)
+    }
+  }
 
   /** Watch `srcDir` for embedding parquet files and append each
     * micro-batch into the layout at `layoutPath` (published by
     * [[Ivf.writePartitioned]] with `index` — the sidecar fingerprint
     * guard applies). Columns of the stream must include `vecCol`.
+    * `checkpointDir` anchors both Structured Streaming's source
+    * tracking and the append markers (see the idempotency note above).
     */
   def appendEmbeddings(spark: SparkSession, srcDir: String, vecCol: String,
-      index: Ivf.IvfIndex, layoutPath: String,
-      checkpointDir: Option[String] = None,
+      index: Ivf.IvfIndex, layoutPath: String, checkpointDir: String,
       onDrift: (Long, Ivf.IvfDrift) => Unit = (_, _) => ()): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
     val src = spark.readStream.schema(schema).parquet(srcDir)
-    val w = src.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        if (!appliedBatches(layoutPath).contains(batchId)) {
-          val drift = Ivf.appendPartitioned(batch, vecCol, index, layoutPath)
-          markApplied(layoutPath, batchId)
-          onDrift(batchId, drift)
-        }
-    }
-    checkpointDir.foreach(c => w.option("checkpointLocation", c))
-    w.trigger(Trigger.AvailableNow()).start()
+    src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        appendBatch(batch, checkpointDir, batchId, vecCol, index, layoutPath)
+          .foreach(onDrift(batchId, _))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 }

@@ -6,37 +6,53 @@ import graft.pipeline.{Ivf, Similarity}
 import graft.streaming.AnnStream
 
 /** Streaming ANN ingestion: micro-batches append into the published
-  * cell-partitioned layout, probes surface them exactly, and replayed
-  * batch ids are skipped (idempotent under the batch-id replay
-  * contract).
+  * cell-partitioned layout, probes surface them exactly, replayed
+  * (checkpoint, batch-id) keys are skipped, and a later run over the
+  * same checkpoint picks up only NEW source files.
   */
 class AnnStreamSpec extends GraftSuite {
 
-  test("streamed batches surface exactly in probed search; replay does not duplicate") {
+  test("streamed batches surface exactly; replay skips; new files still ingest") {
     val emb = graft.sources.Tables(spark, sf001).embeddings
-    val base  = emb.filter(col("vec_id") % 4 =!= 0 || col("vec_id") === 0L)
-    val batch = emb.filter(col("vec_id") % 4 === 0 && col("vec_id") =!= 0L)
+    val base   = emb.filter(col("vec_id") % 4 =!= 0 || col("vec_id") === 0L)
+    val batch1 = emb.filter(col("vec_id") % 4 === 0 && col("vec_id") % 8 =!= 0)
+    val batch2 = emb.filter(col("vec_id") % 8 === 0 && col("vec_id") =!= 0L)
 
     val idx = Ivf.train(spark, base, "vec_id", "embedding", nlist = 8)
     val layout = java.nio.file.Files.createTempDirectory("ann-stream-layout").toString
     Ivf.writePartitioned(base, "embedding", idx, layout)
     val baseCount = spark.read.parquet(layout).count()
 
-    // stage the batch as a parquet source dir the stream watches
     val srcDir = java.nio.file.Files.createTempDirectory("ann-stream-src").toString
-    batch.write.mode("overwrite").parquet(srcDir)
+    val ckpt   = java.nio.file.Files.createTempDirectory("ann-stream-ckpt").toString
+    batch1.write.mode("append").parquet(srcDir)
 
     val drifts = scala.collection.mutable.ArrayBuffer.empty[(Long, Ivf.IvfDrift)]
-    val q = AnnStream.appendEmbeddings(spark, srcDir, "embedding", idx, layout,
+    AnnStream.appendEmbeddings(spark, srcDir, "embedding", idx, layout, ckpt,
       onDrift = (id, d) => drifts.synchronized { drifts += id -> d: Unit })
-    q.awaitTermination()
+      .awaitTermination()
 
-    val afterCount = spark.read.parquet(layout).count()
-    assert(afterCount == baseCount + batch.count(), "every streamed vector appended once")
+    val afterFirst = spark.read.parquet(layout).count()
+    assert(afterFirst == baseCount + batch1.count(), "every streamed vector appended once")
     assert(drifts.nonEmpty, "drift reported per applied batch")
     assert(drifts.forall(!_._2.drifted()), s"in-distribution stream flagged: $drifts")
 
-    // full probe over the streamed layout == brute force over base ∪ batch
+    // direct replay of an applied (checkpoint, id): a no-op, reported as such
+    val replay = AnnStream.appendBatch(batch1, ckpt, 0L, "embedding", idx, layout)
+    assert(replay.isEmpty, "an applied (checkpoint, batch-id) must be skipped")
+    assert(spark.read.parquet(layout).count() == afterFirst, "replay appended nothing")
+
+    // the same id under a DIFFERENT checkpoint is a different batch:
+    // it must NOT be mistaken for the applied one (the bare-id marker
+    // bug this keying scheme exists to prevent — only here the second
+    // writer's data is genuinely new)
+    val otherCkpt = java.nio.file.Files.createTempDirectory("ann-stream-ckpt2").toString
+    assert(AnnStream.appendBatch(batch2, otherCkpt, 0L, "embedding", idx, layout).isDefined,
+      "a different checkpoint's batch 0 is new data, not a replay")
+    val afterSecond = spark.read.parquet(layout).count()
+    assert(afterSecond == afterFirst + batch2.count(), "new writer's batch appended")
+
+    // full probe over the streamed layout == brute force over everything
     val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
       .head().getSeq[Float](0).toArray
     val exact = Similarity.topK(emb.filter(col("vec_id") =!= 0L),
@@ -47,12 +63,15 @@ class AnnStreamSpec extends GraftSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == exact, "streamed vectors must surface exactly in probed search")
 
-    // REPLAY: a fresh query without a checkpoint re-delivers batch 0;
-    // the applied-batch sidecar makes the redelivery a no-op
-    val q2 = AnnStream.appendEmbeddings(spark, srcDir, "embedding", idx, layout)
-    q2.awaitTermination()
-    assert(spark.read.parquet(layout).count() == afterCount,
-      "replayed batch ids must be skipped, not re-appended")
-    assert(AnnStream.appliedBatches(layout) == Set(0L), "marker records the applied id")
+    // a second run over the SAME checkpoint with new source files
+    // ingests ONLY the new files (source tracking + marker combined)
+    val batch3 = spark.createDataFrame(Seq((900001L, "x", Seq.fill(64)(0.5f))))
+      .toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+    batch3.write.mode("append").parquet(srcDir)
+    AnnStream.appendEmbeddings(spark, srcDir, "embedding", idx, layout, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(layout).count() == afterSecond + 1,
+      "second run over the same checkpoint ingests exactly the new file's rows")
   }
 }

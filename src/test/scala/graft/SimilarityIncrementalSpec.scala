@@ -95,6 +95,26 @@ class SimilarityIncrementalSpec extends GraftSuite {
     }
   }
 
+  test("published bucket index refuses a mismatched plane count or missing sidecar") {
+    val emb = Tables(spark, sf001).embeddings
+    val path = java.nio.file.Files.createTempDirectory("bucket-idx").toString + "/buckets"
+    Similarity.publishBucketTable(emb, "vec_id", "embedding", DIM, planes = 8, path)
+    // matching geometry opens fine
+    assert(Similarity.openBucketTable(spark, path, DIM, 8).count() == emb.count())
+    // probing a 8-plane index with 9-plane batch buckets would match
+    // ~nothing and silently lose pairs — it must be an error instead
+    val e = intercept[IllegalArgumentException](
+      Similarity.openBucketTable(spark, path, DIM, 9))
+    assert(e.getMessage.contains("geometry mismatch"), e.getMessage)
+    // a bare parquet dir (no sidecar) is equally unverifiable
+    val bare = java.nio.file.Files.createTempDirectory("bucket-bare").toString + "/buckets"
+    Similarity.bucketTable(emb, "vec_id", "embedding", DIM, 8)
+      .write.mode("overwrite").parquet(bare)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.openBucketTable(spark, bare, DIM, 8))
+    assert(e2.getMessage.contains("sidecar"), e2.getMessage)
+  }
+
   test("a batch id already in the corpus index is an error, not silent pair loss") {
     val emb = Tables(spark, sf001).embeddings
     val corpus = emb.filter(col("vec_id") < 50)
