@@ -1,0 +1,291 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NearestCell
+
+/** Product quantization (PQ) — the compressed tier of the ANN story
+  * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011). The vector is split into `nsub` subvectors;
+  * each subvector is quantized to one of `ksub` codebook entries, so a
+  * dim-64 float vector (256 B) becomes nsub codes (8 B at nsub=8,
+  * ksub<=256) — a 32x compression that turns a 100 TB raw-vector
+  * corpus into ~3 TB of codes that fit a far smaller cluster's page
+  * cache. Search never decompresses: an ADC (asymmetric distance
+  * computation) lookup table of `nsub x ksub` partial distances is
+  * built once per query on the driver, and scoring a vector is nsub
+  * array lookups + adds — no dot products at scan time.
+  *
+  * Scale shape, stage by stage:
+  *  - TRAIN touches a driver-bounded deterministic sample (standard
+  *    practice: codebooks of ksub<=256 entries need only
+  *    O(100-1000 x ksub) training points, not the corpus — the same
+  *    bounded-collect class as IVF centroid training);
+  *  - ENCODE is one scan: nsub [[NearestCell]] expressions over sliced
+  *    subvectors, all codegen'd, O(1) plan size in ksub;
+  *  - ADC SEARCH is one scan of the codes table: the per-query LUT
+  *    enters the plan as nsub small array literals, scoring stays
+  *    inside whole-stage codegen, and the corpus read is 32x less I/O
+  *    than raw vectors;
+  *  - IVF-PQ composes both prunings ([[writePartitionedPq]]): the
+  *    coarse quantizer prunes FILES (read nprobe/nlist of the
+  *    directories), PQ shrinks BYTES (32x less data per file read).
+  *    This non-residual composition keeps codes independent of the
+  *    assigned cell; the residual variant (encode v - centroid, one
+  *    codebook shared across cells) improves recall at the cost of
+  *    cell-dependent codes and is the documented next refinement.
+  *
+  * Reference intent anchor: the reference packs property values into
+  * fixed-width records so lookups touch a predictable number of bytes
+  * (HGraphStorage FileOps.hs:153-169); PQ is that idea applied to
+  * vectors — fixed-width codes with O(1) per-row scoring.
+  */
+object Pq {
+
+  /** `codebooks(s)(j)` = entry j of subspace s (dsub floats each). */
+  final case class PqIndex(codebooks: Array[Array[Array[Float]]]) {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+    def nsub: Int = codebooks.length
+    def ksub: Int = codebooks(0).length
+    def dsub: Int = codebooks(0)(0).length
+    def dim: Int  = nsub * dsub
+  }
+
+  def register(spark: SparkSession): Unit = NearestCell.register(spark)
+
+  /** Per-subspace Lloyd over a DETERMINISTIC driver-bounded sample
+    * (first `sampleRows` vectors in id order; sampleRows x dim floats
+    * on the driver — the same KB-to-MB bounded-collect class as IVF
+    * centroid training). Init is the first ksub sample subvectors;
+    * assignment is argmin (|c|^2 - 2 v.c) with ties to the lower code
+    * ([[NearestCell]]'s exact rule); an emptied cluster keeps its
+    * previous entry. ksub clamps to the sample size.
+    */
+  def train(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+      nsub: Int, ksub: Int, iters: Int = 4, sampleRows: Int = 4096): PqIndex = {
+    val sample = emb.orderBy(col(idCol)).limit(sampleRows)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = sample(0).length
+    require(dim % nsub == 0, s"dim $dim not divisible by nsub $nsub")
+    val dsub = dim / nsub
+    val k = math.min(ksub, sample.length)
+    PqIndex(Array.tabulate(nsub) { s =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)), k, iters)
+    })
+  }
+
+  private def lloyd(xs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val dsub = xs(0).length
+    var cents = xs.take(k).map(_.clone)
+    (1 to iters).foreach { _ =>
+      val sums   = Array.fill(k, dsub)(0.0)
+      val counts = new Array[Long](k)
+      xs.foreach { x =>
+        val c = nearest(cents, x)
+        var d = 0; while (d < dsub) { sums(c)(d) += x(d).toDouble; d += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // emptied cluster keeps its entry
+        else Array.tabulate(dsub)(d => (sums(c)(d) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** argmin (|c|^2 - 2 x.c), ties to the lower index — [[NearestCell]]'s
+    * exact arithmetic (c2 accumulated left-to-right, dot left-to-right
+    * in doubles) so driver-side training and the distributed encode
+    * agree bit-for-bit.
+    */
+  private def nearest(cents: Array[Array[Float]], x: Array[Float]): Int = {
+    var best = Double.PositiveInfinity; var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      var c2 = 0.0; var dot = 0.0; var d = 0
+      while (d < cents(c).length) {
+        c2  += cents(c)(d).toDouble * cents(c)(d).toDouble
+        dot += cents(c)(d).toDouble * x(d).toDouble
+        d += 1
+      }
+      val dist = c2 - 2.0 * dot
+      if (dist < best) { best = dist; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  /** Codes column: array of nsub codes, each the [[NearestCell]] argmin
+    * of the corresponding subvector slice — nsub codegen'd expressions,
+    * O(1) plan size in ksub. Stored as TINYINT (ksub <= 256 always
+    * holds for byte-width PQ; parquet bit-packs the column).
+    */
+  def encode(vec: Column, index: PqIndex): Column = {
+    require(index.ksub <= 256, s"byte-width codes need ksub <= 256, got ${index.ksub}")
+    array(index.codebooks.zipWithIndex.map { case (cb, s) =>
+      NearestCell.col(slice(vec, s * index.dsub + 1, index.dsub), cb).cast("byte")
+    }.toIndexedSeq: _*)
+  }
+
+  /** Reconstruction: concatenation of the addressed codebook entries. */
+  def decode(codes: Column, index: PqIndex): Column =
+    flatten(array(index.codebooks.zipWithIndex.map { case (cb, s) =>
+      element_at(typedLit(cb.map(_.toSeq).toSeq), element_at(codes, s + 1).cast("int") + 1)
+    }.toIndexedSeq: _*))
+
+  /** Squared reconstruction error |v - decode(encode(v))|^2 — the
+    * quantization-quality yardstick, summed left-to-right over dims.
+    */
+  def reconError(vec: Column, codes: Column, index: PqIndex): Column =
+    aggregate(
+      zip_with(vec, decode(codes, index),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (a, x) => a + x)
+
+  /** ADC lookup table for `query`: lut(s)(j) = |c_j|^2 - 2 q_s.c_j
+    * (the rank-equivalent core of |q_s - c_j|^2; the constant |q|^2 is
+    * dropped). Driver-side over the KB-sized codebooks; same
+    * accumulation order as [[NearestCell]] so a SQL oracle emitting
+    * these arithmetic steps reproduces the doubles bit-for-bit.
+    */
+  def adcLut(index: PqIndex, query: Array[Float]): Array[Array[Double]] = {
+    require(query.length == index.dim, s"query dim ${query.length} != index dim ${index.dim}")
+    Array.tabulate(index.nsub) { s =>
+      val off = s * index.dsub
+      index.codebooks(s).map { c =>
+        var c2 = 0.0; var dot = 0.0; var d = 0
+        while (d < c.length) {
+          c2  += c(d).toDouble * c(d).toDouble
+          dot += c(d).toDouble * query(off + d).toDouble
+          d += 1
+        }
+        c2 - 2.0 * dot
+      }
+    }
+  }
+
+  /** ADC score: nsub literal-array lookups + adds, left-to-right —
+    * approximate squared distance (minus |q|^2) of the query to the
+    * ENCODED vector, equal BY CONSTRUCTION to the exact score of its
+    * reconstruction (PqSpec pins the identity). No vector arithmetic
+    * at scan time; stays inside whole-stage codegen.
+    */
+  def adcScore(codes: Column, lut: Array[Array[Double]]): Column =
+    lut.zipWithIndex.map { case (l, s) =>
+      element_at(typedLit(l.toSeq), element_at(codes, s + 1).cast("int") + 1)
+    }.reduceLeft(_ + _)
+
+  /** Integer-micro ADC (floor(adc * 1e6)): floor of a bit-identical
+    * double is engine-stable where decimal rounding half-up/half-even
+    * is not — gate outputs and ordering use this form.
+    */
+  def adcMicros(codes: Column, lut: Array[Array[Double]]): Column =
+    floor(adcScore(codes, lut) * lit(1e6)).cast("long")
+
+  /** Publish the codes table: (id, codes) — the 32x-smaller scan
+    * target for [[topKAdc]]. One encode scan; plain parquet.
+    */
+  def writeCodes(emb: DataFrame, idCol: String, vecCol: String,
+      index: PqIndex, path: String): Unit =
+    emb.select(col(idCol), encode(col(vecCol), index).as("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** ADC top-k over a codes table: one pruned scan (id + 8 bytes of
+    * codes per row), LUT scoring, ascending top-k. Deterministic
+    * ordering: (adc_micros, id).
+    */
+  def topKAdc(spark: SparkSession, codes: DataFrame, idCol: String,
+      index: PqIndex, query: Array[Float], k: Int,
+      pred: Column = lit(true)): DataFrame = {
+    val lut = adcLut(index, query)
+    codes.filter(pred)
+      .select(col(idCol), adcMicros(col("codes"), lut).as("adc_micros"))
+      .orderBy(col("adc_micros").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** ADC shortlist + EXACT re-rank — the standard production shape:
+    * PQ recalls a candidate set cheaply (compressed scan), then the
+    * raw vectors of ONLY those candidates are fetched and scored
+    * exactly (cosine). The candidate frame is k-row tiny, so the
+    * fetch-back join broadcasts; the corpus raw vectors are read only
+    * through that join's pushed id filter. With `candidates` >= corpus
+    * size this is provably the brute-force cosine top-k (PqSpec).
+    */
+  def topKRerank(spark: SparkSession, codes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, index: PqIndex, query: Array[Float],
+      k: Int, candidates: Int, pred: Column = lit(true)): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val cand = topKAdc(spark, codes, idCol, index, query, candidates, pred).select(idCol)
+    corpus.join(broadcast(cand), idCol)
+      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
+  // ---- IVF-PQ: coarse cells prune FILES, codes shrink BYTES ----
+
+  // sidecar pattern (and local-filesystem-only caveat) as in
+  // Ivf.writePartitioned: the layout must prove which coarse centroids
+  // AND codebooks produced it before anything reads or appends
+  private def metaPath(path: String) =
+    java.nio.file.Paths.get(path, "_ivfpq_meta.properties")
+
+  private def fingerprint(floats: Iterator[Float]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(4)
+    floats.foreach { f => bb.clear(); bb.putFloat(f); md.update(bb.array()) }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  private def coarsePrint(coarse: Ivf.IvfIndex) =
+    fingerprint(coarse.centroids.iterator.flatten)
+  private def pqPrint(index: PqIndex) =
+    fingerprint(index.codebooks.iterator.flatten.flatten)
+
+  /** Publish (id, codes) PARTITIONED BY coarse cell: a probe lists
+    * only nprobe/nlist directories and reads 8-byte codes instead of
+    * 256-byte vectors — both prunings compose in one layout. Raw
+    * vectors are NOT stored here; re-ranking fetches them from the
+    * primary corpus by id ([[topKRerank]]'s join shape).
+    */
+  def writePartitionedPq(emb: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, path: String): Unit = {
+    emb.select(col(idCol), encode(col(vecCol), index).as("codes"),
+        Ivf.assign(col(vecCol), coarse).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    java.nio.file.Files.writeString(metaPath(path),
+      s"coarse=${coarsePrint(coarse)}\npq=${pqPrint(index)}\n")
+  }
+
+  /** IVF-PQ search: probe-cell PARTITION filter (file pruning, exactly
+    * [[Ivf.topKPartitioned]]'s mechanics) + ADC scoring over codes.
+    * Refuses a layout whose sidecar does not match the passed indexes —
+    * scoring with the wrong codebooks silently returns garbage.
+    */
+  def topKPartitionedPq(spark: SparkSession, path: String, idCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, query: Array[Float], k: Int,
+      nprobe: Int, pred: Column = lit(true)): DataFrame = {
+    val mp = metaPath(path)
+    require(java.nio.file.Files.exists(mp),
+      s"no IVF-PQ metadata sidecar at $mp — publish with writePartitionedPq")
+    val meta = java.nio.file.Files.readString(mp).linesIterator
+      .map(_.split("=", 2)).collect { case Array(a, b) => a -> b }.toMap
+    require(meta.get("coarse").contains(coarsePrint(coarse)) &&
+        meta.get("pq").contains(pqPrint(index)),
+      s"IVF-PQ index mismatch at $path: layout published with " +
+        s"(coarse=${meta.getOrElse("coarse", "?")}, pq=${meta.getOrElse("pq", "?")}) " +
+        s"but the read uses (coarse=${coarsePrint(coarse)}, pq=${pqPrint(index)}) — " +
+        "republish after retraining instead of mixing geometries")
+    val probeCells = Ivf.probeOrder(coarse, query).take(nprobe)
+    val lut = adcLut(index, query)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*) && pred)
+      .select(col(idCol), adcMicros(col("codes"), lut).as("adc_micros"), col("cell"))
+      .orderBy(col("adc_micros").asc, col(idCol).asc)
+      .limit(k)
+  }
+}
