@@ -64,7 +64,12 @@ object Bench {
     "q_ann_topk_batch_probe",
     // round 7: embedding-side incremental near-dup (published bucket
     // index + batch-only re-bucket) — the third O(batch) ingestion leg
-    "q_dedup_embed_incremental")
+    "q_dedup_embed_incremental",
+    // round 8: compressed ANN tier — ADC over the published PQ codes
+    // table (8 bytes/row instead of 256) and IVF-PQ (partition-pruned
+    // + compressed). Warmup pays train + codes publish (memoized).
+    "q_pq_adc",
+    "q_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,6 +120,11 @@ object Bench {
     }
     val warmups = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val warminDropped = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // UNFILTERED per-query medians (no warm-in exclusion): the
+    // steady-state median is the headline, but cross-round comparisons
+    // need a series whose methodology never changes — value_raw /
+    // queries_raw are that series
+    val rawMedians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(name: String, run: () => Double, reps: Int = 3): Double = {
       // ADAPTIVE warmup, uncounted: keep warming until two consecutive
       // reps agree within 10% (cap 8). Diagnosed per-rep in r7: with a
@@ -166,6 +176,7 @@ object Bench {
       // median and spread then describe the steady state a long-lived
       // deployment sees, and a REAL regression still moves the median.
       val allMed = raw.map(_._1).sorted.apply(raw.size / 2)
+      rawMedians(name) = r3(allMed)
       val drop = raw.take(2).takeWhile(_._1 > 1.5 * allMed).size
       val kept = raw.drop(drop)
       warminDropped(name) = drop
@@ -225,8 +236,12 @@ object Bench {
     val wdr = warminDropped.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rts = repTimes.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val rgc = repGcMs.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val rawq = rawMedians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_pre":$spp,"reps":$rps,"warmups":$wus,"warmin_dropped":$wdr,"rep_times":$rts,"rep_gc_ms":$rgc,"cluster_rounds":$ccRounds,"sf":"$sfDir"}"""
+    val totalRaw = results.collect {
+      case (k, v) if v >= 0 => rawMedians.getOrElse(k, v)
+    }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_raw":$totalRaw,"queries":$qs,"queries_raw":$rawq,"spread":$sp,"spread_pre":$spp,"reps":$rps,"warmups":$wus,"warmin_dropped":$wdr,"rep_times":$rts,"rep_gc_ms":$rgc,"cluster_rounds":$ccRounds,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a stdout TAIL, which has truncated the
     // medians map two rounds running — also persist the full line to a

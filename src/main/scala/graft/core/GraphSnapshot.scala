@@ -168,7 +168,7 @@ final case class GraphSnapshot(nodes: DataFrame, edges: DataFrame) {
     val maxTx = Seq(at(ns, 1), at(ns, 2), at(es, 1), at(es, 2)).max
     val manifest =
       s"""{"n_nodes": ${ns.getLong(0)}, "n_edges": ${es.getLong(0)}, "max_tx": $maxTx}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_manifest.json"), manifest)
+    Sidecar.writeString(s"$dir/_manifest.json", manifest)
   }
 }
 
@@ -246,7 +246,7 @@ object GraphSnapshot {
       else (empty(nodeSchema), empty(edgeSchema))
     def merged(base: DataFrame, schema: StructType, deltaDir: String): DataFrame = {
       val deltas =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(deltaDir)))
+        if (Sidecar.exists(deltaDir))
           spark.read.schema(schema)
             .option("recursiveFileLookup", "true").parquet(deltaDir)
         else empty(schema)
@@ -278,8 +278,7 @@ object GraphSnapshot {
       graft.operators.Mvcc.compact(g.edges, horizon).localCheckpoint(true))
     folded.write(dir)
     Seq("node_deltas", "edge_deltas").foreach { d =>
-      val deltaDir = new java.io.File(s"$dir/$d")
-      if (deltaDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(deltaDir)
+      Sidecar.delete(s"$dir/$d", recursive = true)
     }
   }
 
@@ -291,10 +290,8 @@ object GraphSnapshot {
     GraphSnapshot(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges_dst"))
 
   /** Snapshot metadata without touching data files. */
-  def readManifest(dir: String): Option[String] = {
-    val p = java.nio.file.Paths.get(s"$dir/_manifest.json")
-    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p)) else None
-  }
+  def readManifest(dir: String): Option[String] =
+    Sidecar.readString(s"$dir/_manifest.json")
 }
 
 /** Driver-side batch builder for small graphs (tests, examples) —

@@ -1,0 +1,115 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Few-byte metadata ("sidecar") I/O for published layouts — the IVF /
+  * LSH / IVF-PQ geometry files, streaming append markers, and the
+  * snapshot manifest. All of it goes through the Hadoop FileSystem
+  * API, resolved per-path from the active session's configuration, so
+  * a layout published to hdfs:// or s3a:// works exactly like file:
+  * (the reference's metadata lives in its storage root the same way —
+  * HGraphStorage API.hs:57-75 opens model+data together). java.nio
+  * would silently treat "hdfs://nn/x" as a relative local path and
+  * fail AFTER the expensive parquet publish; routing the few bytes
+  * here makes the scheme a non-event. SidecarFsSpec exercises a
+  * non-`file:` scheme end-to-end.
+  *
+  * Writes are atomic: content lands in a hidden temp name and is
+  * renamed onto the target (single-file rename — atomic on HDFS and
+  * POSIX), so a concurrent reader never observes a half-written
+  * sidecar.
+  */
+object Sidecar {
+
+  /** Per-path FileSystem from the active session's Hadoop conf (falls
+    * back to a default Configuration off-session, e.g. in tools).
+    */
+  private def fsFor(path: String): (FileSystem, Path) = {
+    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
+    val p = new Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  def exists(path: String): Boolean = {
+    val (fs, p) = fsFor(path); fs.exists(p)
+  }
+
+  def readString(path: String): Option[String] = {
+    val (fs, p) = fsFor(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** `k=v` lines → map; None if the file does not exist. */
+  def readProps(path: String): Option[Map[String, String]] =
+    readString(path).map(_.linesIterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
+
+  /** Atomic: write a sibling temp file, then rename onto the target
+    * (deleting a previous version first — rename-over-existing is not
+    * portable across Hadoop filesystems).
+    */
+  def writeString(path: String, content: String): Unit = {
+    val (fs, p) = fsFor(path)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"sidecar rename $tmp -> $p failed")
+  }
+
+  def writeProps(path: String, props: Seq[(String, String)]): Unit =
+    writeString(path, props.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
+
+  def mkdirs(dir: String): Unit = {
+    val (fs, p) = fsFor(dir); fs.mkdirs(p): Unit
+  }
+
+  def delete(path: String, recursive: Boolean = false): Unit = {
+    val (fs, p) = fsFor(path)
+    if (fs.exists(p)) fs.delete(p, recursive): Unit
+  }
+
+  /** Child names of `dir` (empty if absent). */
+  def listNames(dir: String): Seq[String] = {
+    val (fs, p) = fsFor(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
+  }
+
+  /** Move every data file under `srcDir`'s immediate subdirectories
+    * into the same-named subdirectory of `dstDir` (creating it),
+    * skipping committer artifacts (`_SUCCESS`, hidden files). Each
+    * file move is one atomic rename, so a crashed move resumes by
+    * calling this again: already-moved files are simply no longer in
+    * `srcDir`. Used to promote a staged partitioned write into a live
+    * layout (cell=N/part-*.parquet → layout/cell=N/).
+    */
+  def promoteTree(srcDir: String, dstDir: String): Unit = {
+    val (fs, src) = fsFor(srcDir)
+    if (!fs.exists(src)) return
+    fs.listStatus(src).filter(_.isDirectory).foreach { part =>
+      val dst = new Path(new Path(dstDir), part.getPath.getName)
+      fs.mkdirs(dst)
+      fs.listStatus(part.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .foreach { f =>
+          val to = new Path(dst, f.getPath.getName)
+          if (!fs.rename(f.getPath, to))
+            throw new java.io.IOException(s"promote rename ${f.getPath} -> $to failed")
+        }
+    }
+    fs.delete(src, true): Unit
+  }
+}

@@ -271,6 +271,14 @@ object Dedup {
     // measured source of bench-to-bench variance.
     val edges = pairs.select(col(a).as("u"), col(b).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force the cache NOW, in its own job: the loop's first round
+    // consumes `edges` through TWO separate stages (the symmetrized
+    // neighbor table and the distinct node list), and stages that
+    // start before the cache's blocks exist re-run the mine's final
+    // (verification-heavy) stage once EACH — measured ~2x the mine's
+    // post-shuffle cost on the clustering bench line. One count of
+    // the (tiny) pair set pins the blocks before anything forks.
+    edges.count()
     val ids = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id"))).distinct()
     val comp = graft.operators.Components.minLabel(ids, edges, maxIters)

@@ -53,22 +53,47 @@ object Ivf {
     * vectors in id order). Centroid averages are exact enough that
     * ulp-level shuffle nondeterminism cannot move assignments except
     * for exactly equidistant vectors.
+    *
+    * Driver-memory shape (matters at the nlist ceiling): every
+    * driver-side materialization is O(nlist) ROWS carrying exactly
+    * the centroid matrix — the size of the returned [[IvfIndex]]
+    * itself, the floor for a literal-centroid design. The update
+    * previously collected the `(cell, pos, avg)` exploded frame —
+    * nlist × dim ROWS (50M at 65536 × 768, multi-GB of Row overhead
+    * for a 200 MB matrix); it now re-packs per cell BEFORE the
+    * collect. Training input is additionally capped at
+    * `maxTrainRows` by a deterministic id-hash sample (k-means
+    * needs O(100-1000 × nlist) points, not the corpus — same
+    * standard practice as [[Pq.train]]'s bounded sample); below the
+    * cap the trained centroids are bit-identical to uncapped.
     */
   def train(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 2): IvfIndex = {
+      nlist: Int, iters: Int = 2, maxTrainRows: Long = 1L << 20): IvfIndex = {
     NearestCell.register(spark)
-    var centroids = emb.orderBy(col(idCol)).limit(nlist)
+    val n = emb.count()
+    val every = math.max(1L, n / math.max(maxTrainRows, 1))
+    val sample =
+      if (every == 1) emb
+      else emb.filter(pmod(hash(col(idCol)), lit(every)) === 0)
+    var centroids = sample.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
 
     (1 to iters).foreach { _ =>
-      val assigned = emb.select(col(vecCol).as("v"), assign(col(vecCol), IvfIndex(centroids)).as("cell"))
+      val assigned = sample.select(col(vecCol).as("v"), assign(col(vecCol), IvfIndex(centroids)).as("cell"))
+      // per-(cell, dim) means stay DISTRIBUTED through both aggs; the
+      // driver receives nlist rows of packed (pos, mean) arrays
       val sums = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+        val cell = r.getInt(0)
+        r.getSeq[org.apache.spark.sql.Row](1).foreach { pm =>
+          next(cell)(pm.getInt(0)) = pm.getDouble(1).toFloat
+        }
       }
       centroids = next
     }
@@ -128,35 +153,25 @@ object Ivf {
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
-  // Sidecar I/O uses java.nio, so like the snapshot manifest writes it
-  // is LOCAL-FILESYSTEM ONLY; on hdfs:// or s3:// paths, route these
-  // few bytes through the Hadoop FileSystem API instead.
-  private def metaPath(path: String) =
-    java.nio.file.Paths.get(path, "_ivf_meta.properties")
+  // Sidecar I/O goes through [[graft.core.Sidecar]] (Hadoop
+  // FileSystem API), so hdfs:// and s3a:// layouts publish and verify
+  // exactly like file: paths.
+  private def metaPath(path: String) = s"$path/_ivf_meta.properties"
 
   // the pre-r7 sidecar: a bare fingerprint file. Layouts are
   // append-forever artifacts that outlive code revisions, so the old
   // form must keep verifying appends (fingerprint honored; no
   // publish-time dispersion was recorded, so drift baselines default
   // to the batch's own mean until the layout is republished).
-  private def legacyFingerprintPath(path: String) =
-    java.nio.file.Paths.get(path, "_ivf_centroids.sha")
+  private def legacyFingerprintPath(path: String) = s"$path/_ivf_centroids.sha"
 
   /** Sidecar contents: at least `fingerprint`, plus `mean_dist` for
     * layouts published since the dispersion baseline existed.
     */
-  private def readMeta(path: String): Option[Map[String, String]] = {
-    val mp = metaPath(path)
-    if (java.nio.file.Files.exists(mp))
-      Some(java.nio.file.Files.readString(mp).linesIterator
-        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
-    else {
-      val lp = legacyFingerprintPath(path)
-      if (java.nio.file.Files.exists(lp))
-        Some(Map("fingerprint" -> java.nio.file.Files.readString(lp).trim))
-      else None
-    }
-  }
+  private def readMeta(path: String): Option[Map[String, String]] =
+    graft.core.Sidecar.readProps(metaPath(path)).orElse(
+      graft.core.Sidecar.readString(legacyFingerprintPath(path))
+        .map(s => Map("fingerprint" -> s.trim)))
 
   /** Mean squared distance of each vector to its assigned centroid —
     * the layout's publish-time dispersion, the yardstick appends are
@@ -191,8 +206,8 @@ object Ivf {
     emb.withColumn("cell", assign(col(vecCol), index))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val mean = meanAssignedDist(emb, vecCol, index)
-    java.nio.file.Files.writeString(metaPath(path),
-      s"fingerprint=${fingerprint(index)}\nmean_dist=$mean\n")
+    graft.core.Sidecar.writeProps(metaPath(path),
+      Seq("fingerprint" -> fingerprint(index), "mean_dist" -> mean.toString))
   }
 
   /** Append a batch to a published cell-partitioned corpus WITHOUT
@@ -205,13 +220,14 @@ object Ivf {
     * [[IvfDrift]] says when to retrain + republish, exactly like
     * periodic delta compaction.
     */
-  def appendPartitioned(newEmb: DataFrame, vecCol: String, index: IvfIndex, path: String): IvfDrift = {
-    // guard the documented failure mode: retraining after drift and
-    // then APPENDING with the new index would mix two cell geometries
-    // in one layout — probes at nprobe < nlist silently lose recall.
-    // The publish-time fingerprint makes that an error, not a mystery;
-    // a MISSING sidecar is equally an error (nothing proves the layout
-    // and the index agree), not a skipped check.
+  /** Verify the layout's sidecar matches `index` (guards the
+    * documented failure mode: retraining after drift and then
+    * APPENDING with the new index would mix two cell geometries in
+    * one layout — probes at nprobe < nlist silently lose recall). A
+    * MISSING sidecar is equally an error (nothing proves the layout
+    * and the index agree), not a skipped check.
+    */
+  private def checkLayout(path: String, index: IvfIndex): Map[String, String] = {
     val meta = readMeta(path).getOrElse(throw new IllegalArgumentException(
       s"no IVF metadata sidecar at ${metaPath(path)} (nor the legacy " +
         s"${legacyFingerprintPath(path)}): the layout was not published by " +
@@ -221,14 +237,43 @@ object Ivf {
       s"IVF index mismatch: layout at $path was published with centroids " +
         s"${meta.getOrElse("fingerprint", "?")} but the append uses ${fingerprint(index)} — " +
         "after a retrain, republish with writePartitioned instead of appending")
-    newEmb.withColumn("cell", assign(col(vecCol), index))
-      .write.mode("append").partitionBy("cell").parquet(path)
-    val batchMean = meanAssignedDist(newEmb, vecCol, index)
+    meta
+  }
+
+  private def driftOf(meta: Map[String, String], batchMean: Double): IvfDrift =
     // legacy layouts recorded no publish-time dispersion: baseline to
     // the batch's own mean (ratio 1, never trips) rather than 0
     // (ratio +Inf, always trips) — republish to get a real baseline
     IvfDrift(meta.get("mean_dist").map(_.toDouble).getOrElse(batchMean), batchMean)
+
+  def appendPartitioned(newEmb: DataFrame, vecCol: String, index: IvfIndex, path: String): IvfDrift = {
+    val meta = checkLayout(path, index)
+    newEmb.withColumn("cell", assign(col(vecCol), index))
+      .write.mode("append").partitionBy("cell").parquet(path)
+    driftOf(meta, meanAssignedDist(newEmb, vecCol, index))
   }
+
+  /** Transactional half of [[appendPartitioned]]: assign + write the
+    * batch's cell-partitioned files into `stagingPath` (a private
+    * directory, NOT the layout) and return the drift report. Nothing
+    * is visible to probes until [[promoteStaged]] moves the files in —
+    * the commit protocol [[graft.streaming.AnnStream]] builds
+    * exactly-once appends on (marker between stage and promote).
+    */
+  def stagePartitioned(newEmb: DataFrame, vecCol: String, index: IvfIndex,
+      layoutPath: String, stagingPath: String): IvfDrift = {
+    val meta = checkLayout(layoutPath, index)
+    newEmb.withColumn("cell", assign(col(vecCol), index))
+      .write.mode("overwrite").partitionBy("cell").parquet(stagingPath)
+    driftOf(meta, meanAssignedDist(newEmb, vecCol, index))
+  }
+
+  /** Move staged cell files into the live layout (atomic per-file
+    * renames; resumable after a crash — see
+    * [[graft.core.Sidecar.promoteTree]]) and drop the staging dir.
+    */
+  def promoteStaged(layoutPath: String, stagingPath: String): Unit =
+    graft.core.Sidecar.promoteTree(stagingPath, layoutPath)
 
   /** Search over a published cell-partitioned corpus. The probe-cell
     * filter is a PARTITION filter — only the probed directories are

@@ -125,14 +125,28 @@ object Pq {
   def encode(vec: Column, index: PqIndex): Column = {
     require(index.ksub <= 256, s"byte-width codes need ksub <= 256, got ${index.ksub}")
     array(index.codebooks.zipWithIndex.map { case (cb, s) =>
-      NearestCell.col(slice(vec, s * index.dsub + 1, index.dsub), cb).cast("byte")
+      val c = NearestCell.col(slice(vec, s * index.dsub + 1, index.dsub), cb)
+      // two's-complement store: codes 128..255 land as -128..-1 (a
+      // plain cast("byte") is an ANSI overflow ERROR for them, and
+      // pre-ANSI silently wrapped only by luck); readers recover the
+      // unsigned value via codeAt's & 255
+      (c - when(c > 127, 256).otherwise(0)).cast("byte")
     }.toIndexedSeq: _*)
   }
+
+  /** Unsigned read of subspace `s`'s code: codes are stored as signed
+    * TINYINT, so entries 128..255 come back negative — masking with
+    * 255 before the 1-based literal lookup keeps ksub=256 (the
+    * canonical byte-PQ width) correct instead of silently indexing
+    * from the array end (PqSpec pins code 255 round-trip).
+    */
+  private def codeAt(codes: Column, s: Int): Column =
+    element_at(codes, s + 1).cast("int").bitwiseAND(lit(255))
 
   /** Reconstruction: concatenation of the addressed codebook entries. */
   def decode(codes: Column, index: PqIndex): Column =
     flatten(array(index.codebooks.zipWithIndex.map { case (cb, s) =>
-      element_at(typedLit(cb.map(_.toSeq).toSeq), element_at(codes, s + 1).cast("int") + 1)
+      element_at(typedLit(cb.map(_.toSeq).toSeq), codeAt(codes, s) + 1)
     }.toIndexedSeq: _*))
 
   /** Squared reconstruction error |v - decode(encode(v))|^2 — the
@@ -174,7 +188,7 @@ object Pq {
     */
   def adcScore(codes: Column, lut: Array[Array[Double]]): Column =
     lut.zipWithIndex.map { case (l, s) =>
-      element_at(typedLit(l.toSeq), element_at(codes, s + 1).cast("int") + 1)
+      element_at(typedLit(l.toSeq), codeAt(codes, s) + 1)
     }.reduceLeft(_ + _)
 
   /** Integer-micro ADC (floor(adc * 1e6)): floor of a bit-identical
@@ -188,9 +202,11 @@ object Pq {
     * target for [[topKAdc]]. One encode scan; plain parquet.
     */
   def writeCodes(emb: DataFrame, idCol: String, vecCol: String,
-      index: PqIndex, path: String): Unit =
+      index: PqIndex, path: String): Unit = {
+    register(emb.sparkSession)
     emb.select(col(idCol), encode(col(vecCol), index).as("codes"))
       .write.mode("overwrite").parquet(path)
+  }
 
   /** ADC top-k over a codes table: one pruned scan (id + 8 bytes of
     * codes per row), LUT scoring, ascending top-k. Deterministic
@@ -228,11 +244,10 @@ object Pq {
 
   // ---- IVF-PQ: coarse cells prune FILES, codes shrink BYTES ----
 
-  // sidecar pattern (and local-filesystem-only caveat) as in
-  // Ivf.writePartitioned: the layout must prove which coarse centroids
-  // AND codebooks produced it before anything reads or appends
-  private def metaPath(path: String) =
-    java.nio.file.Paths.get(path, "_ivfpq_meta.properties")
+  // sidecar pattern as in Ivf.writePartitioned (graft.core.Sidecar —
+  // Hadoop FileSystem API, any scheme): the layout must prove which
+  // coarse centroids AND codebooks produced it before anything reads
+  private def metaPath(path: String) = s"$path/_ivfpq_meta.properties"
 
   private def fingerprint(floats: Iterator[Float]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -254,11 +269,12 @@ object Pq {
     */
   def writePartitionedPq(emb: DataFrame, idCol: String, vecCol: String,
       coarse: Ivf.IvfIndex, index: PqIndex, path: String): Unit = {
+    register(emb.sparkSession)
     emb.select(col(idCol), encode(col(vecCol), index).as("codes"),
         Ivf.assign(col(vecCol), coarse).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    java.nio.file.Files.writeString(metaPath(path),
-      s"coarse=${coarsePrint(coarse)}\npq=${pqPrint(index)}\n")
+    graft.core.Sidecar.writeProps(metaPath(path),
+      Seq("coarse" -> coarsePrint(coarse), "pq" -> pqPrint(index)))
   }
 
   /** IVF-PQ search: probe-cell PARTITION filter (file pruning, exactly
@@ -270,10 +286,8 @@ object Pq {
       coarse: Ivf.IvfIndex, index: PqIndex, query: Array[Float], k: Int,
       nprobe: Int, pred: Column = lit(true)): DataFrame = {
     val mp = metaPath(path)
-    require(java.nio.file.Files.exists(mp),
-      s"no IVF-PQ metadata sidecar at $mp — publish with writePartitionedPq")
-    val meta = java.nio.file.Files.readString(mp).linesIterator
-      .map(_.split("=", 2)).collect { case Array(a, b) => a -> b }.toMap
+    val meta = graft.core.Sidecar.readProps(mp).getOrElse(throw new IllegalArgumentException(
+      s"no IVF-PQ metadata sidecar at $mp — publish with writePartitionedPq"))
     require(meta.get("coarse").contains(coarsePrint(coarse)) &&
         meta.get("pq").contains(pqPrint(index)),
       s"IVF-PQ index mismatch at $path: layout published with " +

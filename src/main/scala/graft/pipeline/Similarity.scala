@@ -164,11 +164,9 @@ object Similarity {
     embeddings.select(col(idCol).as("id"),
       lshBucket(col(vecCol), planes, dim).as("bucket"))
 
-  // Sidecar I/O is java.nio — LOCAL-FILESYSTEM ONLY, like the IVF
-  // layout metadata; route through the Hadoop FileSystem API for
-  // hdfs:// or s3:// paths.
-  private def bucketMetaPath(path: String) =
-    java.nio.file.Paths.get(path, "_lsh_meta.properties")
+  // Sidecar I/O goes through graft.core.Sidecar (Hadoop FileSystem
+  // API) — hdfs:// and s3a:// index paths work like file:.
+  private def bucketMetaPath(path: String) = s"$path/_lsh_meta.properties"
 
   /** Publish the corpus bucket index with its geometry (planes, dim)
     * recorded in a sidecar, so [[openBucketTable]] can refuse a
@@ -183,7 +181,8 @@ object Similarity {
       dim: Int, planes: Int, path: String): Unit = {
     bucketTable(embeddings, idCol, vecCol, dim, planes)
       .write.mode("overwrite").parquet(path)
-    java.nio.file.Files.writeString(bucketMetaPath(path), s"planes=$planes\ndim=$dim\n")
+    graft.core.Sidecar.writeProps(bucketMetaPath(path),
+      Seq("planes" -> planes.toString, "dim" -> dim.toString))
   }
 
   /** Read a published bucket index, verifying it was built with the
@@ -192,12 +191,10 @@ object Similarity {
   def openBucketTable(spark: org.apache.spark.sql.SparkSession, path: String,
       dim: Int, planes: Int): DataFrame = {
     val mp = bucketMetaPath(path)
-    require(java.nio.file.Files.exists(mp),
+    val meta = graft.core.Sidecar.readProps(mp).getOrElse(throw new IllegalArgumentException(
       s"no bucket-index sidecar at $mp: the index was not published by " +
         "publishBucketTable — republish with it; probing with unverified " +
-        "geometry risks silently matching nothing")
-    val meta = java.nio.file.Files.readString(mp).linesIterator
-      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+        "geometry risks silently matching nothing"))
     require(meta.get("planes").contains(planes.toString) && meta.get("dim").contains(dim.toString),
       s"bucket-index geometry mismatch at $path: published with " +
         s"planes=${meta.getOrElse("planes", "?")} dim=${meta.getOrElse("dim", "?")} but the " +

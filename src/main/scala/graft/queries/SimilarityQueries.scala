@@ -193,12 +193,16 @@ object SimilarityQueries extends QueryModule {
              |FROM q""".stripMargin)
     ),
 
-    // ---- embedding near-duplicate pairs (cosine >= 0.99) ----
+    // ---- embedding near-duplicate pairs (cosine >= 0.40) ----
     // brute-force pair scan at small SF; the scale path buckets by
-    // LSH first (next query) and verifies within buckets.
+    // LSH first (next query) and verifies within buckets. Threshold
+    // 0.40 because this synthetic corpus has no true near-dups (max
+    // pairwise cosine ≈ 0.45): at the production 0.99 the gate row
+    // set is provably empty and verifies NOTHING — the mechanics
+    // (blocked pair join + exact verify) are identical at any cut.
     QueryDef(
       "q_dedup_embed",
-      "embedding near-dup pairs: cosine >= 0.99 (label-blocked join)",
+      "embedding near-dup pairs: cosine >= 0.40 (label-blocked join)",
       (s, dir) => {
         graft.functions.CosineSim.register(s)
         val emb = Tables(s, dir).embeddings
@@ -206,7 +210,7 @@ object SimilarityQueries extends QueryModule {
         val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("label").as("lb"))
         a.join(b, col("la") === col("lb") && col("va") < col("vb"))
           .withColumn("cos", round(graft.functions.CosineSim.col(col("ea"), col("eb")), 6))
-          .filter(col("cos") >= 0.99)
+          .filter(col("cos") >= 0.40)
           .select(col("va"), col("vb"), col("cos"))
       },
       Some("""SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -217,7 +221,7 @@ object SimilarityQueries extends QueryModule {
              |  ON a.label = b.label AND a.vec_id < b.vec_id
              |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
              |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-             |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.99""".stripMargin)
+             |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.40""".stripMargin)
     ),
 
     // ---- LSH-blocked similarity pairs (embedding dedup at scale) ----

@@ -2,64 +2,105 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
+import graft.core.Sidecar
 import graft.pipeline.Ivf
 
 /** Streaming ANN ingestion: micro-batches of embeddings append into a
   * published cell-partitioned IVF layout with FROZEN centroids —
-  * `foreachBatch` → [[Ivf.appendPartitioned]], the streaming leg of
-  * the O(batch) ingestion story (graph deltas: [[EventStream]]; text
-  * bands / embed buckets: the incremental miners). Per micro-batch
-  * cost is O(batch); probes see appended vectors on their next
-  * partition listing; each batch's [[Ivf.IvfDrift]] feeds `onDrift`
-  * so a monitor can trigger retrain + republish.
+  * `foreachBatch` → staged [[Ivf.stagePartitioned]] + marker +
+  * [[Ivf.promoteStaged]], the streaming leg of the O(batch) ingestion
+  * story (graph deltas: [[EventStream]]; text bands / embed buckets:
+  * the incremental miners). Per micro-batch cost is O(batch); probes
+  * see appended vectors on their next partition listing; each batch's
+  * [[Ivf.IvfDrift]] feeds `onDrift` so a monitor can trigger retrain +
+  * republish.
   *
-  * Exactly-once: appends cannot be replayed by overwrite the way the
-  * batch-id-keyed delta sinks can (the layout's cell directories are
-  * shared), so applied batch ids are recorded in a sidecar and
-  * replayed ids are SKIPPED. Batch ids are only meaningful relative
-  * to a checkpoint — a checkpoint-less query restarts them at 0, and
-  * a bare-id marker would then silently DROP never-seen data whose
-  * batch id collides with an applied one — so `checkpointDir` is
-  * REQUIRED and the marker is keyed by (checkpoint, batchId). Two
-  * writers with different checkpoints appending to one layout dedupe
-  * independently, which is correct: their batch id spaces are
-  * unrelated. A crash between the data write and the marker write
-  * re-appends that one batch; a production deployment closes that
-  * window with a transactional commit protocol (staged files +
-  * manifest swap), the same upgrade path as the snapshot manifest.
-  * Sidecar I/O is java.nio — LOCAL-FILESYSTEM ONLY, like the other
-  * layout metadata.
+  * Exactly-once commit protocol (appends cannot be replayed by
+  * overwrite the way the batch-id-keyed delta sinks can — the
+  * layout's cell directories are shared):
+  *
+  *  1. the batch's cell-partitioned files are written to a private
+  *     staging dir (`_ivf_staging/<key>/`) — invisible to probes;
+  *  2. a per-key marker file (`_ivf_applied/<key>`) is created by
+  *     atomic rename — THE commit point;
+  *  3. staged files move into the live cell directories (atomic
+  *     per-file renames) and staging is dropped.
+  *
+  * A crash before 2 leaves only staged files: the retry re-stages
+  * (overwrite) and commits — nothing was visible, nothing duplicates.
+  * A crash after 2 leaves marker + staged files: the retry (or the
+  * next run's replay check) finishes the move — renames are
+  * resumable, already-moved files are gone from staging. So the batch
+  * lands exactly once whichever side of the marker the writer died on
+  * (AnnStreamSpec kills the writer on both sides and counts rows).
+  *
+  * Batch ids are only meaningful relative to a checkpoint — a
+  * checkpoint-less query restarts them at 0, and a bare-id marker
+  * would then silently DROP never-seen data whose batch id collides
+  * with an applied one — so `checkpointDir` is REQUIRED and the
+  * marker is keyed by (checkpoint, batchId). Two writers with
+  * different checkpoints appending to one layout dedupe independently
+  * (their batch id spaces are unrelated) and cannot corrupt each
+  * other's markers: each key is its own file, written by atomic
+  * rename, and the replay check reads ONLY its own key — no
+  * read-modify-write of a shared file, no full-file reread per batch.
+  * All marker/staging I/O goes through [[graft.core.Sidecar]] (Hadoop
+  * FileSystem API), so hdfs:// / s3a:// layouts work like file:.
   */
 object AnnStream {
 
-  private def appliedPath(layout: String) =
-    java.nio.file.Paths.get(layout, "_ivf_applied_batches")
+  // pre-r8 marker: one shared line file. Append-forever layouts
+  // published by earlier revisions must keep deduping, so its keys
+  // are still honored on read; new markers are per-key files.
+  private def legacyAppliedPath(layout: String) = s"$layout/_ivf_applied_batches"
+  private def markerDir(layout: String)  = s"$layout/_ivf_applied"
+  private def stagingDir(layout: String) = s"$layout/_ivf_staging"
 
-  /** (checkpoint-token, batch-id) keys already appended to the layout. */
+  /** (checkpoint-token, batch-id) keys already appended to the layout
+    * (union of legacy line-file keys and per-key marker files).
+    */
   def appliedBatches(layout: String): Set[String] = {
-    val p = appliedPath(layout)
-    if (!java.nio.file.Files.exists(p)) Set.empty
-    else java.nio.file.Files.readString(p).linesIterator.filter(_.nonEmpty).toSet
+    val legacy = Sidecar.readString(legacyAppliedPath(layout))
+      .map(_.linesIterator.filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    legacy ++ Sidecar.listNames(markerDir(layout)).map(fileToKey)
   }
 
   private def batchKey(checkpointDir: String, id: Long): String =
     s"${graft.queries.SessionPublish.token(checkpointDir)}:$id"
 
-  /** One micro-batch: append unless this (checkpoint, id) was already
-    * applied. Returns the drift report, or None for a skipped replay.
-    * Factored out of the sink so the idempotency contract is directly
-    * testable without simulating a mid-commit crash.
+  // ':' is not legal inside a Hadoop Path segment — marker files use
+  // '_' (the token is hex, so the mapping is unambiguous)
+  private def keyToFile(key: String): String = key.replace(':', '_')
+  private def fileToKey(name: String): String = name.replace('_', ':')
+
+  private def isApplied(layout: String, key: String): Boolean =
+    Sidecar.exists(s"${markerDir(layout)}/${keyToFile(key)}") ||
+      Sidecar.readString(legacyAppliedPath(layout))
+        .exists(_.linesIterator.contains(key))
+
+  /** One micro-batch under the staged commit protocol above. Returns
+    * the drift report, or None for a replay — including the
+    * crashed-after-marker case, where the retry's only job is to
+    * finish moving the staged files in (the drift was observable in
+    * the crashed attempt; recomputing it here would re-scan the batch
+    * for a number nobody is waiting on).
     */
   def appendBatch(batch: org.apache.spark.sql.DataFrame, checkpointDir: String,
       batchId: Long, vecCol: String, index: Ivf.IvfIndex,
       layoutPath: String): Option[Ivf.IvfDrift] = {
     val key = batchKey(checkpointDir, batchId)
-    if (appliedBatches(layoutPath).contains(key)) None
-    else {
-      val drift = Ivf.appendPartitioned(batch, vecCol, index, layoutPath)
-      java.nio.file.Files.writeString(appliedPath(layoutPath), s"$key\n",
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val staging = s"${stagingDir(layoutPath)}/${keyToFile(key)}"
+    if (isApplied(layoutPath, key)) {
+      // crashed between marker and promote: complete the move
+      Ivf.promoteStaged(layoutPath, staging)
+      None
+    } else {
+      // a crash mid-stage leaves partial files; overwrite restages
+      val drift = Ivf.stagePartitioned(batch, vecCol, index, layoutPath, staging)
+      Sidecar.writeString(s"${markerDir(layoutPath)}/${keyToFile(key)}", "")
+      Ivf.promoteStaged(layoutPath, staging)
       Some(drift)
     }
   }
@@ -67,14 +108,16 @@ object AnnStream {
   /** Watch `srcDir` for embedding parquet files and append each
     * micro-batch into the layout at `layoutPath` (published by
     * [[Ivf.writePartitioned]] with `index` — the sidecar fingerprint
-    * guard applies). Columns of the stream must include `vecCol`.
+    * guard applies). `schema` is the stream's EXPLICIT schema — the
+    * caller knows what it publishes; inferring from whatever file's
+    * footer happens to be listed first would make a mixed-type column
+    * a nondeterministic failure. Columns must include `vecCol`.
     * `checkpointDir` anchors both Structured Streaming's source
     * tracking and the append markers (see the idempotency note above).
     */
-  def appendEmbeddings(spark: SparkSession, srcDir: String, vecCol: String,
-      index: Ivf.IvfIndex, layoutPath: String, checkpointDir: String,
+  def appendEmbeddings(spark: SparkSession, srcDir: String, schema: StructType,
+      vecCol: String, index: Ivf.IvfIndex, layoutPath: String, checkpointDir: String,
       onDrift: (Long, Ivf.IvfDrift) => Unit = (_, _) => ()): StreamingQuery = {
-    val schema = spark.read.parquet(srcDir).schema
     val src = spark.readStream.schema(schema).parquet(srcDir)
     src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>

@@ -2,15 +2,20 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Sidecar
 import graft.pipeline.{Ivf, Similarity}
 import graft.streaming.AnnStream
 
 /** Streaming ANN ingestion: micro-batches append into the published
   * cell-partitioned layout, probes surface them exactly, replayed
-  * (checkpoint, batch-id) keys are skipped, and a later run over the
-  * same checkpoint picks up only NEW source files.
+  * (checkpoint, batch-id) keys are skipped, a later run over the same
+  * checkpoint picks up only NEW source files, and the staged commit
+  * protocol survives a writer killed on either side of the marker
+  * without duplicating or losing a row.
   */
 class AnnStreamSpec extends GraftSuite {
+
+  private def embSchema = graft.sources.Tables(spark, sf001).embeddings.schema
 
   test("streamed batches surface exactly; replay skips; new files still ingest") {
     val emb = graft.sources.Tables(spark, sf001).embeddings
@@ -28,7 +33,7 @@ class AnnStreamSpec extends GraftSuite {
     batch1.write.mode("append").parquet(srcDir)
 
     val drifts = scala.collection.mutable.ArrayBuffer.empty[(Long, Ivf.IvfDrift)]
-    AnnStream.appendEmbeddings(spark, srcDir, "embedding", idx, layout, ckpt,
+    AnnStream.appendEmbeddings(spark, srcDir, embSchema, "embedding", idx, layout, ckpt,
       onDrift = (id, d) => drifts.synchronized { drifts += id -> d: Unit })
       .awaitTermination()
 
@@ -64,14 +69,58 @@ class AnnStreamSpec extends GraftSuite {
     assert(got == exact, "streamed vectors must surface exactly in probed search")
 
     // a second run over the SAME checkpoint with new source files
-    // ingests ONLY the new files (source tracking + marker combined)
-    val batch3 = spark.createDataFrame(Seq((900001L, "x", Seq.fill(64)(0.5f))))
+    // ingests ONLY the new files (source tracking + marker combined).
+    // label is written as INT to match the corpus schema — and the
+    // stream's schema is EXPLICIT, so even a mistyped file would fail
+    // deterministically instead of by file-listing-order lottery.
+    val batch3 = spark.createDataFrame(Seq((900001L, 7, Seq.fill(64)(0.5f))))
       .toDF("vec_id", "label", "embedding")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+      .select(col("vec_id"), col("label").cast("int"),
+        col("embedding").cast("array<float>"))
     batch3.write.mode("append").parquet(srcDir)
-    AnnStream.appendEmbeddings(spark, srcDir, "embedding", idx, layout, ckpt)
+    AnnStream.appendEmbeddings(spark, srcDir, embSchema, "embedding", idx, layout, ckpt)
       .awaitTermination()
     assert(spark.read.parquet(layout).count() == afterSecond + 1,
       "second run over the same checkpoint ingests exactly the new file's rows")
+  }
+
+  test("a writer killed on either side of the marker neither loses nor duplicates a batch") {
+    val emb = graft.sources.Tables(spark, sf001).embeddings
+    val base  = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val idx = Ivf.train(spark, base, "vec_id", "embedding", nlist = 8)
+    val layout = java.nio.file.Files.createTempDirectory("ann-crash-layout").toString
+    Ivf.writePartitioned(base, "embedding", idx, layout)
+    val baseCount = spark.read.parquet(layout).count()
+    val ckpt = java.nio.file.Files.createTempDirectory("ann-crash-ckpt").toString
+    val key  = graft.queries.SessionPublish.token(ckpt) + "_0"
+
+    // CRASH BEFORE MARKER: the writer staged the batch's files and
+    // died before committing. Nothing is visible; the retry restages
+    // (overwrite) and commits — exactly one copy lands.
+    Ivf.stagePartitioned(batch, "embedding", idx, layout, s"$layout/_ivf_staging/$key")
+    assert(spark.read.parquet(layout).count() == baseCount,
+      "staged-but-uncommitted files must be invisible to probes")
+    assert(AnnStream.appendBatch(batch, ckpt, 0L, "embedding", idx, layout).isDefined,
+      "an uncommitted batch is new work, not a replay")
+    assert(spark.read.parquet(layout).count() == baseCount + batch.count(),
+      "retry after pre-marker crash lands the batch exactly once")
+
+    // CRASH AFTER MARKER: the writer committed (marker exists) and
+    // died before moving the staged files in. The retry recognizes
+    // the marker and finishes the move — still exactly one copy.
+    val key1 = graft.queries.SessionPublish.token(ckpt) + "_1"
+    Ivf.stagePartitioned(batch, "embedding", idx, layout, s"$layout/_ivf_staging/$key1")
+    Sidecar.writeString(s"$layout/_ivf_applied/$key1", "")
+    assert(AnnStream.appendBatch(batch, ckpt, 1L, "embedding", idx, layout).isEmpty,
+      "a committed batch reports as a replay")
+    assert(spark.read.parquet(layout).count() == baseCount + 2 * batch.count(),
+      "recovery after post-marker crash completes the move without duplicating")
+    assert(!Sidecar.exists(s"$layout/_ivf_staging/$key1"),
+      "recovery drops the staging directory")
+
+    // and a further replay of the same key is a pure no-op
+    assert(AnnStream.appendBatch(batch, ckpt, 1L, "embedding", idx, layout).isEmpty)
+    assert(spark.read.parquet(layout).count() == baseCount + 2 * batch.count())
   }
 }

@@ -132,6 +132,56 @@ class IvfSpec extends GraftSuite {
     assert(got.exists(id => id % 5 == 0), s"no batch vector in top-10: $got")
   }
 
+  test("train's packed centroid update matches a driver-side Lloyd reference") {
+    // the r8 update re-packs per-cell means distributed-side so the
+    // driver collects nlist ROWS, not nlist×dim — this pins that the
+    // re-pack did not change the math (tolerance: distributed avg
+    // sums in shuffle order, so ulp-level drift is allowed)
+    val small = emb.filter(col("vec_id") < 100)
+    val idx = Ivf.train(spark, small, "vec_id", "embedding", nlist = 4, iters = 2)
+    val vecs = small.orderBy(col("vec_id")).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    var cents = vecs.take(4)
+    (1 to 2).foreach { _ =>
+      def cellOf(v: Array[Float]): Int = {
+        var best = Double.PositiveInfinity; var bi = 0
+        cents.indices.foreach { i =>
+          var c2 = 0.0; var dot = 0.0
+          cents(i).indices.foreach { d =>
+            c2 += cents(i)(d).toDouble * cents(i)(d).toDouble
+            dot += cents(i)(d).toDouble * v(d).toDouble
+          }
+          val dist = c2 - 2.0 * dot
+          if (dist < best) { best = dist; bi = i }
+        }
+        bi
+      }
+      val grouped = vecs.groupBy(cellOf)
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        grouped.get(i).map { vs =>
+          Array.tabulate(c.length)(d => (vs.map(_(d).toDouble).sum / vs.length).toFloat)
+        }.getOrElse(c)
+      }
+    }
+    idx.centroids.zip(cents).zipWithIndex.foreach { case ((got, want), i) =>
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-5f, s"centroid $i drifted: $g vs $w")
+      }
+    }
+  }
+
+  test("a maxTrainRows cap samples deterministically and still trains a usable index") {
+    val capped = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8, maxTrainRows = 100)
+    val again  = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8, maxTrainRows = 100)
+    assert(capped.centroids.flatten.toSeq == again.centroids.flatten.toSeq,
+      "the hash sample must be deterministic")
+    // ...and assignments over the FULL corpus remain well-formed
+    val cells = emb.select(Ivf.assign(col("embedding"), capped).as("cell"))
+      .groupBy("cell").count().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(cells.length >= 4, "capped training still spreads the corpus")
+  }
+
   test("IVF stays viable at realistic cell counts (nlist=1024)") {
     // the per-centroid expression tree this replaced would exceed
     // Janino/plan limits here; NearestCell is one expression at any nlist

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Pq, Similarity}
+
+/** Product quantization: the identities the module's contract names.
+  *
+  *  - encode/decode ROUND-TRIP at ksub=256 on a corpus built so every
+  *    code value 0..255 (incl. the sign-wrap region 128..255 and the
+  *    former error case 255) provably occurs;
+  *  - ADC == exact score of the reconstruction: the distributed
+  *    adcScore equals the driver-side sum of the addressed LUT
+  *    entries bit-for-bit (this is exactly the identity the signed
+  *    TINYINT wrap silently broke for codes > 127);
+  *  - rerank degenerates to brute force when candidates >= corpus.
+  */
+class PqSpec extends GraftSuite {
+
+  /** 256 vectors of dim 8 (nsub=2, dsub=4) whose subvectors are
+    * pairwise distinct: Lloyd init takes all 256 as entries, every
+    * cluster holds exactly its own point (the nearest entry to
+    * sample i IS entry i — any other entry j is |v_i - v_j|² > 0
+    * farther), so training is a fixpoint and vector i must encode to
+    * codes [i, i] at ANY iteration count.
+    */
+  private def syntheticCorpus = {
+    val rows = (0 until 256).map { i =>
+      (i.toLong, Seq(i.toFloat, 1f, 0f, 0f, 0f, i.toFloat, 2f, 0f))
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  test("encode/decode round-trips every code 0..255 at ksub=256") {
+    Pq.register(spark)
+    val df = syntheticCorpus
+    val idx = Pq.train(spark, df, "vec_id", "embedding", nsub = 2, ksub = 256)
+    assert(idx.ksub == 256 && idx.nsub == 2 && idx.dsub == 4)
+
+    val got = df.select(col("vec_id"),
+        Pq.encode(col("embedding"), idx).as("codes"),
+        Pq.decode(Pq.encode(col("embedding"), idx), idx).as("recon"),
+        col("embedding"))
+      .collect()
+    got.foreach { r =>
+      val i = r.getLong(0).toInt
+      val codes = r.getSeq[Byte](1).map(_ & 0xFF)
+      assert(codes == Seq(i, i), s"vector $i must encode to its own entry, got $codes")
+      assert(r.getSeq[Float](2) == r.getSeq[Float](3),
+        s"decode(encode(v)) must reproduce vector $i exactly (each cluster holds one point)")
+    }
+    // the wrap region really ran: codes above 127 and the max code 255
+    val unsignedMax = got.flatMap(_.getSeq[Byte](1)).map(_ & 0xFF).max
+    assert(unsignedMax == 255, "code 255 must occur (the pre-fix error case)")
+
+    // reconstruction error is exactly 0 on the fixpoint corpus
+    val maxErr = df.select(
+      Pq.reconError(col("embedding"), Pq.encode(col("embedding"), idx), idx).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(maxErr == 0.0)
+  }
+
+  test("ADC equals the exact score of the reconstruction, bit-for-bit, codes > 127 included") {
+    Pq.register(spark)
+    val emb = graft.sources.Tables(spark, sf001).embeddings
+    val idx = Pq.train(spark, emb, "vec_id", "embedding", nsub = 8, ksub = 256)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val lut = Pq.adcLut(idx, q)
+
+    val rows = emb.select(col("vec_id"),
+        Pq.encode(col("embedding"), idx).as("codes"),
+        Pq.adcScore(Pq.encode(col("embedding"), idx), lut).as("adc"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Byte](1).map(_ & 0xFF)
+      // the addressed LUT entries summed in adcScore's reduceLeft
+      // order — i.e. the exact (|c|² - 2 q·c) score of the
+      // reconstruction, grouped per subspace
+      val expected = codes.zipWithIndex.map { case (c, s) => lut(s)(c) }.reduceLeft(_ + _)
+      assert(r.getDouble(2) == expected,
+        s"vec ${r.getLong(0)}: adc ${r.getDouble(2)} != driver $expected (codes $codes)")
+    }
+    // the real corpus exercises the wrap region too (256 entries, 500
+    // training points per subspace: the high half of the codebook is
+    // populated by init and keeps its points)
+    assert(rows.flatMap(_.getSeq[Byte](1)).exists(b => (b & 0xFF) > 127),
+      "expected codes above 127 on the real corpus")
+  }
+
+  test("rerank with candidates >= corpus size is exactly the brute-force cosine top-k") {
+    val emb = graft.sources.Tables(spark, sf001).embeddings
+    val idx = Pq.train(spark, emb, "vec_id", "embedding", nsub = 8, ksub = 256)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0L)
+    val codesPath = java.nio.file.Files.createTempDirectory("pq-codes").toString + "/codes"
+    Pq.writeCodes(corpus, "vec_id", "embedding", idx, codesPath)
+
+    val n = corpus.count().toInt
+    val got = Pq.topKRerank(spark, spark.read.parquet(codesPath), corpus,
+        "vec_id", "embedding", idx, q, k = 10, candidates = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // same cosine implementation as topKRerank's exact leg, so the
+    // comparison cannot diverge on accumulation order at a 0.5-ulp tie
+    val exact = Similarity.topK(corpus, "vec_id", "embedding", q.toSeq, 10,
+        graft.functions.CosineSim.col)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact, "full-candidate rerank must be the brute-force top-k")
+  }
+}
