@@ -65,22 +65,71 @@ object PqQueries extends QueryModule {
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
   // ---- SQL rendering over the recorded training state ----
+  //
+  // The codebook is emitted as a VALUES TABLE and codes come from a
+  // streamed cross-join + group-by argmin, NOT from per-row literal
+  // lists: a `list_sort([[dist, j], ...])` over ksub=256 entries
+  // builds the whole literal list per row per subspace, and DuckDB
+  // ran out of memory on it at the 10x corpus — the join form is
+  // pipelined and scale-stable (same row values, same tie rule).
   import AnnOracleSql.{argminSql, dlit, euclidDistSql, probeListSql}
 
-  /** c0..c(nsub-1): each subspace's code for the DOUBLE[] column `v`. */
-  private def codeCols(pq: Pq.PqIndex, v: String): String =
-    pq.codebooks.zipWithIndex.map { case (cb, s) =>
-      s"${argminSql(cb, v, off = s * pq.dsub)} AS c$s"
-    }.mkString(",\n        ")
-
-  /** floor((lut0[c0+1] + lut1[c1+1] + ...) * 1e6) — [[Pq.adcMicros]]'s
-    * exact arithmetic with the LUT rows as literal DOUBLE lists.
+  /** `(s, j, c2, entry)` rows of the codebook, c2 = |entry|² with
+    * NearestCell's left-to-right fold, entry as a DOUBLE list.
     */
-  private def adcMicrosSql(lut: Array[Array[Double]]): String = {
-    val terms = lut.zipWithIndex.map { case (l, s) =>
-      s"([${l.map(dlit).mkString(", ")}])[c$s + 1]"
-    }.mkString(" + ")
-    s"CAST(floor(($terms) * 1e6) AS BIGINT)"
+  private def codebookValuesSql(pq: Pq.PqIndex): String =
+    pq.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, j) =>
+        val entry = c.map(x => dlit(x.toDouble)).mkString("[", ", ", "]")
+        s"($s, $j, ${dlit(AnnOracleSql.c2Of(c))}, $entry)"
+      }
+    }.mkString(",\n")
+
+  /** `(s, j, val)` rows of the per-query ADC lookup table. */
+  private def lutValuesSql(lut: Array[Array[Double]]): String =
+    lut.zipWithIndex.flatMap { case (l, s) =>
+      l.zipWithIndex.map { case (v, j) => s"($s, $j, ${dlit(v)})" }
+    }.mkString(",\n")
+
+  /** `|entry|² - 2 · entry·subvec` for the joined codebook row: the
+    * dot terms index the vector column `e` at the subspace offset
+    * (`cb.s * dsub + d`), summed left-to-right — [[Pq.encode]]'s
+    * exact arithmetic with the entry elements promoted to DOUBLE.
+    */
+  private def joinDistSql(dsub: Int, e: String): String = {
+    val dot = (1 to dsub).map(d => s"cb.entry[$d] * $e[cb.s * $dsub + $d]").mkString(" + ")
+    s"cb.c2 - 2.0 * ($dot)"
+  }
+
+  /** Shared oracle tail (CTEs `scored`..`pc` + final SELECT): codes
+    * via grouped lexicographic argmin over the joined codebook (ties
+    * to the lower j — NearestCell's strict-< first-wins rule),
+    * per-subspace LUT values joined back, then summed s=0..nsub-1
+    * left-to-right ([[Pq.adcScore]]'s reduceLeft order) and floored
+    * to micros. `src` is a CTE exposing (vec_id, e) plus any `carry`
+    * columns, which ride through to the output (e.g. `cell`).
+    */
+  private def codesAdcSql(pq: Pq.PqIndex, src: String, carry: Seq[String] = Nil): String = {
+    val keys = "vec_id" +: carry
+    val k = keys.mkString(", ")
+    val srcK = keys.map("src." + _).mkString(", ")
+    val codesK = keys.map("codes." + _).mkString(", ")
+    val vdefs = pq.codebooks.indices
+      .map(s => s"max(CASE WHEN s = $s THEN val END) AS v$s").mkString(", ")
+    val sum = pq.codebooks.indices.map(s => s"v$s").mkString(" + ")
+    val outCarry = carry.map(", " + _).mkString
+    s"""scored AS (SELECT $srcK, cb.s, cb.j,
+       |        ${joinDistSql(pq.dsub, "src.e")} AS d
+       |      FROM $src src CROSS JOIN cb),
+       |codes AS (SELECT $k, s,
+       |        CAST(min([d, CAST(j AS DOUBLE)])[2] AS INT) AS code
+       |      FROM scored GROUP BY $k, s),
+       |vals AS (SELECT $codesK, codes.s, lut.val
+       |      FROM codes JOIN lut ON lut.s = codes.s AND lut.j = codes.code),
+       |pc AS (SELECT $k, $vdefs
+       |      FROM vals GROUP BY $k)
+       |SELECT vec_id, CAST(floor(($sum) * 1e6) AS BIGINT) AS adc_micros$outCarry
+       |FROM pc ORDER BY adc_micros ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
   override def queries: Seq[QueryDef] = Seq(
@@ -103,12 +152,13 @@ object PqQueries extends QueryModule {
       Oracle.deferred {
         val (idx, lut) = State.adc.getOrElse(throw new IllegalStateException(
           "PQ codebooks not recorded — run q_pq_adc before rendering its oracle"))
-        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-           |c AS (SELECT vec_id,
-           |        ${codeCols(idx, "e")}
-           |      FROM v WHERE vec_id <> 0)
-           |SELECT vec_id, ${adcMicrosSql(lut)} AS adc_micros
-           |FROM c ORDER BY adc_micros ASC, vec_id ASC LIMIT 10""".stripMargin
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |           WHERE vec_id <> 0),
+           |cb(s, j, c2, entry) AS (VALUES
+           |${codebookValuesSql(idx)}),
+           |lut(s, j, val) AS (VALUES
+           |${lutValuesSql(lut)}),
+           |${codesAdcSql(idx, "v")}""".stripMargin
       }
     ),
 
@@ -131,15 +181,20 @@ object PqQueries extends QueryModule {
       Oracle.deferred {
         val (cents, pq, lut) = State.ivfpq.getOrElse(throw new IllegalStateException(
           "IVF-PQ state not recorded — run q_ann_ivfpq before rendering its oracle"))
-        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-           |a AS (SELECT vec_id, e, ${argminSql(cents, "e")} AS cell FROM v),
-           |q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        // the 8-entry coarse argmin stays in per-row formula form
+        // (proven scale-stable by q_ann_ivf_probe at 100x); only the
+        // 256-entry code derivation needs the join form
+        s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT vec_id, e, ${argminSql(cents, "e")} AS cell FROM v0),
+           |q AS (SELECT e AS qv FROM v0 WHERE vec_id = 0),
            |p AS (SELECT ${probeListSql(cents, 2, euclidDistSql, "qv")} AS probes FROM q),
-           |c AS (SELECT a.vec_id, a.cell,
-           |        ${codeCols(pq, "a.e")}
-           |      FROM a, p WHERE a.vec_id <> 0 AND list_contains(p.probes, a.cell))
-           |SELECT vec_id, ${adcMicrosSql(lut)} AS adc_micros, cell
-           |FROM c ORDER BY adc_micros ASC, vec_id ASC LIMIT 10""".stripMargin
+           |v AS (SELECT a.vec_id, a.e, a.cell FROM a, p
+           |      WHERE a.vec_id <> 0 AND list_contains(p.probes, a.cell)),
+           |cb(s, j, c2, entry) AS (VALUES
+           |${codebookValuesSql(pq)}),
+           |lut(s, j, val) AS (VALUES
+           |${lutValuesSql(lut)}),
+           |${codesAdcSql(pq, "v", carry = Seq("cell"))}""".stripMargin
       }
     )
   )
