@@ -69,7 +69,8 @@ object Bench {
     // table (8 bytes/row instead of 256) and IVF-PQ (partition-pruned
     // + compressed). Warmup pays train + codes publish (memoized).
     "q_pq_adc",
-    "q_ann_ivfpq")
+    "q_ann_ivfpq",
+    "q_ann_ivfpq_residual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -285,15 +285,7 @@ object Pq {
   def topKPartitionedPq(spark: SparkSession, path: String, idCol: String,
       coarse: Ivf.IvfIndex, index: PqIndex, query: Array[Float], k: Int,
       nprobe: Int, pred: Column = lit(true)): DataFrame = {
-    val mp = metaPath(path)
-    val meta = graft.core.Sidecar.readProps(mp).getOrElse(throw new IllegalArgumentException(
-      s"no IVF-PQ metadata sidecar at $mp — publish with writePartitionedPq"))
-    require(meta.get("coarse").contains(coarsePrint(coarse)) &&
-        meta.get("pq").contains(pqPrint(index)),
-      s"IVF-PQ index mismatch at $path: layout published with " +
-        s"(coarse=${meta.getOrElse("coarse", "?")}, pq=${meta.getOrElse("pq", "?")}) " +
-        s"but the read uses (coarse=${coarsePrint(coarse)}, pq=${pqPrint(index)}) — " +
-        "republish after retraining instead of mixing geometries")
+    checkPqLayout(path, coarse, index, residual = false)
     val probeCells = Ivf.probeOrder(coarse, query).take(nprobe)
     val lut = adcLut(index, query)
     spark.read.parquet(path)
@@ -301,5 +293,117 @@ object Pq {
       .select(col(idCol), adcMicros(col("codes"), lut).as("adc_micros"), col("cell"))
       .orderBy(col("adc_micros").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  private def checkPqLayout(path: String, coarse: Ivf.IvfIndex, index: PqIndex,
+      residual: Boolean): Unit = {
+    val mp = metaPath(path)
+    val meta = graft.core.Sidecar.readProps(mp).getOrElse(throw new IllegalArgumentException(
+      s"no IVF-PQ metadata sidecar at $mp — publish with writePartitionedPq" +
+        (if (residual) "Residual" else "")))
+    require(meta.get("coarse").contains(coarsePrint(coarse)) &&
+        meta.get("pq").contains(pqPrint(index)),
+      s"IVF-PQ index mismatch at $path: layout published with " +
+        s"(coarse=${meta.getOrElse("coarse", "?")}, pq=${meta.getOrElse("pq", "?")}) " +
+        s"but the read uses (coarse=${coarsePrint(coarse)}, pq=${pqPrint(index)}) — " +
+        "republish after retraining instead of mixing geometries")
+    val isResidual = meta.get("residual").contains("true")
+    require(isResidual == residual,
+      s"IVF-PQ layout kind mismatch at $path: published residual=$isResidual but the read " +
+        s"expects residual=$residual — raw-vector LUTs over residual codes (or the " +
+        "reverse) score silent garbage; use the matching topKPartitionedPq variant")
+  }
+
+  // ---- residual IVF-PQ (IVFADC, Jégou TPAMI'11 §IV): encode
+  // v - centroid(cell(v)) with ONE codebook shared across cells.
+  // Residuals are centered near zero with far less spread than raw
+  // vectors, so the same ksub budget quantizes them finer — better
+  // recall at identical storage (8 bytes/row + the cell directory).
+  // The price: ADC needs a PER-PROBED-CELL lookup table (the query's
+  // residual differs per cell) — nprobe driver-side LUTs instead of 1.
+
+  /** `v - centroid[cellCol]` elementwise, in FLOAT (matches the
+    * stored element type; an engine re-deriving codes reproduces the
+    * identical rounding with float casts, which a double-precision
+    * residual here would break).
+    */
+  private def residualCol(vec: Column, cellCol: Column, coarse: Ivf.IvfIndex): Column = {
+    val cents = typedLit(coarse.centroids.map(_.toSeq).toSeq)
+    zip_with(vec, element_at(cents, cellCol + 1), (x, y) => x - y)
+  }
+
+  /** Train the shared residual codebook: [[train]] over
+    * v - centroid(cell(v)) — same deterministic bounded sample, same
+    * per-subspace Lloyd.
+    */
+  def trainResidual(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.IvfIndex, nsub: Int, ksub: Int, iters: Int = 4,
+      sampleRows: Int = 4096): PqIndex = {
+    NearestCell.register(spark)
+    val cell = Ivf.assign(col(vecCol), coarse)
+    train(spark,
+      emb.select(col(idCol), residualCol(col(vecCol), cell, coarse).as("rv")),
+      idCol, "rv", nsub, ksub, iters, sampleRows)
+  }
+
+  /** Publish (id, codes-of-residual) PARTITIONED BY coarse cell. The
+    * sidecar records `residual=true` so the non-residual reader
+    * refuses the layout (and vice versa) — scoring residual codes
+    * with raw-vector LUTs is silent garbage, the same failure class
+    * as a codebook mismatch.
+    */
+  def writePartitionedPqResidual(emb: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, path: String): Unit = {
+    register(emb.sparkSession)
+    emb.withColumn("cell", Ivf.assign(col(vecCol), coarse))
+      .select(col(idCol),
+        encode(residualCol(col(vecCol), col("cell"), coarse), index).as("codes"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    graft.core.Sidecar.writeProps(metaPath(path),
+      Seq("coarse" -> coarsePrint(coarse), "pq" -> pqPrint(index),
+        "residual" -> "true"))
+  }
+
+  /** Residual IVF-PQ search: probe-cell partition filter + ADC with a
+    * PER-CELL LUT (query residual q - centroid_c per probed cell),
+    * dispatched by a `when` chain over the ≤ nprobe probed cells —
+    * plan size O(nprobe · nsub), still one codegen'd projection.
+    */
+  def topKPartitionedPqResidual(spark: SparkSession, path: String, idCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, query: Array[Float], k: Int,
+      nprobe: Int, pred: Column = lit(true)): DataFrame = {
+    checkPqLayout(path, coarse, index, residual = true)
+    val probeCells = Ivf.probeOrder(coarse, query).take(nprobe)
+    val luts = probeCells.map { c =>
+      val cent = coarse.centroids(c)
+      c -> adcLut(index, Array.tabulate(query.length)(i => query(i) - cent(i)))
+    }
+    val score = luts.tail
+      .foldLeft(when(col("cell") === luts.head._1, adcScore(col("codes"), luts.head._2))) {
+        case (acc, (c, l)) => acc.when(col("cell") === c, adcScore(col("codes"), l))
+      }
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*) && pred)
+      .select(col(idCol),
+        floor(score * lit(1e6)).cast("long").as("adc_micros"), col("cell"))
+      .orderBy(col("adc_micros").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Mean squared reconstruction error of a (possibly residual)
+    * encoding over `emb` — the quantization-quality yardstick PqSpec
+    * uses to pin that residual coding refines plain coding on the
+    * same corpus at the same byte budget.
+    */
+  def meanReconError(emb: DataFrame, vecCol: String, index: PqIndex,
+      coarse: Option[Ivf.IvfIndex] = None): Double = {
+    register(emb.sparkSession)
+    val v = coarse match {
+      case Some(cq) => residualCol(col(vecCol), Ivf.assign(col(vecCol), cq), cq)
+      case None     => col(vecCol)
+    }
+    emb.select(reconError(v, encode(v, index), index).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
   }
 }

@@ -29,6 +29,9 @@ object PqQueries extends QueryModule {
   private object State {
     @volatile var adc: Option[(Pq.PqIndex, Array[Array[Double]])] = None
     @volatile var ivfpq: Option[(Array[Array[Float]], Pq.PqIndex, Array[Array[Double]])] = None
+    // (coarse centroids, residual codebook, per-probed-cell LUTs)
+    @volatile var ivfpqResidual: Option[(Array[Array[Float]], Pq.PqIndex,
+      Seq[(Int, Array[Array[Double]])])] = None
   }
 
   /** Train + publish the codes table once per (application, dir) —
@@ -57,6 +60,20 @@ object PqQueries extends QueryModule {
       val pq = Pq.train(s, emb, "vec_id", "embedding", NSUB, KSUB)
       val path = SessionPublish.tempDir("graft-ivfpq") + "/layout"
       Pq.writePartitionedPq(emb, "vec_id", "embedding", coarse, pq, path)
+      (coarse, pq, path)
+    }
+
+  /** Residual (IVFADC) layout: shared codebook trained on
+    * v - centroid(cell), once per (application, dir).
+    */
+  private def ivfPqResidualLayout(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Ivf.IvfIndex, Pq.PqIndex, String) =
+    SessionPublish.once(s, s"ivfpqres|$dir") {
+      val emb = Tables(s, dir).embeddings
+      val coarse = Ivf.train(s, emb, "vec_id", "embedding", nlist = 8)
+      val pq = Pq.trainResidual(s, emb, "vec_id", "embedding", coarse, NSUB, KSUB)
+      val path = SessionPublish.tempDir("graft-ivfpq-res") + "/layout"
+      Pq.writePartitionedPqResidual(emb, "vec_id", "embedding", coarse, pq, path)
       (coarse, pq, path)
     }
 
@@ -91,6 +108,24 @@ object PqQueries extends QueryModule {
       l.zipWithIndex.map { case (v, j) => s"($s, $j, ${dlit(v)})" }
     }.mkString(",\n")
 
+  /** `(cell, s, j, val)` rows — one LUT per probed cell (residual
+    * search: the query residual differs per cell).
+    */
+  private def lutValuesPerCellSql(luts: Seq[(Int, Array[Array[Double]])]): String =
+    luts.flatMap { case (cell, lut) =>
+      lut.zipWithIndex.toSeq.flatMap { case (l, s) =>
+        l.zipWithIndex.toSeq.map { case (v, j) => s"($cell, $s, $j, ${dlit(v)})" }
+      }
+    }.mkString(",\n")
+
+  /** The coarse centroid matrix as a FLOAT[][] literal — residual
+    * re-derivation must subtract in FLOAT to reproduce the Spark
+    * side's float rounding bit-for-bit.
+    */
+  private def floatMatrixSql(cents: Array[Array[Float]]): String =
+    cents.map(_.map(x => s"'${x.toDouble}'::FLOAT").mkString("[", ", ", "]"))
+      .mkString("[", ",\n", "]")
+
   /** `|entry|² - 2 · entry·subvec` for the joined codebook row: the
     * dot terms index the vector column `e` at the subspace offset
     * (`cb.s * dsub + d`), summed left-to-right — [[Pq.encode]]'s
@@ -109,7 +144,8 @@ object PqQueries extends QueryModule {
     * to micros. `src` is a CTE exposing (vec_id, e) plus any `carry`
     * columns, which ride through to the output (e.g. `cell`).
     */
-  private def codesAdcSql(pq: Pq.PqIndex, src: String, carry: Seq[String] = Nil): String = {
+  private def codesAdcSql(pq: Pq.PqIndex, src: String, carry: Seq[String] = Nil,
+      lutPerCell: Boolean = false): String = {
     val keys = "vec_id" +: carry
     val k = keys.mkString(", ")
     val srcK = keys.map("src." + _).mkString(", ")
@@ -118,6 +154,8 @@ object PqQueries extends QueryModule {
       .map(s => s"max(CASE WHEN s = $s THEN val END) AS v$s").mkString(", ")
     val sum = pq.codebooks.indices.map(s => s"v$s").mkString(" + ")
     val outCarry = carry.map(", " + _).mkString
+    val lutOn = (if (lutPerCell) "lut.cell = codes.cell AND " else "") +
+      "lut.s = codes.s AND lut.j = codes.code"
     s"""scored AS (SELECT $srcK, cb.s, cb.j,
        |        ${joinDistSql(pq.dsub, "src.e")} AS d
        |      FROM $src src CROSS JOIN cb),
@@ -125,7 +163,7 @@ object PqQueries extends QueryModule {
        |        CAST(min([d, CAST(j AS DOUBLE)])[2] AS INT) AS code
        |      FROM scored GROUP BY $k, s),
        |vals AS (SELECT $codesK, codes.s, lut.val
-       |      FROM codes JOIN lut ON lut.s = codes.s AND lut.j = codes.code),
+       |      FROM codes JOIN lut ON $lutOn),
        |pc AS (SELECT $k, $vdefs
        |      FROM vals GROUP BY $k)
        |SELECT vec_id, CAST(floor(($sum) * 1e6) AS BIGINT) AS adc_micros$outCarry
@@ -195,6 +233,48 @@ object PqQueries extends QueryModule {
            |lut(s, j, val) AS (VALUES
            |${lutValuesSql(lut)}),
            |${codesAdcSql(pq, "v", carry = Seq("cell"))}""".stripMargin
+      }
+    ),
+
+    // ---- residual IVF-PQ (IVFADC): codes of v - centroid(cell),
+    // ONE shared codebook, per-probed-cell query LUTs ----
+    // The recall refinement over q_ann_ivfpq at the same byte budget
+    // (PqSpec pins the reconstruction-error inequality). The oracle
+    // re-derives the residual IN FLOAT (matching the stored element
+    // type's rounding), codes via the streamed join argmin, and the
+    // score through the per-cell LUT join.
+    QueryDef(
+      "q_ann_ivfpq_residual",
+      s"residual IVF-PQ top-10: probe 2/8 cells, shared residual codebook, per-cell LUTs",
+      (s, dir) => {
+        val (coarse, pq, path) = ivfPqResidualLayout(s, dir)
+        val q = queryVec(s, dir)
+        val probes = Ivf.probeOrder(coarse, q).take(2)
+        State.ivfpqResidual = Some((coarse.centroids, pq,
+          probes.map { c =>
+            val cent = coarse.centroids(c)
+            c -> Pq.adcLut(pq, Array.tabulate(q.length)(i => q(i) - cent(i)))
+          }))
+        Pq.topKPartitionedPqResidual(s, path, "vec_id", coarse, pq, q, k = 10,
+          nprobe = 2, pred = col("vec_id") =!= 0L)
+      },
+      Oracle.deferred {
+        val (cents, pq, luts) = State.ivfpqResidual.getOrElse(throw new IllegalStateException(
+          "residual IVF-PQ state not recorded — run q_ann_ivfpq_residual before its oracle"))
+        s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT vec_id, e, ${argminSql(cents, "e")} AS cell FROM v0),
+           |q AS (SELECT e AS qv FROM v0 WHERE vec_id = 0),
+           |p AS (SELECT ${probeListSql(cents, 2, euclidDistSql, "qv")} AS probes FROM q),
+           |cm AS (SELECT ${floatMatrixSql(cents)} AS m),
+           |v AS (SELECT a.vec_id, a.cell,
+           |        list_transform(range(1, ${pq.dim + 1}),
+           |          i -> CAST(CAST(a.e[i] AS FLOAT) - cm.m[a.cell + 1][i] AS DOUBLE)) AS e
+           |      FROM a, p, cm WHERE a.vec_id <> 0 AND list_contains(p.probes, a.cell)),
+           |cb(s, j, c2, entry) AS (VALUES
+           |${codebookValuesSql(pq)}),
+           |lut(cell, s, j, val) AS (VALUES
+           |${lutValuesPerCellSql(luts)}),
+           |${codesAdcSql(pq, "v", carry = Seq("cell"), lutPerCell = true)}""".stripMargin
       }
     )
   )

@@ -90,6 +90,58 @@ class PqSpec extends GraftSuite {
       "expected codes above 127 on the real corpus")
   }
 
+  test("residual coding refines plain coding; per-cell LUT dispatch scores exactly; kind guards hold") {
+    Pq.register(spark)
+    val emb = graft.sources.Tables(spark, sf001).embeddings
+    val coarse = graft.pipeline.Ivf.train(spark, emb, "vec_id", "embedding", nlist = 4)
+    val plain = Pq.train(spark, emb, "vec_id", "embedding", nsub = 8, ksub = 64)
+    val resid = Pq.trainResidual(spark, emb, "vec_id", "embedding", coarse, nsub = 8, ksub = 64)
+
+    // the classic IVFADC claim, pinned on this corpus: residuals are
+    // tighter than raw vectors, so the same byte budget reconstructs
+    // them better (deterministic — training and data are fixed)
+    val ePlain = Pq.meanReconError(emb, "embedding", plain)
+    val eResid = Pq.meanReconError(emb, "embedding", resid, Some(coarse))
+    assert(eResid < ePlain,
+      s"residual coding must refine plain coding: $eResid !< $ePlain")
+
+    val layout = java.nio.file.Files.createTempDirectory("ivfpq-res").toString + "/layout"
+    Pq.writePartitionedPqResidual(emb, "vec_id", "embedding", coarse, resid, layout)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    // per-cell LUT dispatch: probing ALL cells with k = corpus, every
+    // row's micro score must equal the driver-side sum of its own
+    // cell's LUT entries over its stored codes
+    val n = emb.count().toInt
+    val got = Pq.topKPartitionedPqResidual(spark, layout, "vec_id", coarse, resid,
+        q, k = n, nprobe = coarse.nlist)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val luts = coarse.centroids.indices.map { c =>
+      c -> Pq.adcLut(resid, Array.tabulate(q.length)(i => q(i) - coarse.centroids(c)(i)))
+    }.toMap
+    val stored = spark.read.parquet(layout)
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1).map(_ & 0xFF), r.getInt(2)))
+    assert(stored.nonEmpty)
+    stored.foreach { case (id, codes, cell) =>
+      val adc = codes.zipWithIndex.map { case (code, s) => luts(cell)(s)(code) }.reduceLeft(_ + _)
+      val want = math.floor(adc * 1e6).toLong
+      assert(got(id) == (want, cell),
+        s"vec $id (cell $cell): got ${got(id)}, want ($want, $cell)")
+    }
+
+    // kind guards: a residual layout refuses the raw reader and a raw
+    // layout refuses the residual reader — silent-garbage class
+    intercept[IllegalArgumentException] {
+      Pq.topKPartitionedPq(spark, layout, "vec_id", coarse, resid, q, 10, 2)
+    }
+    val rawLayout = java.nio.file.Files.createTempDirectory("ivfpq-raw").toString + "/layout"
+    Pq.writePartitionedPq(emb, "vec_id", "embedding", coarse, plain, rawLayout)
+    intercept[IllegalArgumentException] {
+      Pq.topKPartitionedPqResidual(spark, rawLayout, "vec_id", coarse, plain, q, 10, 2)
+    }
+  }
+
   test("rerank with candidates >= corpus size is exactly the brute-force cosine top-k") {
     val emb = graft.sources.Tables(spark, sf001).embeddings
     val idx = Pq.train(spark, emb, "vec_id", "embedding", nsub = 8, ksub = 256)
