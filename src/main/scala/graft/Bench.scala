@@ -70,7 +70,13 @@ object Bench {
     // + compressed). Warmup pays train + codes publish (memoized).
     "q_pq_adc",
     "q_ann_ivfpq",
-    "q_ann_ivfpq_residual")
+    "q_ann_ivfpq_residual",
+    // round 8: id-level deletes — the probed read paying the tombstone
+    // broadcast anti-join (warmup pays publish + tombstone write,
+    // memoized); its compacted twin measures the rewritten layout
+    // where the join is gone and files are coalesced
+    "q_ann_ivf_delete",
+    "q_ann_ivf_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

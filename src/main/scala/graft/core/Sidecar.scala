@@ -87,6 +87,21 @@ object Sidecar {
     else fs.listStatus(p).map(_.getPath.getName).toSeq
   }
 
+  /** Atomic directory rename (mkdirs the destination's parent first).
+    * The unit of all-or-nothing visibility for multi-file artifacts: a
+    * writer stages a whole directory invisibly, then renames it into
+    * the watched location in one filesystem operation (atomic on HDFS
+    * and POSIX; object-store semantics are the committer's problem,
+    * same as every other rename in this file).
+    */
+  def renameDir(srcDir: String, dstDir: String): Unit = {
+    val (fs, src) = fsFor(srcDir)
+    val dst = new Path(dstDir)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"directory rename $srcDir -> $dstDir failed")
+  }
+
   /** Move every data file under `srcDir`'s immediate subdirectories
     * into the same-named subdirectory of `dstDir` (creating it),
     * skipping committer artifacts (`_SUCCESS`, hidden files). Each

@@ -275,6 +275,55 @@ object Ivf {
   def promoteStaged(layoutPath: String, stagingPath: String): Unit =
     graft.core.Sidecar.promoteTree(stagingPath, layoutPath)
 
+  /** Compact a cell-partitioned layout (raw-vector OR PQ-codes — the
+    * mechanics only need the `cell` partition column and an id) into a
+    * FRESH layout at `dstPath`: apply tombstones so deleted rows are
+    * physically purged, coalesce the per-cell small files that
+    * streaming appends accumulate, and carry the layout's metadata
+    * over — the defrag half of the tombstone story, and the analog of
+    * [[graft.operators.Mvcc]] compaction / the reference's defrag
+    * intent for its leaked-bytes delete (API.hs:432-444 TODO).
+    *
+    * Shape at 100 TB: ONE shuffle keyed by `cell` co-locates each
+    * cell's rows in a single task (parallelism = min(nlist, shuffle
+    * partitions); nlist ≈ √N is in the thousands at scale), and
+    * `maxRecordsPerFile` re-splits oversized cells — so per-cell file
+    * count drops from O(appended batches) to
+    * O(cellRows / maxRecordsPerFile) without any driver-side file
+    * listing or per-cell loop. No collect anywhere.
+    *
+    * Metadata carried to `dstPath`: the geometry sidecar (IVF or
+    * IVF-PQ — whichever the source has, fingerprint intact, so reader
+    * guards keep working), and the streaming append markers (the
+    * compacted data CONTAINS those batches; losing the markers would
+    * make a restarted stream re-append them). Tombstones are NOT
+    * carried: their rows no longer exist. The source layout is left
+    * untouched — the caller flips readers to `dstPath` and retires the
+    * source, the same publish-then-swap pattern as the snapshot
+    * manifest (atomic for readers where an in-place rewrite could
+    * never be).
+    */
+  def compactPartitioned(spark: SparkSession, srcPath: String, dstPath: String,
+      idCol: String, maxRecordsPerFile: Long = 1L << 22): Unit = {
+    val live = Tombstones.applyTo(spark.read.parquet(srcPath), srcPath, idCol)
+    live.repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cell").parquet(dstPath)
+    // geometry sidecars (either kind, plus the legacy bare fingerprint)
+    Seq("_ivf_meta.properties", "_ivfpq_meta.properties", "_ivf_centroids.sha")
+      .foreach { name =>
+        graft.core.Sidecar.readString(s"$srcPath/$name")
+          .foreach(graft.core.Sidecar.writeString(s"$dstPath/$name", _))
+      }
+    // streaming append markers: per-key files + the legacy line file
+    graft.core.Sidecar.listNames(s"$srcPath/_ivf_applied").foreach { key =>
+      graft.core.Sidecar.writeString(s"$dstPath/_ivf_applied/$key", "")
+    }
+    graft.core.Sidecar.readString(s"$srcPath/_ivf_applied_batches")
+      .foreach(graft.core.Sidecar.writeString(s"$dstPath/_ivf_applied_batches", _))
+  }
+
   /** Search over a published cell-partitioned corpus. The probe-cell
     * filter is a PARTITION filter — only the probed directories are
     * listed and read (IvfSpec pins selectedPartitions == nprobe) — and
@@ -286,8 +335,9 @@ object Ivf {
       pred: Column = lit(true)): DataFrame = {
     graft.functions.CosineSim.register(spark)
     val probeCells = probeOrder(index, query).take(nprobe)
-    spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*) && pred)
+    Tombstones.applyTo(
+      spark.read.parquet(path).filter(col("cell").isin(probeCells: _*) && pred),
+      path, idCol)
       .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
@@ -357,7 +407,8 @@ object Ivf {
     val qcells = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
       explode(graft.functions.NearestCells.col(col(qVecCol), index.centroids, np)).as("cell"))
     val wanted = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(path).filter(col("cell").isin(wanted: _*))
+    val corpus = Tombstones.applyTo(
+      spark.read.parquet(path).filter(col("cell").isin(wanted: _*)), path, idCol)
     val scored = corpus.join(broadcast(qcells), Seq("cell"))
       .filter(pairFilter)
       .select(col("q_id"), col(idCol),

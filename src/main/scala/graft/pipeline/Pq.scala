@@ -288,8 +288,9 @@ object Pq {
     checkPqLayout(path, coarse, index, residual = false)
     val probeCells = Ivf.probeOrder(coarse, query).take(nprobe)
     val lut = adcLut(index, query)
-    spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*) && pred)
+    Tombstones.applyTo(
+      spark.read.parquet(path).filter(col("cell").isin(probeCells: _*) && pred),
+      path, idCol)
       .select(col(idCol), adcMicros(col("codes"), lut).as("adc_micros"), col("cell"))
       .orderBy(col("adc_micros").asc, col(idCol).asc)
       .limit(k)
@@ -383,8 +384,9 @@ object Pq {
       .foldLeft(when(col("cell") === luts.head._1, adcScore(col("codes"), luts.head._2))) {
         case (acc, (c, l)) => acc.when(col("cell") === c, adcScore(col("codes"), l))
       }
-    spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*) && pred)
+    Tombstones.applyTo(
+      spark.read.parquet(path).filter(col("cell").isin(probeCells: _*) && pred),
+      path, idCol)
       .select(col(idCol),
         floor(score * lit(1e6)).cast("long").as("adc_micros"), col("cell"))
       .orderBy(col("adc_micros").asc, col(idCol).asc)

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sidecar
+
+/** Id-level DELETES for published ANN layouts (IVF raw vectors,
+  * IVF-PQ codes, residual codes — anything cell-partitioned with an
+  * id column). The layouts are append-forever artifacts; a real
+  * corpus additionally needs takedowns and contamination removal, and
+  * rewriting a 100 TB layout per delete request is not an option. So
+  * deletes are TOMBSTONES — the same move the reference makes at row
+  * scale, where `deleteObject`/`deleteRelation` flag records dead and
+  * leave the bytes for a later defrag (HGraphStorage API.hs:432-444;
+  * the MVCC analog is [[graft.operators.Mvcc.deleteRecord]]):
+  *
+  *  - [[delete]] stages a single-column id batch invisibly and makes
+  *    it visible with ONE atomic directory rename into
+  *    `layout/_tombstones/` — a crash mid-write leaves only staging,
+  *    never a half-readable batch;
+  *  - every layout read path ([[Ivf.topKPartitioned]],
+  *    [[Ivf.topKBatch]], [[Pq.topKPartitionedPq]] and its residual
+  *    twin) routes through [[applyTo]]: a broadcast ANTI join against
+  *    the union of tombstone batches. Tombstone cardinality is
+  *    takedown-list-sized — MBs against a corpus of TBs — so the join
+  *    never shuffles the corpus; with NO tombstones the plan is
+  *    byte-identical to the pre-delete plan (no join node at all,
+  *    TombstoneSpec pins it);
+  *  - [[Ivf.compactPartitioned]] is the defrag: it rewrites live rows
+  *    only into a fresh layout (which therefore starts with an empty
+  *    tombstone set) and coalesces the small files streaming appends
+  *    accumulate.
+  *
+  * Semantics: a tombstone hides the ID — rows already in the layout
+  * AND rows appended later under the same id — until compaction
+  * purges both the rows and the tombstones. (Append-after-delete
+  * therefore stays hidden before compaction and becomes a normal
+  * visible id after it; re-using ids for distinct content is the
+  * caller's bug, same as the reference's ID-reuse discipline.)
+  *
+  * Underscore-prefixed directories are invisible to Spark's parquet
+  * reads, so tombstones and staging never pollute the layout scan.
+  * All metadata I/O goes through [[graft.core.Sidecar]] (Hadoop
+  * FileSystem API) — hdfs:// / s3a:// layouts delete like file:.
+  */
+object Tombstones {
+
+  private[pipeline] def tombDir(layout: String) = s"$layout/_tombstones"
+  private def stagingRoot(layout: String) = s"$layout/_tombstones_staging"
+
+  /** Record `ids` as deleted in the layout at `layoutPath`. Returns
+    * the number of distinct ids tombstoned. The batch lands as one
+    * parquet file (takedown lists are small; a genuinely huge delete
+    * can be split into several calls) staged under a hidden dir and
+    * atomically renamed into `_tombstones/` — readers see the whole
+    * batch or none of it.
+    */
+  def delete(layoutPath: String, ids: DataFrame, idCol: String): Long = {
+    val batch = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val n = batch.count()
+    if (n > 0) {
+      val name = java.util.UUID.randomUUID().toString.take(12)
+      val staging = s"${stagingRoot(layoutPath)}/$name"
+      batch.coalesce(1).write.mode("overwrite").parquet(staging)
+      Sidecar.renameDir(staging, s"${tombDir(layoutPath)}/$name")
+      Sidecar.delete(stagingRoot(layoutPath), recursive = true)
+    }
+    n
+  }
+
+  /** The layout's deleted-id set as a single-column (`id` LONG) frame,
+    * or None when no tombstone batch exists (the common case — callers
+    * skip the join entirely, leaving the scan plan untouched).
+    */
+  def ids(spark: SparkSession, layoutPath: String): Option[DataFrame] = {
+    val dir = tombDir(layoutPath)
+    if (Sidecar.listNames(dir).isEmpty) None
+    else Some(spark.read.option("recursiveFileLookup", "true").parquet(dir))
+  }
+
+  /** Hide tombstoned ids from a layout read: broadcast anti join when
+    * tombstones exist, the untouched frame when they don't.
+    */
+  def applyTo(df: DataFrame, layoutPath: String, idCol: String): DataFrame =
+    ids(df.sparkSession, layoutPath) match {
+      case None     => df
+      case Some(ts) => df.join(broadcast(ts), df(idCol) === ts("id"), "left_anti")
+    }
+
+  /** Drop every tombstone batch — an escape hatch for un-deleting
+    * before any compaction ran ([[Ivf.compactPartitioned]] itself
+    * never needs this: it writes live rows to a fresh layout, which
+    * starts tombstone-free).
+    */
+  def clear(layoutPath: String): Unit =
+    Sidecar.delete(tombDir(layoutPath), recursive = true)
+}

@@ -71,6 +71,27 @@ object SimilarityQueries extends QueryModule {
       (idx, path)
     }
 
+  /** Delete + compaction layout: publish the full corpus, tombstone
+    * vec_id % 7 == 3 (never 0, the query vector), then compact into a
+    * FRESH layout — once per (application, dir). The delete gate reads
+    * the tombstoned layout (anti-join path); the compact gate reads
+    * the rewritten one (rows physically purged, no join) — same
+    * oracle, two different mechanisms producing it.
+    */
+  private def ivfDeleteLayout(s: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int): (graft.pipeline.Ivf.IvfIndex, String, String) =
+    SessionPublish.once(s, s"ivfdel|$dir|$nlist") {
+      val emb  = Tables(s, dir).embeddings
+      val idx  = graft.pipeline.Ivf.train(s, emb, "vec_id", "embedding", nlist)
+      val path = SessionPublish.tempDir("graft-ivf-del")
+      graft.pipeline.Ivf.writePartitioned(emb, "embedding", idx, path)
+      graft.pipeline.Tombstones.delete(path,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      val compacted = SessionPublish.tempDir("graft-ivf-compact")
+      graft.pipeline.Ivf.compactPartitioned(s, path, compacted, "vec_id")
+      (idx, path, compacted)
+    }
+
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Array[Float] =
     Tables(s, dir).embeddings.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -390,6 +411,53 @@ object SimilarityQueries extends QueryModule {
              |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
              |   sqrt(list_dot_product(qv, qv))), 6) AS cos
              |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ---- id-level DELETES over the published layout (tombstones) ----
+    // nprobe = nlist ≡ brute force over the SURVIVING corpus, so the
+    // oracle is plain SQL minus the deleted ids — the anti-join read
+    // path must hide exactly the tombstoned set. TombstoneSpec pins
+    // the mechanics (atomic batch visibility, append-after-delete,
+    // join-free plan when no tombstones exist).
+    QueryDef(
+      "q_ann_ivf_delete",
+      "IVF top-10 after tombstoning vec_id%7=3 in the published layout (anti-join read)",
+      (s, dir) => {
+        val (idx, path, _) = ivfDeleteLayout(s, dir, nlist = 8)
+        graft.pipeline.Ivf.topKPartitioned(s, path, "vec_id", "embedding",
+          idx, queryVec(s, dir), k = 10, nprobe = idx.nlist,
+          pred = col("vec_id") =!= 0L)
+          .drop("cell")
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /
+             |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |FROM embeddings, q WHERE vec_id <> 0 AND vec_id % 7 <> 3
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ---- compaction of the tombstoned layout ----
+    // Same oracle as the delete gate, but the layout was REWRITTEN:
+    // deleted rows physically purged, per-cell files coalesced, the
+    // geometry sidecar carried (the guarded read path still verifies
+    // fingerprints), and no anti join left in the plan.
+    QueryDef(
+      "q_ann_ivf_compact",
+      "IVF top-10 over the compacted layout (deleted rows purged, files coalesced)",
+      (s, dir) => {
+        val (idx, _, compacted) = ivfDeleteLayout(s, dir, nlist = 8)
+        graft.pipeline.Ivf.topKPartitioned(s, compacted, "vec_id", "embedding",
+          idx, queryVec(s, dir), k = 10, nprobe = idx.nlist,
+          pred = col("vec_id") =!= 0L)
+          .drop("cell")
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /
+             |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |FROM embeddings, q WHERE vec_id <> 0 AND vec_id % 7 <> 3
              |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
     ),
 
