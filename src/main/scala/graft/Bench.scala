@@ -76,7 +76,10 @@ object Bench {
     // memoized); its compacted twin measures the rewritten layout
     // where the join is gone and files are coalesced
     "q_ann_ivf_delete",
-    "q_ann_ivf_compact")
+    "q_ann_ivf_compact",
+    // round 8: batch ADC kNN join — every query answered in one job
+    // over 8-byte codes; LUTs ride the broadcast as columns
+    "q_ann_pq_topk_batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -315,6 +315,85 @@ object Pq {
         "reverse) score silent garbage; use the matching topKPartitionedPq variant")
   }
 
+  /** Batch ADC kNN JOIN — [[Ivf.topKBatch]]'s shape over the
+    * compressed layout: top-k ADC neighbors for EVERY query of a set
+    * in one job against a cell-partitioned CODES table. The two scale
+    * levers compose per query: the corpus scan reads only the union
+    * of probed cell directories, and inside them 8-byte codes instead
+    * of raw vectors (32× at dim 64).
+    *
+    * The driver-literal LUT of [[topKAdc]] does not exist here — the
+    * query set is DATA — so each query row computes its own
+    * nsub×ksub LUT ONCE via [[graft.functions.PqLut]] (one plan node;
+    * O(dim·ksub) flops per query row) and carries it through the
+    * broadcast. Scoring each (corpus row, query) pair is then nsub
+    * `element_at` lookups + adds, identical arithmetic to the
+    * driver-LUT form (PqBatchSpec pins batch ≡ per-query [[topKAdc]]
+    * at nprobe = nlist). The only shuffle ranks narrow
+    * (q_id, id, adc_micros) triples — codes and LUTs never shuffle;
+    * query sets above broadcast budget slab exactly like
+    * [[Ivf.topKBatchSlabbed]]. Tombstoned ids are hidden.
+    */
+  def topKBatchAdc(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, k: Int, nprobe: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    checkPqLayout(path, coarse, index, residual = false)
+    batchAdc(spark, path, queries, qIdCol, qVecCol, idCol, coarse, index,
+      k, nprobe, pairFilter, residual = false)
+  }
+
+  /** [[topKBatchAdc]] over a RESIDUAL layout: the LUT is per
+    * (query, probed cell) — built from the query's residual against
+    * that cell's centroid — so it is computed on the exploded
+    * (query × probe-cell) frame instead of once per query:
+    * nprobe LUTs per query, still one [[graft.functions.PqLut]] node,
+    * and the per-cell dispatch of [[topKPartitionedPqResidual]]'s
+    * `when` chain disappears — each broadcast row already carries
+    * exactly its cell's LUT.
+    */
+  def topKBatchAdcResidual(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, k: Int, nprobe: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    checkPqLayout(path, coarse, index, residual = true)
+    batchAdc(spark, path, queries, qIdCol, qVecCol, idCol, coarse, index,
+      k, nprobe, pairFilter, residual = true)
+  }
+
+  private def batchAdc(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, k: Int, nprobe: Int,
+      pairFilter: Column, residual: Boolean): DataFrame = {
+    graft.functions.NearestCells.register(spark)
+    graft.functions.PqLut.register(spark)
+    val np = math.min(nprobe, coarse.nlist)
+    val exploded = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
+      explode(graft.functions.NearestCells.col(col(qVecCol), coarse.centroids, np)).as("cell"))
+    val qcells =
+      if (residual)
+        // per-(query, cell) LUT over the residual q - centroid(cell)
+        exploded.select(col("q_id"), col("cell"),
+          graft.functions.PqLut.col(
+            residualCol(col("q_vec"), col("cell"), coarse), index.codebooks).as("q_lut"))
+      else
+        exploded.select(col("q_id"), col("cell"),
+          graft.functions.PqLut.col(col("q_vec"), index.codebooks).as("q_lut"))
+    val wanted = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = Tombstones.applyTo(
+      spark.read.parquet(path).filter(col("cell").isin(wanted: _*)), path, idCol)
+    val score = (0 until index.nsub)
+      .map(s => element_at(element_at(col("q_lut"), s + 1), codeAt(col("codes"), s) + 1))
+      .reduceLeft(_ + _)
+    val scored = corpus.join(broadcast(qcells), Seq("cell"))
+      .filter(pairFilter)
+      .select(col("q_id"), col(idCol),
+        floor(score * lit(1e6)).cast("long").as("adc_micros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc_micros").asc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
   // ---- residual IVF-PQ (IVFADC, Jégou TPAMI'11 §IV): encode
   // v - centroid(cell(v)) with ONE codebook shared across cells.
   // Residuals are centered near zero with far less spread than raw

@@ -32,6 +32,8 @@ object PqQueries extends QueryModule {
     // (coarse centroids, residual codebook, per-probed-cell LUTs)
     @volatile var ivfpqResidual: Option[(Array[Array[Float]], Pq.PqIndex,
       Seq[(Int, Array[Array[Double]])])] = None
+    // (codebooks, per-query-id LUTs) for the batch ADC join gate
+    @volatile var batch: Option[(Pq.PqIndex, Seq[(Long, Array[Array[Double]])])] = None
   }
 
   /** Train + publish the codes table once per (application, dir) —
@@ -106,6 +108,18 @@ object PqQueries extends QueryModule {
   private def lutValuesSql(lut: Array[Array[Double]]): String =
     lut.zipWithIndex.flatMap { case (l, s) =>
       l.zipWithIndex.map { case (v, j) => s"($s, $j, ${dlit(v)})" }
+    }.mkString(",\n")
+
+  /** `(q_id, s, j, val)` rows — one LUT per QUERY of the batch join
+    * gate (the column form computed by [[graft.functions.PqLut]] is
+    * bit-for-bit [[Pq.adcLut]], PqBatchSpec-pinned, so the driver
+    * re-derivation is the exact literal).
+    */
+  private def lutValuesPerQuerySql(luts: Seq[(Long, Array[Array[Double]])]): String =
+    luts.flatMap { case (qId, lut) =>
+      lut.zipWithIndex.toSeq.flatMap { case (l, s) =>
+        l.zipWithIndex.toSeq.map { case (v, j) => s"($qId, $s, $j, ${dlit(v)})" }
+      }
     }.mkString(",\n")
 
   /** `(cell, s, j, val)` rows — one LUT per probed cell (residual
@@ -233,6 +247,61 @@ object PqQueries extends QueryModule {
            |lut(s, j, val) AS (VALUES
            |${lutValuesSql(lut)}),
            |${codesAdcSql(pq, "v", carry = Seq("cell"))}""".stripMargin
+      }
+    ),
+
+    // ---- batch ADC kNN JOIN over the partitioned codes layout ----
+    // Every query of a set answered in one job: per-query LUTs ride
+    // the broadcast as COLUMNS (PqLut — bit-for-bit the driver LUT,
+    // PqBatchSpec-pinned), scoring is element_at lookups over 8-byte
+    // codes. nprobe = nlist makes it provably per-query full-corpus
+    // ADC, so the oracle re-derives each vector's codes ONCE (shared
+    // across queries — the same streamed argmin as q_pq_adc) and
+    // scores them against each recorded per-query LUT, ranked per
+    // query. The partial-probe and residual twins are pinned against
+    // their per-query searches in PqBatchSpec.
+    QueryDef(
+      "q_ann_pq_topk_batch",
+      s"batch ADC top-10 for queries vec_id<3 over the IVF-PQ layout (probe-all)",
+      (s, dir) => {
+        val (coarse, pq, path) = ivfPqLayout(s, dir)
+        val emb = Tables(s, dir).embeddings
+        val qs = emb.filter(col("vec_id") < 3)
+        State.batch = Some((pq,
+          qs.select(col("vec_id"), col("embedding")).collect().toSeq
+            .map(r => r.getLong(0) -> Pq.adcLut(pq, r.getSeq[Float](1).toArray))
+            .sortBy(_._1)))
+        Pq.topKBatchAdc(s, path, qs, "vec_id", "embedding", "vec_id",
+          coarse, pq, k = 10, nprobe = coarse.nlist,
+          pairFilter = col("q_id") =!= col("vec_id"))
+      },
+      Oracle.deferred {
+        val (pq, luts) = State.batch.getOrElse(throw new IllegalStateException(
+          "batch ADC state not recorded — run q_ann_pq_topk_batch before its oracle"))
+        val vdefs = pq.codebooks.indices
+          .map(s => s"max(CASE WHEN s = $s THEN val END) AS v$s").mkString(", ")
+        val sum = pq.codebooks.indices.map(s => s"v$s").mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cb(s, j, c2, entry) AS (VALUES
+           |${codebookValuesSql(pq)}),
+           |lut(q_id, s, j, val) AS (VALUES
+           |${lutValuesPerQuerySql(luts)}),
+           |scored AS (SELECT src.vec_id, cb.s, cb.j,
+           |        ${joinDistSql(pq.dsub, "src.e")} AS d
+           |      FROM v src CROSS JOIN cb),
+           |codes AS (SELECT vec_id, s,
+           |        CAST(min([d, CAST(j AS DOUBLE)])[2] AS INT) AS code
+           |      FROM scored GROUP BY vec_id, s),
+           |vals AS (SELECT l.q_id, c.vec_id, c.s, l.val
+           |      FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+           |      WHERE c.vec_id <> l.q_id),
+           |pc AS (SELECT q_id, vec_id, $vdefs FROM vals GROUP BY q_id, vec_id),
+           |sc AS (SELECT q_id, vec_id,
+           |        CAST(floor(($sum) * 1e6) AS BIGINT) AS adc_micros FROM pc),
+           |rk AS (SELECT q_id, vec_id, adc_micros, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY adc_micros ASC, vec_id ASC) AS r FROM sc)
+           |SELECT CAST(q_id AS BIGINT) AS q_id, vec_id, adc_micros
+           |FROM rk WHERE r <= 10 ORDER BY q_id, adc_micros, vec_id""".stripMargin
       }
     ),
 
