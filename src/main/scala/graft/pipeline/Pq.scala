@@ -274,7 +274,11 @@ object Pq {
         Ivf.assign(col(vecCol), coarse).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     graft.core.Sidecar.writeProps(metaPath(path),
-      Seq("coarse" -> coarsePrint(coarse), "pq" -> pqPrint(index)))
+      Seq("coarse" -> coarsePrint(coarse), "pq" -> pqPrint(index),
+        // publish-time quantization quality: the drift baseline
+        // appended batches are judged against (one extra encode scan —
+        // publish cost, like IVF's mean_dist)
+        "mean_recon" -> meanReconError(emb, vecCol, index).toString))
   }
 
   /** IVF-PQ search: probe-cell PARTITION filter (file pruning, exactly
@@ -297,7 +301,7 @@ object Pq {
   }
 
   private def checkPqLayout(path: String, coarse: Ivf.IvfIndex, index: PqIndex,
-      residual: Boolean): Unit = {
+      residual: Boolean): Map[String, String] = {
     val mp = metaPath(path)
     val meta = graft.core.Sidecar.readProps(mp).getOrElse(throw new IllegalArgumentException(
       s"no IVF-PQ metadata sidecar at $mp — publish with writePartitionedPq" +
@@ -313,6 +317,7 @@ object Pq {
       s"IVF-PQ layout kind mismatch at $path: published residual=$isResidual but the read " +
         s"expects residual=$residual — raw-vector LUTs over residual codes (or the " +
         "reverse) score silent garbage; use the matching topKPartitionedPq variant")
+    meta
   }
 
   /** Batch ADC kNN JOIN — [[Ivf.topKBatch]]'s shape over the
@@ -442,7 +447,69 @@ object Pq {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     graft.core.Sidecar.writeProps(metaPath(path),
       Seq("coarse" -> coarsePrint(coarse), "pq" -> pqPrint(index),
-        "residual" -> "true"))
+        "residual" -> "true",
+        "mean_recon" -> meanReconError(emb, vecCol, index, Some(coarse)).toString))
+  }
+
+  // ---- incremental ingestion for the compressed tier: append a
+  // batch's codes into the published cell directories with FROZEN
+  // coarse centroids AND codebooks — O(batch) work, the PQ leg of the
+  // same story as Ivf.appendPartitioned / the band-index append. The
+  // drift signal here is QUANTIZATION quality: the batch's mean
+  // squared reconstruction error against the publish-time baseline.
+  // Stale codebooks show up as rising recon error (ADC scores degrade
+  // smoothly, so nothing errors — this ratio is the retrain trigger).
+
+  /** Drift report for PQ appends: how well the frozen codebooks
+    * quantize the batch, relative to the corpus they were trained on.
+    */
+  final case class PqDrift(baseMeanRecon: Double, batchMeanRecon: Double) {
+    def ratio: Double =
+      if (baseMeanRecon > 0) batchMeanRecon / baseMeanRecon
+      else if (batchMeanRecon > 0) Double.PositiveInfinity else 1.0
+    def drifted(threshold: Double = 1.5): Boolean = ratio > threshold
+  }
+
+  private def driftOf(meta: Map[String, String], batchMean: Double): PqDrift =
+    // layouts published before the baseline existed: judge against the
+    // batch's own mean (ratio 1) — republish to get a real baseline
+    PqDrift(meta.get("mean_recon").map(_.toDouble).getOrElse(batchMean), batchMean)
+
+  /** Append a batch to a published IVF-PQ layout (geometry + kind
+    * verified against the sidecar). Codes are deterministic in the
+    * frozen indexes, so the appended layout is row-identical to a
+    * fresh publish of base ∪ batch (PqAppendSpec pins search-result
+    * equality). Returns the quantization-drift report.
+    */
+  def appendPartitionedPq(newEmb: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, path: String,
+      residual: Boolean = false): PqDrift = {
+    val meta = checkPqLayout(path, coarse, index, residual)
+    encoded(newEmb, idCol, vecCol, coarse, index, residual)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    driftOf(meta, meanReconError(newEmb, vecCol, index, if (residual) Some(coarse) else None))
+  }
+
+  /** Transactional half of [[appendPartitionedPq]]: stage the batch's
+    * cell-partitioned code files invisibly; [[Ivf.promoteStaged]]
+    * moves them live — the same marker-between protocol
+    * [[graft.streaming.AnnStream]] builds exactly-once appends on.
+    */
+  def stagePartitionedPq(newEmb: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, layoutPath: String,
+      stagingPath: String, residual: Boolean = false): PqDrift = {
+    val meta = checkPqLayout(layoutPath, coarse, index, residual)
+    encoded(newEmb, idCol, vecCol, coarse, index, residual)
+      .write.mode("overwrite").partitionBy("cell").parquet(stagingPath)
+    driftOf(meta, meanReconError(newEmb, vecCol, index, if (residual) Some(coarse) else None))
+  }
+
+  private def encoded(emb: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, residual: Boolean): DataFrame = {
+    register(emb.sparkSession)
+    val withCell = emb.withColumn("cell", Ivf.assign(col(vecCol), coarse))
+    val v = if (residual) residualCol(col(vecCol), col("cell"), coarse) else col(vecCol)
+    withCell.select(col(idCol), encode(v, index).as("codes"), col("cell"))
   }
 
   /** Residual IVF-PQ search: probe-cell partition filter + ADC with a

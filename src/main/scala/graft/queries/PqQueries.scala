@@ -34,6 +34,9 @@ object PqQueries extends QueryModule {
       Seq[(Int, Array[Array[Double]])])] = None
     // (codebooks, per-query-id LUTs) for the batch ADC join gate
     @volatile var batch: Option[(Pq.PqIndex, Seq[(Long, Array[Array[Double]])])] = None
+    // (coarse centroids, base-trained codebooks, LUT) for the
+    // incremental-append gate
+    @volatile var ivfpqInc: Option[(Array[Array[Float]], Pq.PqIndex, Array[Array[Double]])] = None
   }
 
   /** Train + publish the codes table once per (application, dir) —
@@ -77,6 +80,25 @@ object PqQueries extends QueryModule {
       val path = SessionPublish.tempDir("graft-ivfpq-res") + "/layout"
       Pq.writePartitionedPqResidual(emb, "vec_id", "embedding", coarse, pq, path)
       (coarse, pq, path)
+    }
+
+  /** Incremental-ingestion layout for the compressed tier: train +
+    * publish on the BASE corpus (vec_id % 5 != 0 besides the query
+    * vector), then APPEND the batch's codes with the frozen indexes —
+    * the IVF-PQ twin of the raw-vector `ivfIncrementalLayout`.
+    */
+  private def ivfPqIncrementalLayout(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Ivf.IvfIndex, Pq.PqIndex, String) =
+    SessionPublish.once(s, s"ivfpqinc|$dir") {
+      val emb   = Tables(s, dir).embeddings
+      val base  = emb.filter(col("vec_id") % 5 =!= 0 || col("vec_id") === 0L)
+      val batch = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0L)
+      val coarse = Ivf.train(s, base, "vec_id", "embedding", nlist = 8)
+      val pqi = Pq.train(s, base, "vec_id", "embedding", NSUB, KSUB)
+      val path = SessionPublish.tempDir("graft-ivfpq-inc") + "/layout"
+      Pq.writePartitionedPq(base, "vec_id", "embedding", coarse, pqi, path)
+      Pq.appendPartitionedPq(batch, "vec_id", "embedding", coarse, pqi, path)
+      (coarse, pqi, path)
     }
 
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Array[Float] =
@@ -247,6 +269,39 @@ object PqQueries extends QueryModule {
            |lut(s, j, val) AS (VALUES
            |${lutValuesSql(lut)}),
            |${codesAdcSql(pq, "v", carry = Seq("cell"))}""".stripMargin
+      }
+    ),
+
+    // ---- incremental append into the compressed tier ----
+    // Base-trained layout + appended codes (frozen coarse centroids
+    // AND codebooks), probe-all ADC top-10: appended vectors must
+    // surface with EXACT scores. Codes are deterministic in the
+    // frozen indexes, so the oracle re-derives every corpus vector's
+    // codes from the recorded base-trained codebooks — base and
+    // appended rows indistinguishable by construction (PqAppendSpec
+    // pins layout equality with a fresh publish; this gates it
+    // against DuckDB end-to-end).
+    QueryDef(
+      "q_ann_ivfpq_incremental",
+      "IVF-PQ ADC top-10 after appending the vec_id%5=0 batch's codes (probe-all)",
+      (s, dir) => {
+        val (coarse, pqi, path) = ivfPqIncrementalLayout(s, dir)
+        val q = queryVec(s, dir)
+        State.ivfpqInc = Some((coarse.centroids, pqi, Pq.adcLut(pqi, q)))
+        Pq.topKPartitionedPq(s, path, "vec_id", coarse, pqi, q, k = 10,
+          nprobe = coarse.nlist, pred = col("vec_id") =!= 0L)
+      },
+      Oracle.deferred {
+        val (cents, pqi, lut) = State.ivfpqInc.getOrElse(throw new IllegalStateException(
+          "incremental IVF-PQ state not recorded — run q_ann_ivfpq_incremental first"))
+        s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT vec_id, e, ${argminSql(cents, "e")} AS cell FROM v0),
+           |v AS (SELECT vec_id, e, cell FROM a WHERE vec_id <> 0),
+           |cb(s, j, c2, entry) AS (VALUES
+           |${codebookValuesSql(pqi)}),
+           |lut(s, j, val) AS (VALUES
+           |${lutValuesSql(lut)}),
+           |${codesAdcSql(pqi, "v", carry = Seq("cell"))}""".stripMargin
       }
     ),
 

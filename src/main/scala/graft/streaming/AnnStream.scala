@@ -87,9 +87,15 @@ object AnnStream {
     * the crashed attempt; recomputing it here would re-scan the batch
     * for a number nobody is waiting on).
     */
-  def appendBatch(batch: org.apache.spark.sql.DataFrame, checkpointDir: String,
-      batchId: Long, vecCol: String, index: Ivf.IvfIndex,
-      layoutPath: String): Option[Ivf.IvfDrift] = {
+  /** The staged commit protocol, layout-kind-agnostic: `stage` writes
+    * the batch's cell-partitioned files into the given staging dir
+    * (invisible); the marker then commits, and the promote makes the
+    * files live. Both the raw-vector and the PQ-codes append run
+    * through this one implementation — the crash-window analysis
+    * above holds for any stager that writes `cell=N/` subdirs.
+    */
+  private def committed[A](layoutPath: String, checkpointDir: String,
+      batchId: Long)(stage: String => A): Option[A] = {
     val key = batchKey(checkpointDir, batchId)
     val staging = s"${stagingDir(layoutPath)}/${keyToFile(key)}"
     if (isApplied(layoutPath, key)) {
@@ -98,12 +104,35 @@ object AnnStream {
       None
     } else {
       // a crash mid-stage leaves partial files; overwrite restages
-      val drift = Ivf.stagePartitioned(batch, vecCol, index, layoutPath, staging)
+      val result = stage(staging)
       Sidecar.writeString(s"${markerDir(layoutPath)}/${keyToFile(key)}", "")
       Ivf.promoteStaged(layoutPath, staging)
-      Some(drift)
+      Some(result)
     }
   }
+
+  def appendBatch(batch: org.apache.spark.sql.DataFrame, checkpointDir: String,
+      batchId: Long, vecCol: String, index: Ivf.IvfIndex,
+      layoutPath: String): Option[Ivf.IvfDrift] =
+    committed(layoutPath, checkpointDir, batchId) { staging =>
+      Ivf.stagePartitioned(batch, vecCol, index, layoutPath, staging)
+    }
+
+  /** [[appendBatch]] for the COMPRESSED tier: the batch is encoded
+    * (frozen coarse centroids + codebooks, geometry/kind verified
+    * against the sidecar) and its 8-byte codes land in the published
+    * IVF-PQ layout under the same exactly-once protocol. Returns the
+    * quantization-drift report ([[graft.pipeline.Pq.PqDrift]]) — the
+    * retrain trigger for stale codebooks.
+    */
+  def appendBatchPq(batch: org.apache.spark.sql.DataFrame, checkpointDir: String,
+      batchId: Long, idCol: String, vecCol: String, coarse: Ivf.IvfIndex,
+      index: graft.pipeline.Pq.PqIndex, layoutPath: String,
+      residual: Boolean = false): Option[graft.pipeline.Pq.PqDrift] =
+    committed(layoutPath, checkpointDir, batchId) { staging =>
+      graft.pipeline.Pq.stagePartitionedPq(batch, idCol, vecCol, coarse, index,
+        layoutPath, staging, residual)
+    }
 
   /** Watch `srcDir` for embedding parquet files and append each
     * micro-batch into the layout at `layoutPath` (published by
@@ -122,6 +151,28 @@ object AnnStream {
     src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         appendBatch(batch, checkpointDir, batchId, vecCol, index, layoutPath)
+          .foreach(onDrift(batchId, _))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** [[appendEmbeddings]] into a published IVF-PQ layout: micro-batches
+    * are encoded with the frozen indexes and appended as codes —
+    * streaming ingestion for the compressed tier, same explicit
+    * schema, same marker-keyed exactly-once commit.
+    */
+  def appendEmbeddingsPq(spark: SparkSession, srcDir: String, schema: StructType,
+      idCol: String, vecCol: String, coarse: Ivf.IvfIndex,
+      index: graft.pipeline.Pq.PqIndex, layoutPath: String, checkpointDir: String,
+      residual: Boolean = false,
+      onDrift: (Long, graft.pipeline.Pq.PqDrift) => Unit = (_, _) => ()): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        appendBatchPq(batch, checkpointDir, batchId, idCol, vecCol, coarse, index,
+          layoutPath, residual)
           .foreach(onDrift(batchId, _))
       }
       .option("checkpointLocation", checkpointDir)
