@@ -397,6 +397,74 @@ object Ivf {
     }.reduce(_.unionAll(_))
   }
 
+  /** Recall@k of an approximate result against exact ground truth —
+    * the quality metric every approximate tier (partial-probe IVF,
+    * PQ/ADC, residual IVF-PQ) is tuned by. Both inputs are batch
+    * top-k frames keyed by (`q_id`, `idCol`) — narrow triples, so the
+    * join and per-query aggregate move id pairs, never vectors.
+    * Output: one row per query — (q_id, hits, n, recall) where `n` is
+    * the exact result count (min(k, candidates) — the standard
+    * denominator when the corpus is smaller than k) and
+    * recall = hits / n rounded to 6.
+    *
+    * Ground truth at 100 TB is itself a batch job ([[topKBatch]] at
+    * nprobe = nlist, or brute force on a sampled query set) — recall
+    * is always MEASURED on a sample, never assumed from parameters.
+    */
+  def recallOf(exact: DataFrame, approx: DataFrame, idCol: String): DataFrame = {
+    val a = approx.select(col("q_id"), col(idCol)).withColumn("hit", lit(1))
+    exact.select(col("q_id"), col(idCol))
+      .join(a, Seq("q_id", idCol), "left")
+      .groupBy("q_id")
+      .agg(coalesce(sum("hit"), lit(0)).cast("long").as("hits"),
+        count(lit(1)).as("n"))
+      .withColumn("recall", round(col("hits") / col("n"), 6))
+  }
+
+  /** Per-query recall@k of the nprobe-probed batch path against the
+    * probe-everything (≡ brute force) path over the same published
+    * layout. Two [[topKBatch]] jobs + a narrow-triple join; the
+    * corpus is scanned (pruned) twice and shuffled never.
+    */
+  def recallAtK(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      index: IvfIndex, k: Int, nprobe: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    val exact = topKBatch(spark, path, queries, qIdCol, qVecCol, idCol, vecCol,
+      index, k, index.nlist, pairFilter)
+    val approx = topKBatch(spark, path, queries, qIdCol, qVecCol, idCol, vecCol,
+      index, k, nprobe, pairFilter)
+    recallOf(exact, approx, idCol)
+  }
+
+  /** Smallest power-of-two nprobe whose MEAN recall@k over the sample
+    * query set meets `targetRecall` (capped at nlist, where recall is
+    * 1 by construction) — the knob-tuning loop a pipeline runs once
+    * per layout, on a sampled query set, not per query. The exact leg
+    * is computed once and persisted; each candidate nprobe pays one
+    * pruned corpus scan. Returns (nprobe, measured mean recall).
+    */
+  def nprobeForRecall(spark: SparkSession, path: String, sampleQueries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      index: IvfIndex, k: Int, targetRecall: Double,
+      pairFilter: Column = lit(true)): (Int, Double) = {
+    val exact = topKBatch(spark, path, sampleQueries, qIdCol, qVecCol, idCol, vecCol,
+      index, k, index.nlist, pairFilter)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var np = 1
+      while (true) {
+        val approx = topKBatch(spark, path, sampleQueries, qIdCol, qVecCol, idCol, vecCol,
+          index, k, np, pairFilter)
+        val r = recallOf(exact, approx, idCol).agg(avg(col("recall"))).head()
+        val mean = if (r.isNullAt(0)) 1.0 else r.getDouble(0) // null iff no queries
+        if (mean >= targetRecall || np >= index.nlist) return (np, mean)
+        np = math.min(np * 2, index.nlist)
+      }
+      throw new IllegalStateException("unreachable")
+    } finally exact.unpersist()
+  }
+
   def topKBatch(spark: SparkSession, path: String, queries: DataFrame,
       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
       index: IvfIndex, k: Int, nprobe: Int,

@@ -492,6 +492,41 @@ object SimilarityQueries extends QueryModule {
       }
     ),
 
+    // ---- FILTERED (hybrid) ANN: metadata predicate + probed search ----
+    // The retrieval shape real pipelines run constantly: "nearest
+    // neighbors among rows WHERE <predicate>". The label filter is a
+    // plain data filter pushed into the parquet scan (PushedFilters —
+    // IvfSpec pins it) UNDER the partition-pruning cell filter, so the
+    // probe reads nprobe/nlist of the files and row-group-skips
+    // non-matching labels within them — post-filtering the k results
+    // would instead return FEWER than k rows whenever the filter is
+    // selective. Same deferred-oracle mechanics as q_ann_ivf_probe
+    // with the predicate applied to the candidate set.
+    QueryDef(
+      "q_ann_ivf_filtered",
+      "hybrid search: top-10 among label=3 rows, probing 2/8 cells (pushed filter + pruned scan)",
+      (s, dir) => {
+        val (idx, path) = ivfLayout(s, dir, nlist = 8)
+        IvfOracleState.centroids = Some(idx.centroids)
+        graft.pipeline.Ivf.topKPartitioned(s, path, "vec_id", "embedding",
+          idx, queryVec(s, dir), k = 10, nprobe = 2,
+          pred = col("label") === 3 && col("vec_id") =!= 0L)
+      },
+      Oracle.deferred {
+        val cents = trainedCentroids
+        s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT vec_id, label, e, ${cellSql(cents, "e")} AS cell FROM v),
+           |q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+           |p AS (SELECT ${probeListSql(cents, 2, euclidDistSql, "qv")} AS probes FROM q)
+           |SELECT a.vec_id, round(list_dot_product(a.e, q.qv) /
+           |  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos,
+           |  a.cell
+           |FROM a, q, p
+           |WHERE a.vec_id <> 0 AND a.label = 3 AND list_contains(p.probes, a.cell)
+           |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
     // ---- batch kNN JOIN over the partitioned layout (probe-all) ----
     // The pipeline's dominant ANN shape: top-10 for EVERY query of a
     // set in one job. nprobe = nlist makes it provably per-query brute
@@ -556,6 +591,55 @@ object SimilarityQueries extends QueryModule {
            |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
            |      FROM s)
            |SELECT q_id, vec_id, cos FROM r WHERE rk <= 10""".stripMargin
+      }
+    ),
+
+    // ---- recall@k of the probed path, measured per query ----
+    // The quality metric the approximate tiers are tuned by, as a
+    // first-class query: per-query |approx top-10 ∩ exact top-10| at
+    // nprobe=2, against ground truth from the probe-everything path
+    // over the SAME layout. Narrow-triple join + per-query aggregate —
+    // id pairs move, vectors never do. The deferred oracle re-derives
+    // BOTH legs (probed candidates via the centroid literals, exact
+    // via the full corpus) and recomputes the intersection — an exact
+    // check of the measurement itself, not just the search.
+    QueryDef(
+      "q_ann_recall",
+      "recall@10 per query (vec_id < 8) of nprobe=2 probed search vs exact ground truth",
+      (s, dir) => {
+        val (idx, path) = ivfLayout(s, dir, nlist = 8)
+        IvfOracleState.centroids = Some(idx.centroids)
+        val qs = Tables(s, dir).embeddings.filter(col("vec_id") < 8)
+        graft.pipeline.Ivf.recallAtK(s, path, qs, "vec_id", "embedding",
+          "vec_id", "embedding", idx, k = 10, nprobe = 2,
+          pairFilter = col("q_id") =!= col("vec_id"))
+      },
+      Oracle.deferred {
+        val cents = trainedCentroids
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT vec_id, e, ${cellSql(cents, "e")} AS cell FROM v),
+           |q AS (SELECT vec_id AS q_id, e AS qv,
+           |        ${probeListSql(cents, 2, cellDistSql, "e")} AS probes
+           |      FROM v WHERE vec_id < 8),
+           |sx AS (SELECT q.q_id, a.vec_id,
+           |         round(list_dot_product(a.e, q.qv) /
+           |           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+           |       FROM a, q WHERE a.vec_id <> q.q_id),
+           |ex AS (SELECT q_id, vec_id FROM (
+           |         SELECT q_id, vec_id,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+           |         FROM sx) WHERE rk <= 10),
+           |ap AS (SELECT q_id, vec_id FROM (
+           |         SELECT s.q_id, s.vec_id,
+           |           row_number() OVER (PARTITION BY s.q_id ORDER BY s.cos DESC, s.vec_id ASC) AS rk
+           |         FROM sx s JOIN a ON s.vec_id = a.vec_id
+           |                   JOIN q ON s.q_id = q.q_id
+           |         WHERE list_contains(q.probes, a.cell)) WHERE rk <= 10)
+           |SELECT ex.q_id, CAST(count(ap.vec_id) AS BIGINT) AS hits,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  round(count(ap.vec_id) * 1.0 / count(*), 6) AS recall
+           |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+           |GROUP BY ex.q_id""".stripMargin
       }
     ),
 

@@ -41,15 +41,24 @@ object EventStream {
     * watermark bounds state (late rows beyond it are dropped) — at
     * scale this is what keeps windowed state O(active windows).
     */
-  def streamingWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS); read ts as epoch-nano
-    // longs (same conf Tables.events uses for the batch path)
+  /** Streaming source over `events.parquet` with `ts` normalized to
+    * the canonical epoch-nano LONG ([[graft.sources.Tables.normalizeEventTs]]
+    * applied on the stream — same row transform, streaming-safe). The
+    * schema is the RAW parquet schema (explicit, never inferred from
+    * whichever file's footer a mixed dir lists first); the streaming
+    * file source wants a directory, so stream the sf dir with a glob
+    * filter selecting only the events table.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the streaming file source wants a directory: stream the sf dir
-    // with a glob filter selecting only the events table
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
+
+  def streamingWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(spark, dir)
     src.withColumn("ets", tsCol)
       .withWatermark("ets", "10 minutes")
       .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
@@ -68,10 +77,7 @@ object EventStream {
     * state grows without bound.
     */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def src = eventsStream(spark, dir)
       .withColumn("ets", tsCol)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ets").as("v_ts"))
@@ -120,10 +126,7 @@ object EventStream {
     */
   def upsertUsersIntoSnapshot(spark: SparkSession, srcDir: String,
       snapshotDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(srcDir)
+    val src = eventsStream(spark, srcDir)
     val w = src.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       upsertUserBatch(batch, batchId + 1, snapshotDir)
     }
@@ -179,10 +182,7 @@ object EventStream {
     */
   def upsertInteractionsIntoSnapshot(spark: SparkSession, srcDir: String,
       snapshotDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(srcDir)
+    val src = eventsStream(spark, srcDir)
     val w = src.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       upsertInteractionBatch(batch, batchId + 1, snapshotDir)
     }

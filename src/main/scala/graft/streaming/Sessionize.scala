@@ -121,10 +121,7 @@ object Sessionize {
     */
   def sessionsStreaming(spark: SparkSession, dir: String, gapSec: Long): Dataset[Session] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = EventStream.eventsStream(spark, dir)
       .selectExpr("user_id", "ts div 1000000000 AS sec").as[Ev]
     sessionsStream(src, gapSec)
   }

@@ -122,10 +122,7 @@ class AnalyticsStreamingSpec extends GraftSuite {
 
   test("streaming dedup drops duplicate deliveries within the watermark") {
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf0001)
+    def src = EventStream.eventsStream(spark, sf0001)
     // simulate at-least-once delivery: every event arrives twice
     val doubled = src.union(src)
     val q = EventStream.dedupedEvents(doubled)

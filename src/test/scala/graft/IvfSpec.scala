@@ -182,6 +182,92 @@ class IvfSpec extends GraftSuite {
     assert(cells.length >= 4, "capped training still spreads the corpus")
   }
 
+  test("filtered (hybrid) search: predicate pushed to the scan under partition pruning") {
+    val idx = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf-filt").toString
+    Ivf.writePartitioned(emb, "embedding", idx, path)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+    val filtered = Ivf.topKPartitioned(spark, path, "vec_id", "embedding",
+      idx, q, 10, nprobe = 2, pred = col("label") === 3 && col("vec_id") =!= 0L)
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "plan reads files")
+    // the cell filter prunes partitions; the label filter reaches the
+    // parquet reader as a pushed data filter (row-group stats skipping)
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 2,
+      "hybrid search must keep the nprobe partition pruning")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("EqualTo(label,3)"),
+      s"label predicate must be pushed to the scan, got: $pushed")
+
+    // semantics: equal to filter-then-search over the probed cells,
+    // never search-then-filter (which would return < k rows)
+    val cells = Ivf.probeOrder(idx, q).take(2)
+    val expect = emb
+      .withColumn("cell", Ivf.assign(col("embedding"), idx))
+      .filter(col("cell").isin(cells: _*) && col("label") === 3 && col("vec_id") =!= 0L)
+      .withColumn("cos", round(graft.functions.CosineSim.col(col("embedding"),
+        typedLit(q.toSeq)), 6))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(filtered.select("vec_id").collect().map(_.getLong(0)).toSeq == expect)
+    assert(expect.nonEmpty, "gate corpus must have label=3 rows in the probed cells")
+  }
+
+  test("recallAtK: 1.0 at full probe, monotone in nprobe, matches a hand count") {
+    val idx = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf-recall").toString
+    Ivf.writePartitioned(emb, "embedding", idx, path)
+    val qs = emb.filter(col("vec_id") < 8)
+    def meanAt(np: Int): Double =
+      Ivf.recallAtK(spark, path, qs, "vec_id", "embedding", "vec_id", "embedding",
+        idx, k = 10, nprobe = np, pairFilter = col("q_id") =!= col("vec_id"))
+        .agg(avg(col("recall"))).head().getDouble(0)
+
+    // probing every cell IS the ground truth
+    assert(meanAt(8) == 1.0)
+    // candidate sets are prefix-nested in nprobe, so recall is monotone
+    val series = Seq(1, 2, 4, 8).map(meanAt)
+    series.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b + 1e-9, s"recall must be monotone in nprobe: $series")
+    }
+    assert(series.forall(r => r >= 0.0 && r <= 1.0))
+
+    // per-query rows carry (hits, n, recall) consistently
+    val rows = Ivf.recallAtK(spark, path, qs, "vec_id", "embedding",
+      "vec_id", "embedding", idx, k = 10, nprobe = 2,
+      pairFilter = col("q_id") =!= col("vec_id")).collect()
+    assert(rows.length == 8, "one row per query")
+    rows.foreach { r =>
+      val (hits, n, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n == 10, "sf0.01 corpus is larger than k, so n == k")
+      assert(hits >= 0 && hits <= n)
+      assert(math.abs(rec - hits.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("nprobeForRecall finds the smallest doubling nprobe meeting the target") {
+    val idx = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf-tune").toString
+    Ivf.writePartitioned(emb, "embedding", idx, path)
+    val qs = emb.filter(col("vec_id") < 8)
+
+    val (np, mean) = Ivf.nprobeForRecall(spark, path, qs, "vec_id", "embedding",
+      "vec_id", "embedding", idx, k = 10, targetRecall = 1.0,
+      pairFilter = col("q_id") =!= col("vec_id"))
+    assert(mean >= 1.0 - 1e-9 || np == idx.nlist,
+      s"tuner must meet the target or hit nlist, got ($np, $mean)")
+    assert(Seq(1, 2, 4, 8).contains(np), s"doubling search, got $np")
+    // a trivial target is met by the first candidate
+    val (np0, mean0) = Ivf.nprobeForRecall(spark, path, qs, "vec_id", "embedding",
+      "vec_id", "embedding", idx, k = 10, targetRecall = 0.0,
+      pairFilter = col("q_id") =!= col("vec_id"))
+    assert(np0 == 1 && mean0 >= 0.0)
+  }
+
   test("IVF stays viable at realistic cell counts (nlist=1024)") {
     // the per-centroid expression tree this replaced would exceed
     // Janino/plan limits here; NearestCell is one expression at any nlist
