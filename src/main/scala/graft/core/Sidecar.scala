@@ -49,12 +49,46 @@ object Sidecar {
 
   /** `k=v` lines → map; None if the file does not exist. */
   def readProps(path: String): Option[Map[String, String]] =
-    readString(path).map(_.linesIterator
-      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
+    readString(path).map(parseProps)
 
-  /** Atomic: write a sibling temp file, then rename onto the target
-    * (deleting a previous version first — rename-over-existing is not
-    * portable across Hadoop filesystems).
+  private def parseProps(s: String): Map[String, String] =
+    s.linesIterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+
+  /** [[readString]] with bounded retry while the file is missing or
+    * unreadable — for paths the caller EXPECTS to exist (a published
+    * layout's geometry sidecar): closes the replacement window on
+    * filesystems where [[writeString]] must fall back to
+    * delete-then-rename because a rename cannot overwrite. Still
+    * returns None once the retries are exhausted, so a genuinely
+    * unpublished layout fails loud in the caller exactly as before —
+    * the retries only add latency to that (already-fatal) path.
+    */
+  def readStringExpected(path: String, attempts: Int = 5,
+      delayMs: Long = 40): Option[String] = {
+    var i = 1
+    while (i < attempts) {
+      try {
+        val r = readString(path)
+        if (r.isDefined) return r
+      } catch { case _: java.io.IOException => /* mid-replace; retry */ }
+      Thread.sleep(delayMs)
+      i += 1
+    }
+    readString(path)
+  }
+
+  /** [[readProps]] under [[readStringExpected]]'s retry. */
+  def readPropsExpected(path: String): Option[Map[String, String]] =
+    readStringExpected(path).map(parseProps)
+
+  /** Atomic: write a sibling temp file, then rename onto the target.
+    * The rename is tried FIRST (POSIX / RawLocalFileSystem rename
+    * replaces an existing target atomically, so a concurrent reader
+    * sees old-or-new content and never a gap); only where the
+    * filesystem refuses to rename onto an existing file (HDFS) does
+    * the delete-then-rename fallback run — that window is covered on
+    * the read side by [[readStringExpected]]'s bounded retry.
     */
   def writeString(path: String, content: String): Unit = {
     val (fs, p) = fsFor(path)
@@ -63,9 +97,11 @@ object Sidecar {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"sidecar rename $tmp -> $p failed")
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"sidecar rename $tmp -> $p failed")
+    }
   }
 
   def writeProps(path: String, props: Seq[(String, String)]): Unit =
@@ -78,6 +114,18 @@ object Sidecar {
   def delete(path: String, recursive: Boolean = false): Unit = {
     val (fs, p) = fsFor(path)
     if (fs.exists(p)) fs.delete(p, recursive): Unit
+  }
+
+  /** Remove `dir` only if it is an empty directory — for shared
+    * staging roots where a recursive delete would clobber another
+    * writer's in-flight content. Losing the race (someone created an
+    * entry between the check and the delete) is fine: the non-recursive
+    * delete refuses a non-empty dir, and the root is just left behind.
+    */
+  def deleteIfEmpty(dir: String): Unit = {
+    val (fs, p) = fsFor(dir)
+    try if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, false): Unit
+    catch { case _: java.io.IOException => /* raced with a writer; leave it */ }
   }
 
   /** Child names of `dir` (empty if absent). */
@@ -113,7 +161,20 @@ object Sidecar {
   def promoteTree(srcDir: String, dstDir: String): Unit = {
     val (fs, src) = fsFor(srcDir)
     if (!fs.exists(src)) return
-    fs.listStatus(src).filter(_.isDirectory).foreach { part =>
+    val entries = fs.listStatus(src)
+    // only `col=value/` subdirectories are promoted; a top-level DATA
+    // file means the staging dir was not written by a partitioned
+    // write, and silently dropping it would turn that misuse into
+    // invisible data loss — refuse loudly instead. (An empty staging
+    // dir — e.g. an empty micro-batch's `_SUCCESS` alone, or a resumed
+    // promote whose files already moved — stays a legitimate no-op.)
+    val strays = entries.filter(e => e.isFile &&
+      !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+    require(strays.isEmpty,
+      s"promoteTree: $srcDir contains top-level data files " +
+        s"(${strays.map(_.getPath.getName).mkString(", ")}) — expected only " +
+        "partitioned `col=value/` subdirectories; refusing to silently drop them")
+    entries.filter(_.isDirectory).foreach { part =>
       val dst = new Path(new Path(dstDir), part.getPath.getName)
       fs.mkdirs(dst)
       fs.listStatus(part.getPath)

@@ -166,12 +166,16 @@ object Ivf {
   private def legacyFingerprintPath(path: String) = s"$path/_ivf_centroids.sha"
 
   /** Sidecar contents: at least `fingerprint`, plus `mean_dist` for
-    * layouts published since the dispersion baseline existed.
+    * layouts published since the dispersion baseline existed. Read
+    * with bounded retry ([[graft.core.Sidecar.readPropsExpected]]) so
+    * a republish-in-flight (delete→rename on filesystems without
+    * atomic replace) never surfaces as a spurious "no sidecar".
     */
   private def readMeta(path: String): Option[Map[String, String]] =
-    graft.core.Sidecar.readProps(metaPath(path)).orElse(
-      graft.core.Sidecar.readString(legacyFingerprintPath(path))
+    graft.core.Sidecar.readProps(metaPath(path))
+      .orElse(graft.core.Sidecar.readString(legacyFingerprintPath(path))
         .map(s => Map("fingerprint" -> s.trim)))
+      .orElse(graft.core.Sidecar.readPropsExpected(metaPath(path)))
 
   /** Mean squared distance of each vector to its assigned centroid —
     * the layout's publish-time dispersion, the yardstick appends are
@@ -412,8 +416,12 @@ object Ivf {
     * is always MEASURED on a sample, never assumed from parameters.
     */
   def recallOf(exact: DataFrame, approx: DataFrame, idCol: String): DataFrame = {
-    val a = approx.select(col("q_id"), col(idCol)).withColumn("hit", lit(1))
-    exact.select(col("q_id"), col(idCol))
+    // each leg is deduped on (q_id, id) first: a layout holding
+    // duplicate ids (e.g. a batch re-ingested by an undeduplicated
+    // append) would otherwise multiply rows through the join and
+    // distort both hits and the denominator (n could exceed k)
+    val a = approx.select(col("q_id"), col(idCol)).distinct().withColumn("hit", lit(1))
+    exact.select(col("q_id"), col(idCol)).distinct()
       .join(a, Seq("q_id", idCol), "left")
       .groupBy("q_id")
       .agg(coalesce(sum("hit"), lit(0)).cast("long").as("hits"),
@@ -452,12 +460,21 @@ object Ivf {
       index, k, index.nlist, pairFilter)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (sampleQueries.isEmpty) return (1, 1.0) // vacuous: nothing to tune against
+      // a non-empty sample whose ground-truth leg is EMPTY (pairFilter
+      // rejected every pair, all probe cells tombstoned, empty layout)
+      // measured nothing — returning (1, 1.0) would report a perfectly
+      // tuned layout on zero evidence
+      require(!exact.isEmpty,
+        "nprobeForRecall: the exact ground-truth leg is empty for a non-empty " +
+          "query sample — the pairFilter/tombstones/layout leave nothing to " +
+          "measure recall against; fix the sample or the filter instead of " +
+          "trusting an unmeasured default")
       var np = 1
       while (true) {
         val approx = topKBatch(spark, path, sampleQueries, qIdCol, qVecCol, idCol, vecCol,
           index, k, np, pairFilter)
-        val r = recallOf(exact, approx, idCol).agg(avg(col("recall"))).head()
-        val mean = if (r.isNullAt(0)) 1.0 else r.getDouble(0) // null iff no queries
+        val mean = recallOf(exact, approx, idCol).agg(avg(col("recall"))).head().getDouble(0)
         if (mean >= targetRecall || np >= index.nlist) return (np, mean)
         np = math.min(np * 2, index.nlist)
       }

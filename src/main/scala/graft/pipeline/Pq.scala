@@ -303,7 +303,10 @@ object Pq {
   private def checkPqLayout(path: String, coarse: Ivf.IvfIndex, index: PqIndex,
       residual: Boolean): Map[String, String] = {
     val mp = metaPath(path)
-    val meta = graft.core.Sidecar.readProps(mp).getOrElse(throw new IllegalArgumentException(
+    // bounded retry on missing: a republish-in-flight (delete→rename
+    // on filesystems without atomic replace) must not surface as a
+    // spurious "no sidecar" to a concurrent probe
+    val meta = graft.core.Sidecar.readPropsExpected(mp).getOrElse(throw new IllegalArgumentException(
       s"no IVF-PQ metadata sidecar at $mp — publish with writePartitionedPq" +
         (if (residual) "Residual" else "")))
     require(meta.get("coarse").contains(coarsePrint(coarse)) &&
@@ -336,8 +339,8 @@ object Pq {
     * driver-LUT form (PqBatchSpec pins batch ≡ per-query [[topKAdc]]
     * at nprobe = nlist). The only shuffle ranks narrow
     * (q_id, id, adc_micros) triples — codes and LUTs never shuffle;
-    * query sets above broadcast budget slab exactly like
-    * [[Ivf.topKBatchSlabbed]]. Tombstoned ids are hidden.
+    * query sets above broadcast budget go through
+    * [[topKBatchAdcSlabbed]]. Tombstoned ids are hidden.
     */
   def topKBatchAdc(spark: SparkSession, path: String, queries: DataFrame,
       qIdCol: String, qVecCol: String, idCol: String,
@@ -364,6 +367,47 @@ object Pq {
     checkPqLayout(path, coarse, index, residual = true)
     batchAdc(spark, path, queries, qIdCol, qVecCol, idCol, coarse, index,
       k, nprobe, pairFilter, residual = true)
+  }
+
+  /** [[topKBatchAdc]] for query sets too large to broadcast whole —
+    * the exact slab move of [[Ivf.topKBatchSlabbed]]: hash the query
+    * ids into `slabs` groups, run one [[topKBatchAdc]] per slab, union
+    * the results. Each slab keeps the single-batch plan (pruned codes
+    * scan, broadcast LUT side, narrow-triple rank shuffle); the codes
+    * are scanned once per slab but never shuffled. The broadcast
+    * budget bites SOONEST on the residual variant — its LUT rows are
+    * per (query, probed cell), nsub×ksub×8 B each (~16 KB at 8×256),
+    * so a 50k-query set at nprobe=2 is ~1.6 GB of broadcast; size
+    * `slabs` so (query rows / slabs) × nprobe × LUT bytes fits the
+    * budget. Results are identical to the unsliced call for any slab
+    * count (PqBatchSpec pins slabs=3 ≡ slabs=1 for both variants).
+    */
+  def topKBatchAdcSlabbed(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, k: Int, nprobe: Int, slabs: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(slabs >= 1, s"slabs must be >= 1, got $slabs")
+    (0 until slabs).map { s =>
+      topKBatchAdc(spark, path,
+        queries.filter(pmod(hash(col(qIdCol)), lit(slabs)) === s),
+        qIdCol, qVecCol, idCol, coarse, index, k, nprobe, pairFilter)
+    }.reduce(_.unionAll(_))
+  }
+
+  /** [[topKBatchAdcResidual]] sliced into broadcastable slabs — see
+    * [[topKBatchAdcSlabbed]] (the residual variant is where the
+    * per-(query, cell) LUT broadcast outgrows the budget first).
+    */
+  def topKBatchAdcResidualSlabbed(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String,
+      coarse: Ivf.IvfIndex, index: PqIndex, k: Int, nprobe: Int, slabs: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(slabs >= 1, s"slabs must be >= 1, got $slabs")
+    (0 until slabs).map { s =>
+      topKBatchAdcResidual(spark, path,
+        queries.filter(pmod(hash(col(qIdCol)), lit(slabs)) === s),
+        qIdCol, qVecCol, idCol, coarse, index, k, nprobe, pairFilter)
+    }.reduce(_.unionAll(_))
   }
 
   private def batchAdc(spark: SparkSession, path: String, queries: DataFrame,
@@ -537,6 +581,138 @@ object Pq {
         floor(score * lit(1e6)).cast("long").as("adc_micros"), col("cell"))
       .orderBy(col("adc_micros").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** The production IVF-PQ read path composed end-to-end
+    * ([[topKRerank]]'s shape over the PARTITIONED layout): a
+    * probe-pruned ADC shortlist from the cell-partitioned codes
+    * (tombstone-aware, nprobe/nlist of the files listed, 8-byte codes
+    * read), then an EXACT cosine re-rank of only the shortlisted ids
+    * against the primary raw-vector corpus. The shortlist is
+    * `candidates`-bounded BY CONSTRUCTION (a top-k limit), so
+    * collecting its ids is the same driver-tiny class as the
+    * probe-cell union; they re-enter the plan as a literal IN filter,
+    * which reaches the corpus scan as a pushed parquet filter — the
+    * raw vectors of candidate rows are the ONLY raw vectors read
+    * (row-group pruning; at 100 TB sort/bucket the corpus by id and
+    * the fetch-back touches a handful of files). No join, no corpus
+    * shuffle (PqSpec pins the pushed filter and the pruned shortlist
+    * scan). With nprobe = nlist and `candidates` >= corpus size this
+    * is provably the brute-force cosine top-k.
+    *
+    * Reference anchor: index lookup producing a small candidate set,
+    * then exact per-candidate verification
+    * (HGraphStorage perf/.../HackageTest.hs:167-178).
+    */
+  def topKRerankPartitionedPq(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, vecCol: String, coarse: Ivf.IvfIndex, index: PqIndex,
+      query: Array[Float], k: Int, candidates: Int, nprobe: Int,
+      pred: Column = lit(true), residual: Boolean = false): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val shortlist =
+      if (residual)
+        topKPartitionedPqResidual(spark, path, idCol, coarse, index, query,
+          candidates, nprobe, pred)
+      else
+        topKPartitionedPq(spark, path, idCol, coarse, index, query,
+          candidates, nprobe, pred)
+    val ids = shortlist.select(col(idCol)).collect().map(_.get(0)).toSeq
+    corpus.filter(col(idCol).isin(ids: _*))
+      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
+  /** Batch form of [[topKRerankPartitionedPq]]: ADC shortlists for
+    * EVERY query of a set ([[topKBatchAdc]] at k = `candidates`), then
+    * one exact re-rank pass. The (q_id, id) shortlist pairs are
+    * query-set × candidates rows of two longs — broadcast-sized by
+    * construction — so the corpus raw vectors flow through a broadcast
+    * join (scanned once, never shuffled), the query vectors re-attach
+    * through a second broadcast, and the only shuffle ranks narrow
+    * (q_id, id, cos) triples. Output: (q_id, idCol, cos).
+    */
+  def topKBatchAdcRerank(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String, idCol: String,
+      vecCol: String, coarse: Ivf.IvfIndex, index: PqIndex, k: Int,
+      candidates: Int, nprobe: Int, pairFilter: Column = lit(true)): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val sl = topKBatchAdc(spark, path, queries, qIdCol, qVecCol, idCol,
+      coarse, index, candidates, nprobe, pairFilter)
+      .select(col("q_id"), col(idCol))
+    val qvecs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val scored = corpus.join(broadcast(sl), Seq(idCol))
+      .join(broadcast(qvecs), Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(graft.functions.CosineSim.col(col(vecCol), col("q_vec")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** Chosen knobs for the compressed read path, with the recall that
+    * was MEASURED (never assumed) when they were chosen.
+    */
+  final case class AdcTuning(nprobe: Int, candidates: Int, recall: Double)
+
+  /** Recall-driven tuning for the compressed tier — the
+    * [[Ivf.nprobeForRecall]] analog for ADC + exact re-rank: find
+    * (nprobe, candidates) such that [[topKBatchAdcRerank]]'s MEAN
+    * recall@k over a sample query set meets `targetRecall`, measured
+    * against exact brute-force cosine ground truth. The search prefers
+    * small nprobe (file pruning is the bigger cost lever at scale)
+    * and, within an nprobe, small candidate counts; candidates double
+    * from k up to `maxCandidates`. The exact leg is computed once and
+    * persisted; every trial is one pruned codes scan + one candidate
+    * fetch-back. Runs on a SAMPLE query set, once per layout — a
+    * tuning job, not a per-query cost.
+    */
+  def tuneAdcRerank(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String, idCol: String,
+      vecCol: String, coarse: Ivf.IvfIndex, index: PqIndex, k: Int,
+      targetRecall: Double, maxCandidates: Int = 1 << 12,
+      pairFilter: Column = lit(true)): AdcTuning = {
+    graft.functions.CosineSim.register(spark)
+    val qvecs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    // exact ground truth: brute-force cosine top-k per sample query —
+    // the corpus scans once with the sample broadcast onto it, and the
+    // only shuffle ranks narrow triples (the nprobe-free twin of
+    // [[Ivf.topKBatch]])
+    val exactScored = corpus.crossJoin(broadcast(qvecs))
+      .filter(pairFilter)
+      .select(col("q_id"), col(idCol),
+        round(graft.functions.CosineSim.col(col(vecCol), col("q_vec")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
+    val exact = exactScored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (queries.isEmpty) return AdcTuning(1, k, 1.0) // vacuous: nothing to tune
+      require(!exact.isEmpty,
+        "tuneAdcRerank: the exact ground-truth leg is empty for a non-empty " +
+          "query sample — nothing to measure recall against")
+      def mean(np: Int, cand: Int): Double = {
+        val approx = topKBatchAdcRerank(spark, path, corpus, queries,
+          qIdCol, qVecCol, idCol, vecCol, coarse, index, k, cand, np, pairFilter)
+        Ivf.recallOf(exact, approx, idCol).agg(avg(col("recall"))).head().getDouble(0)
+      }
+      val cands = Iterator.iterate(math.max(k, 1))(_ * 2)
+        .takeWhile(_ < maxCandidates).toSeq :+ maxCandidates
+      var best = AdcTuning(0, 0, -1.0)
+      var np = 1
+      while (np <= coarse.nlist) {
+        for (cand <- cands) {
+          val r = mean(np, cand)
+          if (r > best.recall) best = AdcTuning(np, cand, r)
+          if (r >= targetRecall) return AdcTuning(np, cand, r)
+        }
+        if (np == coarse.nlist) return best // cap reached: best measured
+        np = math.min(np * 2, coarse.nlist)
+      }
+      best
+    } finally exact.unpersist()
   }
 
   /** Mean squared reconstruction error of a (possibly residual)

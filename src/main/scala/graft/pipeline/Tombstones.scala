@@ -64,7 +64,12 @@ object Tombstones {
       val staging = s"${stagingRoot(layoutPath)}/$name"
       batch.coalesce(1).write.mode("overwrite").parquet(staging)
       Sidecar.renameDir(staging, s"${tombDir(layoutPath)}/$name")
-      Sidecar.delete(stagingRoot(layoutPath), recursive = true)
+      // cleanup is scoped to THIS batch's staging dir (already moved
+      // by the rename; only committer droppings could remain) — a
+      // concurrent delete's in-flight staging under the shared root
+      // must survive, so the root itself is only removed when empty
+      Sidecar.delete(staging, recursive = true)
+      Sidecar.deleteIfEmpty(stagingRoot(layoutPath))
     }
     n
   }

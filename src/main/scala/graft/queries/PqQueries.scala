@@ -37,6 +37,8 @@ object PqQueries extends QueryModule {
     // (coarse centroids, base-trained codebooks, LUT) for the
     // incremental-append gate
     @volatile var ivfpqInc: Option[(Array[Array[Float]], Pq.PqIndex, Array[Array[Double]])] = None
+    // (coarse centroids, codebooks, LUT) for the shortlist→rerank gate
+    @volatile var rerank: Option[(Array[Array[Float]], Pq.PqIndex, Array[Array[Double]])] = None
   }
 
   /** Train + publish the codes table once per (application, dir) —
@@ -180,16 +182,21 @@ object PqQueries extends QueryModule {
     * to micros. `src` is a CTE exposing (vec_id, e) plus any `carry`
     * columns, which ride through to the output (e.g. `cell`).
     */
-  private def codesAdcSql(pq: Pq.PqIndex, src: String, carry: Seq[String] = Nil,
-      lutPerCell: Boolean = false): String = {
+  private def adcSumSql(pq: Pq.PqIndex): String =
+    pq.codebooks.indices.map(s => s"v$s").mkString(" + ")
+
+  /** The CTE chain `scored`..`pc` only (no final SELECT) — shared
+    * between the plain ADC tails and the rerank gate, which needs the
+    * shortlist as a further CTE instead of the query result.
+    */
+  private def codesAdcCtes(pq: Pq.PqIndex, src: String, carry: Seq[String],
+      lutPerCell: Boolean): String = {
     val keys = "vec_id" +: carry
     val k = keys.mkString(", ")
     val srcK = keys.map("src." + _).mkString(", ")
     val codesK = keys.map("codes." + _).mkString(", ")
     val vdefs = pq.codebooks.indices
       .map(s => s"max(CASE WHEN s = $s THEN val END) AS v$s").mkString(", ")
-    val sum = pq.codebooks.indices.map(s => s"v$s").mkString(" + ")
-    val outCarry = carry.map(", " + _).mkString
     val lutOn = (if (lutPerCell) "lut.cell = codes.cell AND " else "") +
       "lut.s = codes.s AND lut.j = codes.code"
     s"""scored AS (SELECT $srcK, cb.s, cb.j,
@@ -201,8 +208,14 @@ object PqQueries extends QueryModule {
        |vals AS (SELECT $codesK, codes.s, lut.val
        |      FROM codes JOIN lut ON $lutOn),
        |pc AS (SELECT $k, $vdefs
-       |      FROM vals GROUP BY $k)
-       |SELECT vec_id, CAST(floor(($sum) * 1e6) AS BIGINT) AS adc_micros$outCarry
+       |      FROM vals GROUP BY $k)""".stripMargin
+  }
+
+  private def codesAdcSql(pq: Pq.PqIndex, src: String, carry: Seq[String] = Nil,
+      lutPerCell: Boolean = false): String = {
+    val outCarry = carry.map(", " + _).mkString
+    s"""${codesAdcCtes(pq, src, carry, lutPerCell)}
+       |SELECT vec_id, CAST(floor((${adcSumSql(pq)}) * 1e6) AS BIGINT) AS adc_micros$outCarry
        |FROM pc ORDER BY adc_micros ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
@@ -357,6 +370,48 @@ object PqQueries extends QueryModule {
            |        PARTITION BY q_id ORDER BY adc_micros ASC, vec_id ASC) AS r FROM sc)
            |SELECT CAST(q_id AS BIGINT) AS q_id, vec_id, adc_micros
            |FROM rk WHERE r <= 10 ORDER BY q_id, adc_micros, vec_id""".stripMargin
+      }
+    ),
+
+    // ---- the production IVF-PQ read path: probe-pruned ADC
+    // shortlist → exact cosine re-rank of only the shortlisted ids ----
+    // The compressed tier recalls 30 candidates cheaply (2/8 of the
+    // files listed, 8-byte codes read), and only those 30 raw vectors
+    // are fetched (pushed literal IN filter) and scored exactly. The
+    // oracle re-derives the whole composition: coarse argmin + probe
+    // list + codes + ADC shortlist, then the exact cosine over the
+    // shortlist — every approximate AND exact stage bit-matched.
+    QueryDef(
+      "q_ann_ivfpq_rerank",
+      "IVF-PQ ADC shortlist (30 of 2/8 cells) re-ranked exactly by cosine, top-10",
+      (s, dir) => {
+        val (coarse, pq, path) = ivfPqLayout(s, dir)
+        val q = queryVec(s, dir)
+        State.rerank = Some((coarse.centroids, pq, Pq.adcLut(pq, q)))
+        Pq.topKRerankPartitionedPq(s, path, Tables(s, dir).embeddings,
+          "vec_id", "embedding", coarse, pq, q, k = 10, candidates = 30,
+          nprobe = 2, pred = col("vec_id") =!= 0L)
+      },
+      Oracle.deferred {
+        val (cents, pq, lut) = State.rerank.getOrElse(throw new IllegalStateException(
+          "rerank state not recorded — run q_ann_ivfpq_rerank before its oracle"))
+        s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT vec_id, e, ${argminSql(cents, "e")} AS cell FROM v0),
+           |q AS (SELECT e AS qv FROM v0 WHERE vec_id = 0),
+           |p AS (SELECT ${probeListSql(cents, 2, euclidDistSql, "qv")} AS probes FROM q),
+           |v AS (SELECT a.vec_id, a.e, a.cell FROM a, p
+           |      WHERE a.vec_id <> 0 AND list_contains(p.probes, a.cell)),
+           |cb(s, j, c2, entry) AS (VALUES
+           |${codebookValuesSql(pq)}),
+           |lut(s, j, val) AS (VALUES
+           |${lutValuesSql(lut)}),
+           |${codesAdcCtes(pq, "v", carry = Seq("cell"), lutPerCell = false)},
+           |sl AS (SELECT vec_id, CAST(floor((${adcSumSql(pq)}) * 1e6) AS BIGINT) AS adc_micros
+           |      FROM pc ORDER BY adc_micros ASC, vec_id ASC LIMIT 30)
+           |SELECT r.vec_id, round(list_dot_product(r.e, q.qv) /
+           |  (sqrt(list_dot_product(r.e, r.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+           |FROM v0 r JOIN sl ON r.vec_id = sl.vec_id CROSS JOIN q
+           |ORDER BY cos DESC, r.vec_id ASC LIMIT 10""".stripMargin
       }
     ),
 

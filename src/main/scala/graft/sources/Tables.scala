@@ -24,18 +24,39 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** `ts` normalized to the engine's canonical epoch-nano LONG —
     * see [[Tables.normalizeEventTs]].
     */
-  def events: DataFrame = {
-    // legacy data drops stored ts as parquet TIMESTAMP(NANOS), which
-    // Spark's converter rejects unless read as a LONG of epoch nanos;
-    // harmless for the current TIMESTAMP(MICROS) files
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.normalizeEventTs(t("events"))
-  }
+  def events: DataFrame =
+    Tables.normalizeEventTs(Tables.readEvents(spark, s"$dir/events.parquet"))
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
 
 object Tables {
+
+  /** Read the raw events parquet, enabling the legacy nanos-as-long
+    * conf ONLY when the footer actually carries TIMESTAMP(NANOS) —
+    * Spark's converter rejects that type outright, so the need is
+    * detected by the first read attempt failing. The common
+    * TIMESTAMP(MICROS) drop leaves the session conf untouched (no
+    * side effect on unrelated parquet reads); for a genuine nano drop
+    * the conf must stay set for the session, because the SCAN (not
+    * just schema inference) consults it — there is no per-read option.
+    */
+  private[graft] def readEvents(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception
+          if String.valueOf(e.getMessage).contains("NANOS") ||
+            Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("NANOS")) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
+  /** The raw events schema (for explicit streaming-source schemas),
+    * with the same conditional nano handling as [[readEvents]].
+    */
+  private[graft] def eventsSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType =
+    readEvents(spark, path).schema
 
   /** Normalize the events table's `ts` to the engine's canonical
     * representation: a LONG of epoch NANOSECONDS.

@@ -50,8 +50,11 @@ object EventStream {
     * filter selecting only the events table.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // schema via Tables.readEvents: the legacy nanos-as-long conf is
+    // enabled only when the footer is a genuine nano drop (where the
+    // streaming scan needs it too); the common micros drop leaves the
+    // session conf untouched
+    val schema = graft.sources.Tables.eventsSchema(spark, s"$dir/events.parquet")
     graft.sources.Tables.normalizeEventTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))

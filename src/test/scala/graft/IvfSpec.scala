@@ -266,6 +266,19 @@ class IvfSpec extends GraftSuite {
       "vec_id", "embedding", idx, k = 10, targetRecall = 0.0,
       pairFilter = col("q_id") =!= col("vec_id"))
     assert(np0 == 1 && mean0 >= 0.0)
+
+    // a NON-empty sample whose ground-truth leg measures nothing (the
+    // pairFilter rejects every pair) must fail loud, not report the
+    // unmeasured (1, 1.0) of a perfectly tuned layout
+    intercept[IllegalArgumentException] {
+      Ivf.nprobeForRecall(spark, path, qs, "vec_id", "embedding",
+        "vec_id", "embedding", idx, k = 10, targetRecall = 0.9,
+        pairFilter = lit(false))
+    }
+    // an empty sample IS vacuously tuned
+    val (npE, meanE) = Ivf.nprobeForRecall(spark, path, qs.filter(lit(false)),
+      "vec_id", "embedding", "vec_id", "embedding", idx, k = 10, targetRecall = 0.9)
+    assert(npE == 1 && meanE == 1.0)
   }
 
   test("IVF stays viable at realistic cell counts (nlist=1024)") {

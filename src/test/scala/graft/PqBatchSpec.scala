@@ -137,6 +137,93 @@ class PqBatchSpec extends GraftSuite {
     assert(victims.forall(v => !after.contains(v)), s"deleted $victims leaked into $after")
   }
 
+  test("slabbed batch ADC equals the unsliced call, raw and residual") {
+    val qs = emb.filter(col("vec_id") < 6)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val raw1 = key(Pq.topKBatchAdcSlabbed(spark, plainPath, qs, "vec_id", "embedding",
+      "vec_id", coarse, pq, k = 10, nprobe = coarse.nlist, slabs = 1,
+      pairFilter = col("q_id") =!= col("vec_id")))
+    val raw3 = key(Pq.topKBatchAdcSlabbed(spark, plainPath, qs, "vec_id", "embedding",
+      "vec_id", coarse, pq, k = 10, nprobe = coarse.nlist, slabs = 3,
+      pairFilter = col("q_id") =!= col("vec_id")))
+    assert(raw1 == raw3, "raw batch ADC: slabs=3 must equal slabs=1")
+    assert(raw1.map(_._1) == Set(0L, 1L, 2L, 3L, 4L, 5L), "every query answered")
+
+    val res1 = key(Pq.topKBatchAdcResidualSlabbed(spark, residPath, qs, "vec_id",
+      "embedding", "vec_id", coarse, rpq, k = 10, nprobe = 2, slabs = 1,
+      pairFilter = col("q_id") =!= col("vec_id")))
+    val res3 = key(Pq.topKBatchAdcResidualSlabbed(spark, residPath, qs, "vec_id",
+      "embedding", "vec_id", coarse, rpq, k = 10, nprobe = 2, slabs = 3,
+      pairFilter = col("q_id") =!= col("vec_id")))
+    assert(res1 == res3, "residual batch ADC: slabs=3 must equal slabs=1")
+
+    intercept[IllegalArgumentException] {
+      Pq.topKBatchAdcSlabbed(spark, plainPath, qs, "vec_id", "embedding",
+        "vec_id", coarse, pq, k = 10, nprobe = 2, slabs = 0)
+    }
+  }
+
+  test("batch ADC rerank at probe-all, full candidates is per-query brute force") {
+    val qs = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val got = Pq.topKBatchAdcRerank(spark, plainPath, emb, qs, "vec_id", "embedding",
+        "vec_id", "embedding", coarse, pq, k = 10, candidates = n,
+        nprobe = coarse.nlist, pairFilter = col("q_id") =!= col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(t => (t._2, t._3)).toSet }
+    assert(got.keySet == Set(0L, 1L, 2L))
+    for (q <- got.keySet) {
+      val qv = emb.filter(col("vec_id") === q).select("embedding")
+        .head().getSeq[Float](0).toSeq
+      val exact = graft.pipeline.Similarity.topK(emb.filter(col("vec_id") =!= q),
+          "vec_id", "embedding", qv, 10, graft.functions.CosineSim.col)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got(q) == exact, s"query $q: batch rerank != brute force")
+    }
+  }
+
+  test("tuneAdcRerank meets the target recall — measured, not assumed") {
+    val qs = emb.filter(col("vec_id") < 4)
+    val t = Pq.tuneAdcRerank(spark, plainPath, emb, qs, "vec_id", "embedding",
+      "vec_id", "embedding", coarse, pq, k = 10, targetRecall = 0.9,
+      pairFilter = col("q_id") =!= col("vec_id"))
+    assert(t.recall >= 0.9, s"tuner must meet the target, got $t")
+    assert(t.nprobe >= 1 && t.nprobe <= coarse.nlist && t.candidates >= 10)
+
+    // the chosen knobs REPRODUCE the measured recall
+    val approx = Pq.topKBatchAdcRerank(spark, plainPath, emb, qs, "vec_id", "embedding",
+      "vec_id", "embedding", coarse, pq, k = 10, candidates = t.candidates,
+      nprobe = t.nprobe, pairFilter = col("q_id") =!= col("vec_id"))
+    // exact leg: brute force over the corpus frame (the layout holds
+    // codes, not raw vectors)
+    val qvecs = qs.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = emb.crossJoin(org.apache.spark.sql.functions.broadcast(qvecs))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.CosineSim.col(col("embedding"), col("q_vec")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val bf = scored.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 10).drop("rk")
+    val measured = Ivf.recallOf(bf, approx, "vec_id")
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(measured >= 0.9, s"chosen knobs must reproduce the target recall, got $measured")
+
+    // a non-empty sample with an empty ground-truth leg fails loud
+    intercept[IllegalArgumentException] {
+      Pq.tuneAdcRerank(spark, plainPath, emb, qs, "vec_id", "embedding",
+        "vec_id", "embedding", coarse, pq, k = 10, targetRecall = 0.9,
+        pairFilter = org.apache.spark.sql.functions.lit(false))
+    }
+    // an empty sample is vacuously tuned
+    val t0 = Pq.tuneAdcRerank(spark, plainPath, emb,
+      qs.filter(org.apache.spark.sql.functions.lit(false)), "vec_id", "embedding",
+      "vec_id", "embedding", coarse, pq, k = 10, targetRecall = 0.9)
+    assert(t0 == Pq.AdcTuning(1, 10, 1.0))
+  }
+
   test("kind guards: batch readers refuse the wrong layout kind") {
     intercept[IllegalArgumentException] {
       Pq.topKBatchAdc(spark, residPath, emb.limit(1), "vec_id", "embedding",

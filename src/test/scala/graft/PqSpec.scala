@@ -162,4 +162,67 @@ class PqSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == exact, "full-candidate rerank must be the brute-force top-k")
   }
+
+  test("partitioned ADC shortlist → exact rerank: pushed id filter, no shuffle, brute-force degeneration") {
+    val emb = graft.sources.Tables(spark, sf001).embeddings
+    val coarse = graft.pipeline.Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
+    val idx = Pq.train(spark, emb, "vec_id", "embedding", nsub = 8, ksub = 64)
+    val layout = java.nio.file.Files.createTempDirectory("ivfpq-rerank").toString + "/layout"
+    Pq.writePartitionedPq(emb, "vec_id", "embedding", coarse, idx, layout)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Pq.topKRerankPartitionedPq(spark, layout, emb, "vec_id", "embedding",
+        coarse, idx, q, k = 10, candidates = 20, nprobe = 2,
+        pred = col("vec_id") =!= 0L)
+      val plan = df.queryExecution.executedPlan
+
+      // the raw-vector fetch-back: candidate ids reach the corpus scan
+      // as a pushed parquet filter — only candidate row groups are read
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+      assert(pushed.contains("In(vec_id"),
+        s"candidate ids must be pushed into the corpus scan, got: $pushed")
+      // scan → exact score → TakeOrdered: no join, no shuffle anywhere
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "the fetch-back must not shuffle the corpus")
+      assert(!plan.toString.contains("Join"), "the fetch-back is a pushed filter, not a join")
+
+      // shortlisted ids are exactly the ADC shortlist's
+      val sl = Pq.topKPartitionedPq(spark, layout, "vec_id", coarse, idx, q,
+        k = 20, nprobe = 2, pred = col("vec_id") =!= 0L)
+        .collect().map(_.getLong(0)).toSet
+      val got = df.collect().map(_.getLong(0))
+      assert(got.length == 10 && got.forall(sl.contains),
+        "re-ranked rows must come from the ADC shortlist")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+
+    // degeneration: probe-all + candidates >= corpus IS brute force
+    val n = emb.count().toInt
+    val full = Pq.topKRerankPartitionedPq(spark, layout, emb, "vec_id", "embedding",
+        coarse, idx, q, k = 10, candidates = n, nprobe = coarse.nlist,
+        pred = col("vec_id") =!= 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.topK(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+        q.toSeq, 10, graft.functions.CosineSim.col)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, "probe-all full-candidate rerank must be the brute-force top-k")
+
+    // and the residual twin composes the same way
+    val rIdx = Pq.trainResidual(spark, emb, "vec_id", "embedding", coarse, nsub = 8, ksub = 64)
+    val rLayout = java.nio.file.Files.createTempDirectory("ivfpq-rerank-res").toString + "/layout"
+    Pq.writePartitionedPqResidual(emb, "vec_id", "embedding", coarse, rIdx, rLayout)
+    val fullR = Pq.topKRerankPartitionedPq(spark, rLayout, emb, "vec_id", "embedding",
+        coarse, rIdx, q, k = 10, candidates = n, nprobe = coarse.nlist,
+        pred = col("vec_id") =!= 0L, residual = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fullR == exact, "residual probe-all full-candidate rerank must be brute force")
+  }
 }

@@ -51,6 +51,44 @@ class SidecarFsSpec extends GraftSuite {
     assert(!Sidecar.exists(dir))
   }
 
+  test("a concurrent reader never observes a missing sidecar during republish") {
+    val p = s"$root/repub/meta.properties"
+    Sidecar.writeProps(p, Seq("v" -> "0"))
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        if (Sidecar.readPropsExpected(p).isEmpty) failures.incrementAndGet()
+        reads.incrementAndGet(): Unit
+      }
+    })
+    reader.start()
+    try (1 to 200).foreach(i => Sidecar.writeProps(p, Seq("v" -> i.toString)))
+    finally { stop = true; reader.join() }
+    assert(failures.get == 0,
+      s"reader observed a missing sidecar mid-republish (${failures.get}/${reads.get} reads)")
+    assert(reads.get > 0, "the reader must actually have raced the republisher")
+    assert(Sidecar.readProps(p).contains(Map("v" -> "200")))
+  }
+
+  test("promoteTree refuses a staging dir holding top-level data files; committer files stay a no-op") {
+    val dir = s"$root/strays"
+    Sidecar.writeString(s"$dir/stage/part-0.parquet", "x")
+    intercept[IllegalArgumentException] {
+      Sidecar.promoteTree(s"$dir/stage", s"$dir/live")
+    }
+    assert(Sidecar.readString(s"$dir/stage/part-0.parquet").contains("x"),
+      "a refused promote must leave the staging content untouched")
+
+    // an empty batch's staging (committer artifacts only) promotes to
+    // nothing and is dropped — the legitimate no-op
+    val dir2 = s"$root/strays2"
+    Sidecar.writeString(s"$dir2/stage/_SUCCESS", "")
+    Sidecar.promoteTree(s"$dir2/stage", s"$dir2/live")
+    assert(!Sidecar.exists(s"$dir2/stage"))
+  }
+
   test("an IVF layout publishes, guards, and appends on a non-file: scheme") {
     val emb = graft.sources.Tables(spark, sf0001).embeddings
     val base  = emb.filter(col("vec_id") % 5 =!= 0)

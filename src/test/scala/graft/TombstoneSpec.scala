@@ -167,6 +167,28 @@ class TombstoneSpec extends GraftSuite {
       "streaming replay markers must survive compaction")
   }
 
+  test("concurrent takedown batches: one batch's cleanup leaves another's in-flight staging intact") {
+    val (idx, path) = freshLayout()
+    import spark.implicits._
+    // another takedown mid-flight: its staging dir exists under the
+    // shared root when this batch's delete commits and cleans up
+    Seq(101L).toDF("id").coalesce(1)
+      .write.parquet(s"$path/_tombstones_staging/other-batch")
+    assert(Tombstones.delete(path, Seq(1L, 2L).toDF("vec_id"), "vec_id") == 2)
+    assert(graft.core.Sidecar.exists(s"$path/_tombstones_staging/other-batch"),
+      "a concurrent batch's staging must survive another batch's cleanup")
+    // the in-flight batch completes its own commit: both are visible
+    graft.core.Sidecar.renameDir(s"$path/_tombstones_staging/other-batch",
+      s"$path/_tombstones/other-batch")
+    val ids = Tombstones.ids(spark, path).get.collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 101L), s"both batches' tombstones visible, got $ids")
+
+    // with no concurrent batch, the shared staging root is tidied away
+    Tombstones.delete(path, Seq(3L).toDF("vec_id"), "vec_id")
+    assert(!graft.core.Sidecar.exists(s"$path/_tombstones_staging"),
+      "an uncontended delete removes the empty staging root")
+  }
+
   test("a staged (un-renamed) tombstone batch is invisible to readers") {
     val (idx, path) = freshLayout()
     import spark.implicits._
