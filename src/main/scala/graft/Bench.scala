@@ -79,7 +79,15 @@ object Bench {
     "q_ann_ivf_compact",
     // round 8: batch ADC kNN join — every query answered in one job
     // over 8-byte codes; LUTs ride the broadcast as columns
-    "q_ann_pq_topk_batch")
+    "q_ann_pq_topk_batch",
+    // round 9: compressed-tier incremental append (frozen-index encode,
+    // O(batch)) and the production IVF-PQ read path — probe-pruned ADC
+    // shortlist, then exact rerank of only the shortlisted raw vectors
+    "q_ann_ivfpq_incremental",
+    "q_ann_ivfpq_rerank",
+    // round 9: OPQ — learned-rotation PQ at identical code budget;
+    // warmup pays train (alternation + Procrustes) + codes publish
+    "q_pq_adc_opq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -67,6 +67,15 @@ object Pq {
     val sample = emb.orderBy(col(idCol)).limit(sampleRows)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    trainOn(sample, nsub, ksub, iters)
+  }
+
+  /** Driver-side half of [[train]] over an already-collected sample —
+    * shared with [[Opq.train]], which re-trains codebooks on rotated
+    * copies of the same sample inside its alternation loop.
+    */
+  private[pipeline] def trainOn(sample: Array[Array[Float]], nsub: Int, ksub: Int,
+      iters: Int): PqIndex = {
     val dim = sample(0).length
     require(dim % nsub == 0, s"dim $dim not divisible by nsub $nsub")
     val dsub = dim / nsub
@@ -100,7 +109,7 @@ object Pq {
     * in doubles) so driver-side training and the distributed encode
     * agree bit-for-bit.
     */
-  private def nearest(cents: Array[Array[Float]], x: Array[Float]): Int = {
+  private[pipeline] def nearest(cents: Array[Array[Float]], x: Array[Float]): Int = {
     var best = Double.PositiveInfinity; var bestC = 0
     var c = 0
     while (c < cents.length) {

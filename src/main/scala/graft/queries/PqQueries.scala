@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ivf, Pq}
+import graft.pipeline.{Ivf, Opq, Pq}
 import graft.sources.Tables
 
 /** Product-quantization gate queries: ADC top-k over a published codes
@@ -39,6 +39,8 @@ object PqQueries extends QueryModule {
     @volatile var ivfpqInc: Option[(Array[Array[Float]], Pq.PqIndex, Array[Array[Double]])] = None
     // (coarse centroids, codebooks, LUT) for the shortlist→rerank gate
     @volatile var rerank: Option[(Array[Array[Float]], Pq.PqIndex, Array[Array[Double]])] = None
+    // (trained OPQ index, rotated-query LUT) for the OPQ ADC gate
+    @volatile var opq: Option[(Opq.OpqIndex, Array[Array[Double]])] = None
   }
 
   /** Train + publish the codes table once per (application, dir) —
@@ -103,6 +105,20 @@ object PqQueries extends QueryModule {
       (coarse, pqi, path)
     }
 
+  /** Train + publish the OPQ codes table once per (application, dir) —
+    * same ingest-cost pattern as [[pqLayout]], with the learned
+    * rotation fused into the encode scan.
+    */
+  private def opqLayout(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Opq.OpqIndex, String) =
+    SessionPublish.once(s, s"opqcodes|$dir") {
+      val emb = Tables(s, dir).embeddings
+      val idx = Opq.train(s, emb, "vec_id", "embedding", NSUB, KSUB)
+      val path = SessionPublish.tempDir("graft-opq") + "/codes"
+      Opq.writeCodes(emb, "vec_id", "embedding", idx, path)
+      (idx, path)
+    }
+
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Array[Float] =
     Tables(s, dir).embeddings.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -155,6 +171,20 @@ object PqQueries extends QueryModule {
         l.zipWithIndex.toSeq.map { case (v, j) => s"($cell, $s, $j, ${dlit(v)})" }
       }
     }.mkString(",\n")
+
+  /** The rotated vector as a DOUBLE list: each output dim is the
+    * row·vector dot summed left-to-right in doubles (promoted float
+    * weights × promoted float elements — [[graft.functions.MatVec]]'s
+    * exact arithmetic) with ONE rounding through FLOAT, then promoted
+    * back to DOUBLE for the codes argmin.
+    */
+  private def rotatedSql(rot: Array[Array[Float]], src: String): String =
+    rot.map { row =>
+      val terms = row.zipWithIndex
+        .map { case (w, j) => s"${dlit(w.toDouble)} * $src[${j + 1}]" }
+        .mkString(" + ")
+      s"CAST(CAST(($terms) AS FLOAT) AS DOUBLE)"
+    }.mkString("[", ",\n", "]")
 
   /** The coarse centroid matrix as a FLOAT[][] literal — residual
     * re-derivation must subtract in FLOAT to reproduce the Spark
@@ -246,6 +276,36 @@ object PqQueries extends QueryModule {
            |lut(s, j, val) AS (VALUES
            |${lutValuesSql(lut)}),
            |${codesAdcSql(idx, "v")}""".stripMargin
+      }
+    ),
+
+    // ---- OPQ: ADC top-k over rotation-optimized codes ----
+    // The rotated tier at identical (nsub, ksub): the oracle re-derives
+    // the ROTATION itself (per-dim double dot, left-to-right, one
+    // float rounding — MatVec's exact arithmetic), then codes via the
+    // streamed argmin and the ADC score through the rotated-query LUT.
+    // Every stage of rotation → encode → score is bit-matched.
+    QueryDef(
+      "q_pq_adc_opq",
+      s"OPQ ADC top-10 (nsub=$NSUB, ksub=$KSUB): learned rotation, then PQ codes",
+      (s, dir) => {
+        val (idx, path) = opqLayout(s, dir)
+        val q = queryVec(s, dir)
+        State.opq = Some((idx, Opq.adcLut(idx, q)))
+        Opq.topKAdc(s, s.read.parquet(path), "vec_id", idx, q, k = 10,
+          pred = col("vec_id") =!= 0L)
+      },
+      Oracle.deferred {
+        val (idx, lut) = State.opq.getOrElse(throw new IllegalStateException(
+          "OPQ state not recorded — run q_pq_adc_opq before rendering its oracle"))
+        s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |           WHERE vec_id <> 0),
+           |v AS (SELECT vec_id, ${rotatedSql(idx.rotation, "e")} AS e FROM v0),
+           |cb(s, j, c2, entry) AS (VALUES
+           |${codebookValuesSql(idx.pq)}),
+           |lut(s, j, val) AS (VALUES
+           |${lutValuesSql(lut)}),
+           |${codesAdcSql(idx.pq, "v")}""".stripMargin
       }
     ),
 
