@@ -86,8 +86,11 @@ object Bench {
     "q_ann_ivfpq_incremental",
     "q_ann_ivfpq_rerank",
     // round 9: OPQ — learned-rotation PQ at identical code budget;
-    // warmup pays train (alternation + Procrustes) + codes publish
-    "q_pq_adc_opq")
+    // warmup pays train (alternation + Procrustes) + codes publish;
+    // the partitioned twin measures the rotation composed with file
+    // pruning (coarse cells in the rotated space)
+    "q_pq_adc_opq",
+    "q_ann_ivfpq_opq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -257,6 +257,112 @@ object Opq {
       .limit(k)
   }
 
+  // ---- OPQ in the partitioned IVF tier: rotate ONCE, then delegate —
+  // the FAISS `OPQd,IVFn,PQm` chain shape (public knowledge). The
+  // rotation is orthonormal, so euclidean/cosine structure is
+  // preserved: coarse centroids trained on R·v probe exactly as well
+  // as raw-space centroids, and every Pq read path works unchanged
+  // provided the query is rotated to match. The layout sidecar
+  // records the rotation fingerprint; [[Pq]]'s plain entry points
+  // REFUSE such layouts (unrotated-query LUTs over rotated-space
+  // codes score silent garbage — same guard class as residual/plain).
+
+  private[pipeline] def rotPrint(rotation: Array[Array[Float]]): String =
+    Pq.fingerprint(rotation.iterator.flatten)
+
+  /** `emb` with `vecCol` replaced by its rotation R·v (other columns
+    * untouched) — the one fused codegen'd step that moves a frame
+    * into the rotated space the whole compressed tier then operates
+    * in. Applied at publish, append, and (for batch search) to the
+    * query set; single-query reads rotate driver-side instead.
+    */
+  def rotatedFrame(emb: DataFrame, vecCol: String, index: OpqIndex): DataFrame = {
+    register(emb.sparkSession)
+    emb.withColumn(vecCol, rotate(col(vecCol), index.rotation))
+  }
+
+  /** Coarse quantizer trained in the ROTATED space. Distances are
+    * rotation-invariant, so recall characteristics match a raw-space
+    * coarse index; the centroids themselves live in R·v coordinates
+    * and every read rotates its query before probing.
+    */
+  def trainCoarse(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, index: OpqIndex, nlist: Int, iters: Int = 2,
+      maxTrainRows: Long = 1L << 20): Ivf.IvfIndex =
+    Ivf.train(spark, rotatedFrame(emb, vecCol, index), idCol, vecCol,
+      nlist, iters, maxTrainRows)
+
+  /** Publish the OPQ-rotated cell-partitioned codes layout —
+    * [[Pq.writePartitionedPq]] of the rotated frame (rotation fused
+    * into the same single encode scan), with the rotation fingerprint
+    * recorded in the sidecar so mismatched reads fail loud. `coarse`
+    * must be rotated-space ([[trainCoarse]]).
+    */
+  def writePartitionedOpq(emb: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.IvfIndex, index: OpqIndex, path: String): Unit =
+    Pq.writePartitionedPq(rotatedFrame(emb, vecCol, index), idCol, vecCol,
+      coarse, index.pq, path, extraMeta = Seq("rot" -> rotPrint(index.rotation)))
+
+  /** IVF-PQ search over an OPQ layout: rotate the query driver-side
+    * ([[MatVec]]'s exact arithmetic), then [[Pq.topKPartitionedPq]]'s
+    * mechanics verbatim — probe-cell partition pruning, 8-byte ADC,
+    * tombstone masking all compose with the rotation for free.
+    */
+  def topKPartitionedOpq(spark: SparkSession, path: String, idCol: String,
+      coarse: Ivf.IvfIndex, index: OpqIndex, query: Array[Float], k: Int,
+      nprobe: Int, pred: Column = lit(true)): DataFrame =
+    Pq.topKPartitionedPqChecked(spark, path, idCol, coarse, index.pq,
+      rotateDriver(index.rotation, query), k, nprobe, pred,
+      rot = Some(rotPrint(index.rotation)))
+
+  /** O(batch) incremental append into an OPQ layout: rotate + encode
+    * the batch with the FROZEN rotation/codebooks —
+    * [[Pq.appendPartitionedPq]]'s drift contract, measured in the
+    * rotated space (directly comparable to the publish-time
+    * `mean_recon`, which is rotated too).
+    */
+  def appendPartitionedOpq(newEmb: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.IvfIndex, index: OpqIndex, path: String): Pq.PqDrift =
+    Pq.appendPartitionedPqChecked(rotatedFrame(newEmb, vecCol, index), idCol,
+      vecCol, coarse, index.pq, path, residual = false,
+      rot = Some(rotPrint(index.rotation)))
+
+  /** Batch ADC kNN join over an OPQ layout: the query set rotates
+    * through ONE [[MatVec]] node (queries are DATA — rotation happens
+    * where the per-row LUTs are built), then [[Pq.topKBatchAdc]]'s
+    * exact mechanics: per-query [[graft.functions.PqLut]] LUTs, union
+    * of probed cell directories, narrow-triple rank shuffle. Codes
+    * and LUTs never shuffle; above broadcast budget, slab the query
+    * set exactly like [[Pq.topKBatchAdcSlabbed]] (one call per slab).
+    */
+  def topKBatchAdcOpq(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, coarse: Ivf.IvfIndex,
+      index: OpqIndex, k: Int, nprobe: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    Pq.checkPqLayout(path, coarse, index.pq, residual = false,
+      rot = Some(rotPrint(index.rotation)))
+    Pq.batchAdc(spark, path, rotatedFrame(queries, qVecCol, index), qIdCol,
+      qVecCol, idCol, coarse, index.pq, k, nprobe, pairFilter,
+      residual = false)
+  }
+
+  /** Production read path over an OPQ layout: probe-pruned rotated-
+    * space ADC shortlist, then EXACT cosine re-rank of only the
+    * shortlisted ids against the RAW corpus (cosine is rotation-
+    * invariant — the fetch-back never touches the rotation; the ids
+    * push into the corpus scan as a literal IN filter, zero shuffles).
+    */
+  def topKRerankPartitionedOpq(spark: SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String, coarse: Ivf.IvfIndex,
+      index: OpqIndex, query: Array[Float], k: Int, candidates: Int,
+      nprobe: Int, pred: Column = lit(true)): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val shortlist = topKPartitionedOpq(spark, path, idCol, coarse, index,
+      query, candidates, nprobe, pred)
+    val ids = shortlist.select(col(idCol)).collect().map(_.get(0)).toSeq
+    Pq.rerankFetch(corpus, idCol, vecCol, ids, query, k)
+  }
+
   /** Mean squared reconstruction error in the ROTATED space — directly
     * comparable to [[Pq.meanReconError]] on the raw vectors: the
     * rotation is orthonormal, so ||R·v − ŷ||² equals the original-space

@@ -258,7 +258,7 @@ object Pq {
   // coarse centroids AND codebooks produced it before anything reads
   private def metaPath(path: String) = s"$path/_ivfpq_meta.properties"
 
-  private def fingerprint(floats: Iterator[Float]): String = {
+  private[pipeline] def fingerprint(floats: Iterator[Float]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val bb = java.nio.ByteBuffer.allocate(4)
     floats.foreach { f => bb.clear(); bb.putFloat(f); md.update(bb.array()) }
@@ -277,7 +277,8 @@ object Pq {
     * primary corpus by id ([[topKRerank]]'s join shape).
     */
   def writePartitionedPq(emb: DataFrame, idCol: String, vecCol: String,
-      coarse: Ivf.IvfIndex, index: PqIndex, path: String): Unit = {
+      coarse: Ivf.IvfIndex, index: PqIndex, path: String,
+      extraMeta: Seq[(String, String)] = Nil): Unit = {
     register(emb.sparkSession)
     emb.select(col(idCol), encode(col(vecCol), index).as("codes"),
         Ivf.assign(col(vecCol), coarse).as("cell"))
@@ -287,7 +288,7 @@ object Pq {
         // publish-time quantization quality: the drift baseline
         // appended batches are judged against (one extra encode scan —
         // publish cost, like IVF's mean_dist)
-        "mean_recon" -> meanReconError(emb, vecCol, index).toString))
+        "mean_recon" -> meanReconError(emb, vecCol, index).toString) ++ extraMeta)
   }
 
   /** IVF-PQ search: probe-cell PARTITION filter (file pruning, exactly
@@ -297,8 +298,22 @@ object Pq {
     */
   def topKPartitionedPq(spark: SparkSession, path: String, idCol: String,
       coarse: Ivf.IvfIndex, index: PqIndex, query: Array[Float], k: Int,
-      nprobe: Int, pred: Column = lit(true)): DataFrame = {
-    checkPqLayout(path, coarse, index, residual = false)
+      nprobe: Int, pred: Column = lit(true)): DataFrame =
+    topKPartitionedPqChecked(spark, path, idCol, coarse, index, query, k,
+      nprobe, pred, rot = None)
+
+  /** [[topKPartitionedPq]] with an explicit rotation expectation —
+    * `rot = Some(fp)` is [[Opq]]'s entry (the query is ALREADY rotated
+    * and the layout must have been published with that rotation);
+    * `rot = None` refuses OPQ layouts (scoring a rotated-space codes
+    * table with an unrotated query's LUT is silent garbage, the exact
+    * class the sidecar guard exists for).
+    */
+  private[pipeline] def topKPartitionedPqChecked(spark: SparkSession,
+      path: String, idCol: String, coarse: Ivf.IvfIndex, index: PqIndex,
+      query: Array[Float], k: Int, nprobe: Int, pred: Column,
+      rot: Option[String]): DataFrame = {
+    checkPqLayout(path, coarse, index, residual = false, rot = rot)
     val probeCells = Ivf.probeOrder(coarse, query).take(nprobe)
     val lut = adcLut(index, query)
     Tombstones.applyTo(
@@ -309,8 +324,9 @@ object Pq {
       .limit(k)
   }
 
-  private def checkPqLayout(path: String, coarse: Ivf.IvfIndex, index: PqIndex,
-      residual: Boolean): Map[String, String] = {
+  private[pipeline] def checkPqLayout(path: String, coarse: Ivf.IvfIndex,
+      index: PqIndex, residual: Boolean,
+      rot: Option[String] = None): Map[String, String] = {
     val mp = metaPath(path)
     // bounded retry on missing: a republish-in-flight (delete→rename
     // on filesystems without atomic replace) must not surface as a
@@ -329,6 +345,21 @@ object Pq {
       s"IVF-PQ layout kind mismatch at $path: published residual=$isResidual but the read " +
         s"expects residual=$residual — raw-vector LUTs over residual codes (or the " +
         "reverse) score silent garbage; use the matching topKPartitionedPq variant")
+    // rotation kind guard: OPQ layouts store codes of R·v, so every
+    // read must present the SAME rotation (and rotate its query);
+    // plain reads must refuse them — unrotated-query LUTs over
+    // rotated-space codes score silent garbage, same class as the
+    // residual mismatch above
+    (rot, meta.get("rot")) match {
+      case (None, Some(fp)) => throw new IllegalArgumentException(
+        s"IVF-PQ layout at $path was published with an OPQ rotation (rot=$fp) — " +
+          "read it through the Opq entry points, which rotate the query to match")
+      case (Some(fp), stored) => require(stored.contains(fp),
+        s"OPQ rotation mismatch at $path: layout published with " +
+          s"rot=${stored.getOrElse("<none — plain PQ layout>")} but the read expects rot=$fp — " +
+          "republish after re-learning the rotation instead of mixing geometries")
+      case (None, None) => ()
+    }
     meta
   }
 
@@ -419,7 +450,7 @@ object Pq {
     }.reduce(_.unionAll(_))
   }
 
-  private def batchAdc(spark: SparkSession, path: String, queries: DataFrame,
+  private[pipeline] def batchAdc(spark: SparkSession, path: String, queries: DataFrame,
       qIdCol: String, qVecCol: String, idCol: String,
       coarse: Ivf.IvfIndex, index: PqIndex, k: Int, nprobe: Int,
       pairFilter: Column, residual: Boolean): DataFrame = {
@@ -536,8 +567,18 @@ object Pq {
     */
   def appendPartitionedPq(newEmb: DataFrame, idCol: String, vecCol: String,
       coarse: Ivf.IvfIndex, index: PqIndex, path: String,
-      residual: Boolean = false): PqDrift = {
-    val meta = checkPqLayout(path, coarse, index, residual)
+      residual: Boolean = false): PqDrift =
+    appendPartitionedPqChecked(newEmb, idCol, vecCol, coarse, index, path,
+      residual, rot = None)
+
+  /** [[appendPartitionedPq]] with an explicit rotation expectation —
+    * [[Opq.appendPartitionedOpq]]'s entry (the batch is ALREADY
+    * rotated); `rot = None` refuses OPQ layouts.
+    */
+  private[pipeline] def appendPartitionedPqChecked(newEmb: DataFrame,
+      idCol: String, vecCol: String, coarse: Ivf.IvfIndex, index: PqIndex,
+      path: String, residual: Boolean, rot: Option[String]): PqDrift = {
+    val meta = checkPqLayout(path, coarse, index, residual, rot)
     encoded(newEmb, idCol, vecCol, coarse, index, residual)
       .write.mode("append").partitionBy("cell").parquet(path)
     driftOf(meta, meanReconError(newEmb, vecCol, index, if (residual) Some(coarse) else None))
@@ -626,12 +667,24 @@ object Pq {
         topKPartitionedPq(spark, path, idCol, coarse, index, query,
           candidates, nprobe, pred)
     val ids = shortlist.select(col(idCol)).collect().map(_.get(0)).toSeq
+    rerankFetch(corpus, idCol, vecCol, ids, query, k)
+  }
+
+  /** Exact-cosine fetch-back over a driver-bounded candidate id list —
+    * the shared rerank tail of [[topKRerankPartitionedPq]] and
+    * [[Opq.topKRerankPartitionedOpq]] (cosine is rotation-invariant,
+    * so the OPQ path reranks RAW corpus vectors against the RAW
+    * query even though its shortlist came from rotated-space ADC).
+    * The ids push into the corpus scan as a literal IN filter: zero
+    * shuffles, zero joins (PqSpec pins `PushedFilters: In`).
+    */
+  private[pipeline] def rerankFetch(corpus: DataFrame, idCol: String,
+      vecCol: String, ids: Seq[Any], query: Array[Float], k: Int): DataFrame =
     corpus.filter(col(idCol).isin(ids: _*))
       .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"))
-  }
 
   /** Batch form of [[topKRerankPartitionedPq]]: ADC shortlists for
     * EVERY query of a set ([[topKBatchAdc]] at k = `candidates`), then

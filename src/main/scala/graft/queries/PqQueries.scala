@@ -41,6 +41,10 @@ object PqQueries extends QueryModule {
     @volatile var rerank: Option[(Array[Array[Float]], Pq.PqIndex, Array[Array[Double]])] = None
     // (trained OPQ index, rotated-query LUT) for the OPQ ADC gate
     @volatile var opq: Option[(Opq.OpqIndex, Array[Array[Double]])] = None
+    // (rotated-space coarse centroids, OPQ index, rotated-query LUT)
+    // for the OPQ partitioned-tier gate
+    @volatile var ivfpqOpq: Option[(Array[Array[Float]], Opq.OpqIndex,
+      Array[Array[Double]])] = None
   }
 
   /** Train + publish the codes table once per (application, dir) —
@@ -117,6 +121,21 @@ object PqQueries extends QueryModule {
       val path = SessionPublish.tempDir("graft-opq") + "/codes"
       Opq.writeCodes(emb, "vec_id", "embedding", idx, path)
       (idx, path)
+    }
+
+  /** OPQ in the partitioned tier: learned rotation, then coarse cells
+    * AND codebooks trained in the ROTATED space, one rotation-guarded
+    * layout — once per (application, dir).
+    */
+  private def ivfPqOpqLayout(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Ivf.IvfIndex, Opq.OpqIndex, String) =
+    SessionPublish.once(s, s"ivfpqopq|$dir") {
+      val emb = Tables(s, dir).embeddings
+      val idx = Opq.train(s, emb, "vec_id", "embedding", NSUB, KSUB)
+      val coarse = Opq.trainCoarse(s, emb, "vec_id", "embedding", idx, nlist = 8)
+      val path = SessionPublish.tempDir("graft-ivfpq-opq") + "/layout"
+      Opq.writePartitionedOpq(emb, "vec_id", "embedding", coarse, idx, path)
+      (coarse, idx, path)
     }
 
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Array[Float] =
@@ -306,6 +325,42 @@ object PqQueries extends QueryModule {
            |lut(s, j, val) AS (VALUES
            |${lutValuesSql(lut)}),
            |${codesAdcSql(idx.pq, "v")}""".stripMargin
+      }
+    ),
+
+    // ---- OPQ composed into the partitioned tier: the production
+    // shape of the learned rotation. Coarse cells AND codebooks live
+    // in the rotated space; the read rotates its query driver-side
+    // and then file pruning × byte shrinking compose unchanged. The
+    // oracle re-derives the ROTATION of every corpus vector in SQL,
+    // then the coarse argmin, the probe list (from the rotated
+    // query), the codes, and the ADC scores — the full composed
+    // approximate path, bit-for-bit.
+    QueryDef(
+      "q_ann_ivfpq_opq",
+      "OPQ IVF-PQ top-10: learned rotation, probe 2/8 rotated-space cells, ADC",
+      (s, dir) => {
+        val (coarse, idx, path) = ivfPqOpqLayout(s, dir)
+        val q = queryVec(s, dir)
+        State.ivfpqOpq = Some((coarse.centroids, idx, Opq.adcLut(idx, q)))
+        Opq.topKPartitionedOpq(s, path, "vec_id", coarse, idx, q, k = 10,
+          nprobe = 2, pred = col("vec_id") =!= 0L)
+      },
+      Oracle.deferred {
+        val (cents, idx, lut) = State.ivfpqOpq.getOrElse(throw new IllegalStateException(
+          "OPQ IVF-PQ state not recorded — run q_ann_ivfpq_opq before rendering its oracle"))
+        s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |vr AS (SELECT vec_id, ${rotatedSql(idx.rotation, "e")} AS e FROM v0),
+           |a AS (SELECT vec_id, e, ${argminSql(cents, "e")} AS cell FROM vr),
+           |q AS (SELECT e AS qv FROM vr WHERE vec_id = 0),
+           |p AS (SELECT ${probeListSql(cents, 2, euclidDistSql, "qv")} AS probes FROM q),
+           |v AS (SELECT a.vec_id, a.e, a.cell FROM a, p
+           |      WHERE a.vec_id <> 0 AND list_contains(p.probes, a.cell)),
+           |cb(s, j, c2, entry) AS (VALUES
+           |${codebookValuesSql(idx.pq)}),
+           |lut(s, j, val) AS (VALUES
+           |${lutValuesSql(lut)}),
+           |${codesAdcSql(idx.pq, "v", carry = Seq("cell"))}""".stripMargin
       }
     ),
 
