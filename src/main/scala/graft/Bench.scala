@@ -90,7 +90,9 @@ object Bench {
     // the partitioned twin measures the rotation composed with file
     // pruning (coarse cells in the rotated space)
     "q_pq_adc_opq",
-    "q_ann_ivfpq_opq")
+    "q_ann_ivfpq_opq",
+    "q_sq8_topk",
+    "q_ann_ivfsq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

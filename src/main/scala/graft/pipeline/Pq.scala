@@ -789,7 +789,13 @@ object Pq {
       case Some(cq) => residualCol(col(vecCol), Ivf.assign(col(vecCol), cq), cq)
       case None     => col(vecCol)
     }
-    emb.select(reconError(v, encode(v, index), index).as("e"))
+    // alias barrier: inlining decode(encode(v)) duplicates the encode
+    // tree (with its nsub·ksub·dsub codebook literals) into each of
+    // decode's nsub lookups — same dim^2 blowup [[Sq.meanReconError]]
+    // hit at dim 64; the projection split keeps the tree linear
+    emb.select(v.as("v"))
+      .select(col("v"), encode(col("v"), index).as("codes"))
+      .select(reconError(col("v"), col("codes"), index).as("e"))
       .agg(avg(col("e"))).head().getDouble(0)
   }
 }

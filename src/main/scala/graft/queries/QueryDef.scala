@@ -56,6 +56,7 @@ object Catalog {
     DedupQueries,
     SimilarityQueries,
     PqQueries,
+    SqQueries,
     TextQueries,
     MultimodalQueries,
     AnalyticsQueries,
