@@ -149,6 +149,44 @@ object DedupQueries extends QueryModule {
               |SELECT da, db, jac FROM pairs WHERE da % 7 = 3 OR db % 7 = 3""".stripMargin)
     ),
 
+    // ---- STREAMING near-dup ingestion: base publish + streamed
+    // batches under the staged-marker exactly-once protocol. The
+    // store's invariant IS the oracle: after streaming any split in
+    // any batch order, the pairs table equals the one-shot full-corpus
+    // mine (each pair surfaces exactly once, when its later endpoint
+    // arrives) — so the oracle is the SAME SQL as q_dedup_minhash_lsh,
+    // now also proving no pair is lost or duplicated across the
+    // publish/append/promote machinery ----
+    QueryDef(
+      "q_dedup_stream",
+      "streamed near-dup pairs (base + 2 micro-batches) == one-shot full mine",
+      (s, dir) => {
+        val root = SessionPublish.once(s, "dedupstream|" + dir) {
+          val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+          val base = docs.filter(col("doc_id") % 7 =!= 3)
+          val b1 = docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 2 === 0)
+          val b2 = docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 2 =!= 0)
+          val p = graft.streaming.DedupStream.Params(0.7)
+          val root = SessionPublish.tempDir("graft-dedup-stream") + "/store"
+          graft.streaming.DedupStream.publish(base, "doc_id", col("text"), p, root)
+          val srcDir = SessionPublish.tempDir("graft-dedup-stream-src")
+          val ckpt = SessionPublish.tempDir("graft-dedup-stream-ckpt")
+          b1.coalesce(1).write.mode("append").parquet(srcDir)
+          b2.coalesce(1).write.mode("append").parquet(srcDir)
+          // maxFilesPerTrigger=1 forces one micro-batch per file — the
+          // multi-batch path is what the gate exists to prove
+          graft.streaming.DedupStream.ingestDocuments(s, srcDir, docs.schema,
+            "doc_id", "text", p, root, ckpt, maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+          root
+        }
+        s.read.parquet(graft.streaming.DedupStream.pairsPath(root))
+          .select(col("da"), col("db"), col("jac"))
+      },
+      Some(s"""WITH ${lshPairsCtes(0.7)}
+              |SELECT da, db, jac FROM pairs""".stripMargin)
+    ),
+
     // ---- near-dup clustering: pairs -> transitive groups -> one
     // canonical survivor per group (the step after pair mining that
     // actually decides keep/drop; pairs alone over-delete chains) ----

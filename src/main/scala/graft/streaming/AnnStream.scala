@@ -67,18 +67,7 @@ object AnnStream {
     legacy ++ Sidecar.listNames(markerDir(layout)).map(fileToKey)
   }
 
-  private def batchKey(checkpointDir: String, id: Long): String =
-    s"${graft.queries.SessionPublish.token(checkpointDir)}:$id"
-
-  // ':' is not legal inside a Hadoop Path segment — marker files use
-  // '_' (the token is hex, so the mapping is unambiguous)
-  private def keyToFile(key: String): String = key.replace(':', '_')
-  private def fileToKey(name: String): String = name.replace('_', ':')
-
-  private def isApplied(layout: String, key: String): Boolean =
-    Sidecar.exists(s"${markerDir(layout)}/${keyToFile(key)}") ||
-      Sidecar.readString(legacyAppliedPath(layout))
-        .exists(_.linesIterator.contains(key))
+  private def fileToKey(name: String): String = StagedCommit.fileToKey(name)
 
   /** One micro-batch under the staged commit protocol above. Returns
     * the drift report, or None for a replay — including the
@@ -95,21 +84,11 @@ object AnnStream {
     * above holds for any stager that writes `cell=N/` subdirs.
     */
   private def committed[A](layoutPath: String, checkpointDir: String,
-      batchId: Long)(stage: String => A): Option[A] = {
-    val key = batchKey(checkpointDir, batchId)
-    val staging = s"${stagingDir(layoutPath)}/${keyToFile(key)}"
-    if (isApplied(layoutPath, key)) {
-      // crashed between marker and promote: complete the move
-      Ivf.promoteStaged(layoutPath, staging)
-      None
-    } else {
-      // a crash mid-stage leaves partial files; overwrite restages
-      val result = stage(staging)
-      Sidecar.writeString(s"${markerDir(layoutPath)}/${keyToFile(key)}", "")
-      Ivf.promoteStaged(layoutPath, staging)
-      Some(result)
-    }
-  }
+      batchId: Long)(stage: String => A): Option[A] =
+    StagedCommit.run(markerDir(layoutPath), stagingDir(layoutPath), layoutPath,
+      checkpointDir, batchId,
+      alsoApplied = key => Sidecar.readString(legacyAppliedPath(layoutPath))
+        .exists(_.linesIterator.contains(key)))(stage)
 
   def appendBatch(batch: org.apache.spark.sql.DataFrame, checkpointDir: String,
       batchId: Long, vecCol: String, index: Ivf.IvfIndex,
