@@ -52,6 +52,28 @@ object SimilarityQueries extends QueryModule {
       (idx, path)
     }
 
+  /** Versioned layout root: v1 published from HALF the corpus, v2
+    * from all of it, each a complete cell-partitioned layout under
+    * `v=N/` with the `_current` pointer flipped per publish
+    * ([[graft.core.Versions]]) — once per (application, dir). The
+    * gate resolves the pointer and must land on v2 COMPLETE.
+    */
+  private def versionedIvfLayout(s: org.apache.spark.sql.SparkSession,
+      dir: String): (graft.pipeline.Ivf.IvfIndex, String) =
+    SessionPublish.once(s, s"ivfversioned|$dir") {
+      val emb = Tables(s, dir).embeddings
+      val idx = graft.pipeline.Ivf.train(s, emb, "vec_id", "embedding", nlist = 8)
+      val root = SessionPublish.tempDir("graft-ivf-versions") + "/root"
+      graft.core.Versions.publish(root) { d =>
+        graft.pipeline.Ivf.writePartitioned(
+          emb.filter(col("vec_id") % 2 === 0), "embedding", idx, d)
+      }
+      graft.core.Versions.publish(root) { d =>
+        graft.pipeline.Ivf.writePartitioned(emb, "embedding", idx, d)
+      }
+      (idx, root)
+    }
+
   /** Incremental-ingestion layout: train + publish on the BASE corpus
     * (vec_id % 5 != 0 besides the query vector), then APPEND the
     * batch (vec_id % 5 = 0, vec_id != 0) with the base-trained
@@ -379,6 +401,33 @@ object SimilarityQueries extends QueryModule {
       "IVF top-10 over the cell-partitioned published corpus, probe all cells (≡ brute force)",
       (s, dir) => {
         val (idx, path) = ivfLayout(s, dir, nlist = 8)
+        graft.pipeline.Ivf.topKPartitioned(s, path, "vec_id", "embedding",
+          idx, queryVec(s, dir), k = 10, nprobe = idx.nlist,
+          pred = col("vec_id") =!= 0L)
+          .drop("cell")
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /
+             |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(qv, qv))), 6) AS cos
+             |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ---- versioned republish: retrain/republish swaps ATOMICALLY
+    // under live readers via a v=N/_current pointer root
+    // (graft.core.Versions). v1 holds half the corpus, v2 all of it;
+    // the read resolves the pointer once and probes the resolved
+    // layout — landing on v2 complete, never a half-written mix, so
+    // probe-all ≡ brute force over the FULL corpus is an exact
+    // oracle (a torn read could not produce it) ----
+    QueryDef(
+      "q_ann_ivf_versioned",
+      "IVF top-10 over the LIVE version (v2 of 2) of a versioned layout root",
+      (s, dir) => {
+        val (idx, root) = versionedIvfLayout(s, dir)
+        val path = graft.core.Versions.currentPath(root).getOrElse(
+          throw new IllegalStateException(s"no live version at $root"))
         graft.pipeline.Ivf.topKPartitioned(s, path, "vec_id", "embedding",
           idx, queryVec(s, dir), k = 10, nprobe = idx.nlist,
           pred = col("vec_id") =!= 0L)
