@@ -24,6 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(NearestCell.NAME),
       new ExpressionInfo(classOf[NearestCell].getName, NearestCell.NAME),
       (exprs: Seq[Expression]) => NearestCell(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(NearestCells.NAME),
+      new ExpressionInfo(classOf[NearestCells].getName, NearestCells.NAME),
+      (exprs: Seq[Expression]) => NearestCells(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(MatVec.NAME),
+      new ExpressionInfo(classOf[MatVec].getName, MatVec.NAME),
+      (exprs: Seq[Expression]) => MatVec(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(PqLut.NAME),
+      new ExpressionInfo(classOf[PqLut].getName, PqLut.NAME),
+      (exprs: Seq[Expression]) => PqLut(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.EliminateUnusedUniqueJoin)
   }
 }

@@ -328,6 +328,25 @@ object Ivf {
       .foreach(graft.core.Sidecar.writeString(s"$dstPath/_ivf_applied_batches", _))
   }
 
+  /** [[compactPartitioned]] composed with [[graft.core.Versions]]:
+    * compact the LIVE version of a versioned layout root into the
+    * NEXT version dir and flip the pointer — the publish-then-swap
+    * the compaction contract prescribes, with the swap actually
+    * atomic for readers (no "flip readers by hand" step). The source
+    * version stays on disk for in-flight reads until
+    * [[graft.core.Versions.retire]] collects it. Returns the new
+    * live version number.
+    */
+  def compactVersioned(spark: SparkSession, root: String, idCol: String,
+      maxRecordsPerFile: Long = 1L << 22): Long = {
+    val src = graft.core.Versions.currentPath(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no live version at $root — publish a layout through Versions first"))
+    graft.core.Versions.publish(root) { dst =>
+      compactPartitioned(spark, src, dst, idCol, maxRecordsPerFile)
+    }
+  }
+
   /** Search over a published cell-partitioned corpus. The probe-cell
     * filter is a PARTITION filter — only the probed directories are
     * listed and read (IvfSpec pins selectedPartitions == nprobe) — and

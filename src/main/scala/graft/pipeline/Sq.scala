@@ -274,6 +274,24 @@ object Sq {
     Pq.PqDrift(meta.get("mean_recon").map(_.toDouble).getOrElse(batchMean), batchMean)
   }
 
+  /** Transactional half of [[appendPartitionedSq]]: stage the batch's
+    * cell-partitioned code files invisibly; promoting them live is
+    * [[graft.streaming.AnnStream]]'s marker-keyed exactly-once
+    * protocol — the SQ leg of the same staged-commit story as
+    * [[Pq.stagePartitionedPq]].
+    */
+  def stagePartitionedSq(newEmb: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.IvfIndex, index: SqIndex, layoutPath: String,
+      stagingPath: String): Pq.PqDrift = {
+    val meta = checkSqLayout(layoutPath, coarse, index)
+    graft.functions.NearestCell.register(newEmb.sparkSession)
+    newEmb.select(col(idCol), encode(col(vecCol), index).as("codes"),
+        Ivf.assign(col(vecCol), coarse).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stagingPath)
+    val batchMean = meanReconError(newEmb, vecCol, index)
+    Pq.PqDrift(meta.get("mean_recon").map(_.toDouble).getOrElse(batchMean), batchMean)
+  }
+
   /** Production read path: probe-pruned SQ shortlist, then EXACT
     * cosine re-rank of only the shortlisted ids against the raw
     * corpus — [[Pq.topKRerankPartitionedPq]]'s shape (candidate ids

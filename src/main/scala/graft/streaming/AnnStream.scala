@@ -113,6 +113,21 @@ object AnnStream {
         layoutPath, staging, residual)
     }
 
+  /** [[appendBatch]] for the SQ8 tier: the batch is scalar-quantized
+    * (frozen per-dim ranges + coarse centroids, geometry verified
+    * against the sidecar) and its dim-byte codes land in the published
+    * IVF-SQ layout under the same exactly-once protocol — the third
+    * leg of the streaming ingestion story (raw, PQ, SQ).
+    */
+  def appendBatchSq(batch: org.apache.spark.sql.DataFrame, checkpointDir: String,
+      batchId: Long, idCol: String, vecCol: String, coarse: Ivf.IvfIndex,
+      index: graft.pipeline.Sq.SqIndex,
+      layoutPath: String): Option[graft.pipeline.Pq.PqDrift] =
+    committed(layoutPath, checkpointDir, batchId) { staging =>
+      graft.pipeline.Sq.stagePartitionedSq(batch, idCol, vecCol, coarse, index,
+        layoutPath, staging)
+    }
+
   /** Watch `srcDir` for embedding parquet files and append each
     * micro-batch into the layout at `layoutPath` (published by
     * [[Ivf.writePartitioned]] with `index` — the sidecar fingerprint
@@ -152,6 +167,27 @@ object AnnStream {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         appendBatchPq(batch, checkpointDir, batchId, idCol, vecCol, coarse, index,
           layoutPath, residual)
+          .foreach(onDrift(batchId, _))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** [[appendEmbeddings]] into a published IVF-SQ layout: micro-batches
+    * are scalar-quantized with the frozen geometry and appended as
+    * dim-byte codes — streaming ingestion for the 4x tier, same
+    * explicit schema, same marker-keyed exactly-once commit.
+    */
+  def appendEmbeddingsSq(spark: SparkSession, srcDir: String, schema: StructType,
+      idCol: String, vecCol: String, coarse: Ivf.IvfIndex,
+      index: graft.pipeline.Sq.SqIndex, layoutPath: String, checkpointDir: String,
+      onDrift: (Long, graft.pipeline.Pq.PqDrift) => Unit = (_, _) => ()): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        appendBatchSq(batch, checkpointDir, batchId, idCol, vecCol, coarse, index,
+          layoutPath)
           .foreach(onDrift(batchId, _))
       }
       .option("checkpointLocation", checkpointDir)

@@ -150,6 +150,43 @@ class SqSpec extends GraftSuite {
     }
   }
 
+  test("streamed SQ batches surface exactly under the marker-keyed commit") {
+    val emb = graft.sources.Tables(spark, sf001).embeddings
+    val base  = emb.filter(col("vec_id") % 4 =!= 0 || col("vec_id") === 0L)
+    val batch = emb.filter(col("vec_id") % 4 === 0 && col("vec_id") =!= 0L)
+    val coarse = Ivf.train(spark, base, "vec_id", "embedding", nlist = 8)
+    val idx = Sq.train(spark, base, "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    val layout = java.nio.file.Files.createTempDirectory("sq-stream").toString + "/layout"
+    Sq.writePartitionedSq(base, "vec_id", "embedding", coarse, idx, layout)
+    val srcDir = java.nio.file.Files.createTempDirectory("sq-stream-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sq-stream-ckpt").toString
+    batch.write.mode("append").parquet(srcDir)
+
+    graft.streaming.AnnStream.appendEmbeddingsSq(spark, srcDir, emb.schema,
+        "vec_id", "embedding", coarse, idx, layout, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(layout).count() == emb.count(),
+      "every streamed vector appended once")
+    // replay is a no-op
+    assert(graft.streaming.AnnStream.appendBatchSq(batch, ckpt, 0L, "vec_id",
+      "embedding", coarse, idx, layout).isEmpty)
+    assert(spark.read.parquet(layout).count() == emb.count())
+
+    // probe-all over the streamed layout == fresh publish of the union
+    val fresh = java.nio.file.Files.createTempDirectory("sq-fresh").toString + "/layout"
+    Sq.writePartitionedSq(emb, "vec_id", "embedding", coarse, idx, fresh)
+    val n = emb.count().toInt
+    val got = Sq.topKPartitionedSq(spark, layout, "vec_id", coarse, idx, q,
+      k = n, nprobe = coarse.nlist).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Sq.topKPartitionedSq(spark, fresh, "vec_id", coarse, idx, q,
+      k = n, nprobe = coarse.nlist).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq,
+      "streamed layout must score row-identically to a fresh publish of the union")
+  }
+
   test("rerank at probe-all/full candidates is the brute-force cosine top-k") {
     val emb = graft.sources.Tables(spark, sf001).embeddings
     val coarse = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 4)

@@ -78,6 +78,39 @@ class VersionsSpec extends GraftSuite {
     assert(Versions.current(root).contains(3L))
   }
 
+  test("compactVersioned: deletes purge into the next version; the live flip is the swap") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables(spark, sf001).embeddings
+    val idx = graft.pipeline.Ivf.train(spark, emb, "vec_id", "embedding", nlist = 4)
+    val root = newRoot()
+    Versions.publish(root)(d => graft.pipeline.Ivf.writePartitioned(emb, "embedding", idx, d))
+    val v1 = Versions.currentPath(root).get
+
+    val doomed = emb.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+    val nDoomed = graft.pipeline.Tombstones.delete(v1, doomed, "vec_id")
+    assert(nDoomed > 0)
+
+    val v2 = graft.pipeline.Ivf.compactVersioned(spark, root, "vec_id")
+    assert(v2 == 2L && Versions.current(root).contains(2L))
+    val live = Versions.currentPath(root).get
+    assert(spark.read.parquet(live).count() == emb.count() - nDoomed,
+      "the compacted live version physically purged the tombstoned rows")
+    // the old version is untouched (still tombstone-masked, not purged)
+    assert(spark.read.parquet(v1).count() == emb.count(),
+      "the superseded version's files are intact for in-flight readers")
+    // search over the live version == fresh publish of the survivors
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val fresh = java.nio.file.Files.createTempDirectory("cmpv-fresh").toString + "/layout"
+    graft.pipeline.Ivf.writePartitioned(
+      emb.filter(col("vec_id") % 10 =!= 7), "embedding", idx, fresh)
+    val got = graft.pipeline.Ivf.topKPartitioned(spark, live, "vec_id", "embedding",
+      idx, q, 10, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    val want = graft.pipeline.Ivf.topKPartitioned(spark, fresh, "vec_id", "embedding",
+      idx, q, 10, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
   test("a reader racing 40 republishes always sees a complete version") {
     val root = newRoot()
     Versions.publish(root)(d => Sidecar.writeString(s"$d/data.txt", "payload v1 ok"))
