@@ -260,9 +260,19 @@ object Dedup {
     * keeps exactly one doc per transitive near-dup group. Near-dup
     * graphs are quasi-cliques, so convergence is 2-3 rounds at any
     * corpus size.
+    *
+    * Execution: VERIFIED pair sets are usually driver-small (the same
+    * observation [[nearDuplicatesIncremental]]'s candidate path rides
+    * on), and each HashMin round costs two shuffle jobs — fixed
+    * driver latency that dwarfs the actual work at realistic pair
+    * counts. So up to `maxDriverPairs` the components come from a
+    * driver-side union-find over the collected pairs (identical
+    * result: canonical = min member, DedupScaleSpec pins equality);
+    * above the cap, or for id types without a driver ordering, the
+    * distributed HashMin loop runs as before.
     */
   def clusterPairs(pairs: DataFrame, a: String = "da", b: String = "db",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, maxDriverPairs: Int = 200000): DataFrame = {
     // materialize the (possibly expensive) pair-mining plan ONCE: both
     // the node list and the propagation edges derive from it, and the
     // HashMin loop re-reads it every round. Explicit persist (not
@@ -278,15 +288,75 @@ object Dedup {
     // (verification-heavy) stage once EACH — measured ~2x the mine's
     // post-shuffle cost on the clustering bench line. One count of
     // the (tiny) pair set pins the blocks before anything forks.
-    edges.count()
-    val ids = edges.select(col("u").as("id"))
-      .unionAll(edges.select(col("v").as("id"))).distinct()
-    val comp = graft.operators.Components.minLabel(ids, edges, maxIters)
-      .select(col("id"), col("component").as("canonical"))
-    // minLabel materialized its final round before returning; the
-    // mined pairs are no longer read by the result plan's hot path
-    edges.unpersist(blocking = false)
-    comp
+    val n = edges.count()
+    val idType = pairs.schema(a).dataType
+    val orderable = idType match {
+      case _: org.apache.spark.sql.types.LongType | _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (n <= maxDriverPairs && orderable) {
+      // driver fast path: the cache makes this collect a block fetch,
+      // and union-find replaces O(rounds) two-shuffle jobs with
+      // microseconds of driver work
+      val taken = try edges.collect() finally edges.unpersist(blocking = false)
+      val spark = pairs.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("canonical", idType, nullable = false)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(unionFind(taken).map(org.apache.spark.sql.Row.fromTuple): _*),
+        schema)
+    } else {
+      val ids = edges.select(col("u").as("id"))
+        .unionAll(edges.select(col("v").as("id"))).distinct()
+      val comp = graft.operators.Components.minLabel(ids, edges, maxIters)
+        .select(col("id"), col("component").as("canonical"))
+      // minLabel materialized its final round before returning; the
+      // mined pairs are no longer read by the result plan's hot path
+      edges.unpersist(blocking = false)
+      comp
+    }
+  }
+
+  /** Driver union-find over collected (u, v) pairs: (id, min member
+    * of its component) for every endpoint — the exact rows
+    * [[graft.operators.Components.minLabel]] computes distributedly.
+    */
+  private def unionFind(rows: Array[org.apache.spark.sql.Row]): Array[(Any, Any)] = {
+    import scala.collection.mutable
+    val idx = mutable.HashMap.empty[Any, Int]
+    val vals = mutable.ArrayBuffer.empty[Any]
+    val parent = mutable.ArrayBuffer.empty[Int]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, {
+      vals += x; parent += parent.length; parent.length - 1
+    })
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    rows.foreach { r =>
+      val (u, v) = (find(intern(r.get(0))), find(intern(r.get(1))))
+      if (u != v) parent(math.max(u, v)) = math.min(u, v)
+    }
+    // canonical = the component's minimum VALUE (not index order)
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (p: Long, q: Long)     => p < q
+      case (p: Int, q: Int)       => p < q
+      case (p: Short, q: Short)   => p < q
+      case (p: String, q: String) => p.compareTo(q) < 0
+      case _ => throw new IllegalStateException(s"unorderable id ${x.getClass}")
+    }
+    val minOf = mutable.HashMap.empty[Int, Any]
+    vals.indices.foreach { i =>
+      val r = find(i)
+      val v = vals(i)
+      if (!minOf.contains(r) || lt(v, minOf(r))) minOf(r) = v
+    }
+    vals.indices.map(i => (vals(i), minOf(find(i)))).toArray
   }
 
   /** Benchmark decontamination: training documents sharing at least

@@ -66,4 +66,25 @@ class DedupScaleSpec extends GraftSuite {
     if (got.nonEmpty) // near pair mined => 20002 follows 20001
       assert(canonical.filter(col("id") === 20002L).head().getLong(1) == 20001L)
   }
+
+  test("clusterPairs: driver union-find == distributed HashMin, row for row") {
+    val pairs = Dedup.nearDuplicates(
+      graft.sources.Tables(spark, "/root/testdata/sf0.001").documents,
+      "doc_id", col("text"), 0.5)
+    val fast = Dedup.clusterPairs(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distributed = Dedup.clusterPairs(pairs, maxDriverPairs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.nonEmpty, "the 0.5-threshold mine must produce clusters to compare")
+    assert(fast == distributed,
+      "the union-find fast path must reproduce the HashMin components exactly")
+
+    // chain shape (A-B, B-C without A-C): transitivity + min-member
+    // canonicals survive the fast path
+    val chain = spark.createDataFrame(Seq((5L, 3L), (3L, 9L), (20L, 30L)))
+      .toDF("da", "db")
+    val got = Dedup.clusterPairs(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 30L -> 20L))
+  }
 }
