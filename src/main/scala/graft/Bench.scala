@@ -92,7 +92,8 @@ object Bench {
     "q_pq_adc_opq",
     "q_ann_ivfpq_opq",
     "q_sq8_topk",
-    "q_ann_ivfsq")
+    "q_ann_ivfsq",
+    "q_ann_sq_topk_batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -734,7 +734,25 @@ object Pq {
       queries: DataFrame, qIdCol: String, qVecCol: String, idCol: String,
       vecCol: String, coarse: Ivf.IvfIndex, index: PqIndex, k: Int,
       targetRecall: Double, maxCandidates: Int = 1 << 12,
-      pairFilter: Column = lit(true)): AdcTuning = {
+      pairFilter: Column = lit(true)): AdcTuning =
+    tuneShortlistRerank(spark, corpus, queries, qIdCol, qVecCol, idCol, vecCol,
+      k, targetRecall, maxCandidates, pairFilter, coarse.nlist) { (np, cand) =>
+      topKBatchAdcRerank(spark, path, corpus, queries, qIdCol, qVecCol, idCol,
+        vecCol, coarse, index, k, cand, np, pairFilter)
+    }
+
+  /** The grid harness of [[tuneAdcRerank]], parameterized over the
+    * approximate read path so every shortlist+rerank tier (PQ ADC,
+    * [[Sq]] — which delegates here) tunes identically: exact leg
+    * computed once, nprobe doubling outer / candidates doubling
+    * inner, first (np, cand) meeting `targetRecall` wins, best
+    * measured returned when the cap is reached.
+    */
+  private[pipeline] def tuneShortlistRerank(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String, idCol: String,
+      vecCol: String, k: Int, targetRecall: Double, maxCandidates: Int,
+      pairFilter: Column, maxNprobe: Int)(
+      approx: (Int, Int) => DataFrame): AdcTuning = {
     graft.functions.CosineSim.register(spark)
     val qvecs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
     // exact ground truth: brute-force cosine top-k per sample query —
@@ -753,25 +771,23 @@ object Pq {
     try {
       if (queries.isEmpty) return AdcTuning(1, k, 1.0) // vacuous: nothing to tune
       require(!exact.isEmpty,
-        "tuneAdcRerank: the exact ground-truth leg is empty for a non-empty " +
+        "tuneShortlistRerank: the exact ground-truth leg is empty for a non-empty " +
           "query sample — nothing to measure recall against")
-      def mean(np: Int, cand: Int): Double = {
-        val approx = topKBatchAdcRerank(spark, path, corpus, queries,
-          qIdCol, qVecCol, idCol, vecCol, coarse, index, k, cand, np, pairFilter)
-        Ivf.recallOf(exact, approx, idCol).agg(avg(col("recall"))).head().getDouble(0)
-      }
+      def mean(np: Int, cand: Int): Double =
+        Ivf.recallOf(exact, approx(np, cand), idCol)
+          .agg(avg(col("recall"))).head().getDouble(0)
       val cands = Iterator.iterate(math.max(k, 1))(_ * 2)
         .takeWhile(_ < maxCandidates).toSeq :+ maxCandidates
       var best = AdcTuning(0, 0, -1.0)
       var np = 1
-      while (np <= coarse.nlist) {
+      while (np <= maxNprobe) {
         for (cand <- cands) {
           val r = mean(np, cand)
           if (r > best.recall) best = AdcTuning(np, cand, r)
           if (r >= targetRecall) return AdcTuning(np, cand, r)
         }
-        if (np == coarse.nlist) return best // cap reached: best measured
-        np = math.min(np * 2, coarse.nlist)
+        if (np == maxNprobe) return best // cap reached: best measured
+        np = math.min(np * 2, maxNprobe)
       }
       best
     } finally exact.unpersist()

@@ -310,4 +310,110 @@ object Sq {
     val ids = shortlist.select(col(idCol)).collect().map(_.get(0)).toSeq
     Pq.rerankFetch(corpus, idCol, vecCol, ids, query, k)
   }
+
+  // ---- batch kNN join over the SQ tier ----
+
+  /** [[sqScore]] with the per-query weights read from a joined
+    * `[bias, w1...]` column instead of literals — IDENTICAL fold
+    * (bias first, then per-dim (w1·c) + (w2·(c·c)) left-to-right;
+    * the query-independent w2 = step² stays a literal), and
+    * [[graft.functions.SqWeights]] computes the weights with
+    * [[sqLut]]'s exact arithmetic, so batch scores are bit-for-bit
+    * the per-query scores (SqBatchSpec pins it).
+    */
+  private def sqScoreBatch(codes: Column, qw: Column, index: SqIndex): Column =
+    (element_at(qw, 1) +: Array.tabulate(index.dim) { d =>
+      val c = codeAt(codes, d).cast("double")
+      element_at(qw, d + 2) * c + lit(index.step(d) * index.step(d)) * (c * c)
+    }.toIndexedSeq).reduceLeft(_ + _)
+
+  /** Batch SQ kNN JOIN — [[Pq.topKBatchAdc]]'s shape over the 4x
+    * tier: every query's probe cells fan out via the codegen'd
+    * [[graft.functions.NearestCells]], per-query weights ride the
+    * broadcast side as ONE [[graft.functions.SqWeights]] column, the
+    * pruned corpus joins on `cell` (codes never shuffle; the corpus
+    * is read once through the probed-cell partition filter), and the
+    * only shuffle ranks narrow (q_id, id, sq_micros) triples.
+    */
+  def topKBatchSq(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, coarse: Ivf.IvfIndex,
+      index: SqIndex, k: Int, nprobe: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    graft.functions.NearestCells.register(spark)
+    graft.functions.SqWeights.register(spark)
+    val np = math.min(nprobe, coarse.nlist)
+    val qcells = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
+        explode(graft.functions.NearestCells.col(col(qVecCol), coarse.centroids, np))
+          .as("cell"))
+      .select(col("q_id"), col("cell"),
+        graft.functions.SqWeights.col(col("q_vec"), index.lo, index.step).as("q_w"))
+    val wanted = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = Tombstones.applyTo(
+      spark.read.parquet(path).filter(col("cell").isin(wanted: _*)), path, idCol)
+    val scored = corpus.join(broadcast(qcells), Seq("cell"))
+      .filter(pairFilter)
+      .select(col("q_id"), col(idCol),
+        floor(sqScoreBatch(col("codes"), col("q_w"), index) * lit(1e6))
+          .cast("long").as("sq_micros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sq_micros").asc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** [[topKBatchSq]] for query sets above the broadcast budget:
+    * hash-slab the queries, one batch join per slab, unionAll —
+    * [[Pq.topKBatchAdcSlabbed]]'s mechanics (each slab keeps the
+    * single-batch plan; SqBatchSpec pins slabs ≡ 1).
+    */
+  def topKBatchSqSlabbed(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, coarse: Ivf.IvfIndex,
+      index: SqIndex, k: Int, nprobe: Int, slabs: Int,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(slabs >= 1, s"slabs must be >= 1, got $slabs")
+    (0 until slabs).map { s =>
+      topKBatchSq(spark, path,
+        queries.filter(pmod(hash(col(qIdCol)), lit(slabs)) === s),
+        qIdCol, qVecCol, idCol, coarse, index, k, nprobe, pairFilter)
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Batch shortlist + EXACT re-rank over the SQ tier —
+    * [[Pq.topKBatchAdcRerank]]'s shape: (q_id, id) shortlist pairs
+    * broadcast, corpus scanned once through the broadcast join, the
+    * only shuffle ranks narrow cosine triples.
+    */
+  def topKBatchSqRerank(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String, idCol: String,
+      vecCol: String, coarse: Ivf.IvfIndex, index: SqIndex, k: Int,
+      candidates: Int, nprobe: Int, pairFilter: Column = lit(true)): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val sl = topKBatchSq(spark, path, queries, qIdCol, qVecCol, idCol,
+      coarse, index, candidates, nprobe, pairFilter)
+      .select(col("q_id"), col(idCol))
+    val qvecs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val scored = corpus.join(broadcast(sl), Seq(idCol))
+      .join(broadcast(qvecs), Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(graft.functions.CosineSim.col(col(vecCol), col("q_vec")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** Recall-driven (nprobe, candidates) tuning for the SQ tier —
+    * [[Pq.tuneAdcRerank]]'s grid harness over [[topKBatchSqRerank]].
+    * SQ's tighter quantization typically meets a recall target at
+    * FEWER candidates than PQ at the same nprobe; measure both tiers
+    * with their tuners and pick by (recall, scan bytes).
+    */
+  def tuneSqRerank(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String, idCol: String,
+      vecCol: String, coarse: Ivf.IvfIndex, index: SqIndex, k: Int,
+      targetRecall: Double, maxCandidates: Int = 1 << 12,
+      pairFilter: Column = lit(true)): Pq.AdcTuning =
+    Pq.tuneShortlistRerank(spark, corpus, queries, qIdCol, qVecCol, idCol,
+      vecCol, k, targetRecall, maxCandidates, pairFilter, coarse.nlist) { (np, cand) =>
+      topKBatchSqRerank(spark, path, corpus, queries, qIdCol, qVecCol, idCol,
+        vecCol, coarse, index, k, cand, np, pairFilter)
+    }
 }

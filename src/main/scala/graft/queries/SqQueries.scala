@@ -21,6 +21,11 @@ object SqQueries extends QueryModule {
   private object State {
     @volatile var flat: Option[(Sq.SqIndex, Sq.SqLut)] = None
     @volatile var ivfsq: Option[(Array[Array[Float]], Sq.SqIndex, Sq.SqLut)] = None
+    // (index, per-query weights) for the batch join gate — the column
+    // form computed by graft.functions.SqWeights is bit-for-bit
+    // Sq.sqLut (SqBatchSpec-pinned), so the driver re-derivation is
+    // the exact literal
+    @volatile var batch: Option[(Sq.SqIndex, Seq[(Long, Sq.SqLut)])] = None
   }
 
   /** Train + publish the flat codes table once per (application, dir). */
@@ -97,6 +102,48 @@ object SqQueries extends QueryModule {
            |c AS (SELECT vec_id, ${codeSql(idx, "e")} AS c FROM v)
            |SELECT vec_id, CAST(floor((${scoreSql(lut, "c")}) * 1e6) AS BIGINT) AS sq_micros
            |FROM c ORDER BY sq_micros ASC, vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
+    // ---- batch SQ kNN join (probe-all) ----
+    // One query SET against the partitioned SQ layout: per-query
+    // weights ride the broadcast side as one SqWeights column, codes
+    // never shuffle. The oracle re-derives each query's weights
+    // driver-side (bit-equal to the column form, SqBatchSpec) and
+    // scores every corpus vector per query with the same ordered
+    // fold — a UNION ALL branch per query keeps the sum in exact
+    // per-row formula form.
+    QueryDef(
+      "q_ann_sq_topk_batch",
+      "batch SQ top-10 for queries vec_id<3 over the IVF-SQ layout (probe-all)",
+      (s, dir) => {
+        val (coarse, idx, path) = ivfSqLayout(s, dir)
+        val emb = Tables(s, dir).embeddings
+        val qs = emb.filter(col("vec_id") < 3)
+        State.batch = Some((idx,
+          qs.select(col("vec_id"), col("embedding")).collect().toSeq
+            .map(r => r.getLong(0) -> Sq.sqLut(idx, r.getSeq[Float](1).toArray))
+            .sortBy(_._1)))
+        Sq.topKBatchSq(s, path, qs, "vec_id", "embedding", "vec_id",
+          coarse, idx, k = 10, nprobe = coarse.nlist,
+          pairFilter = col("q_id") =!= col("vec_id"))
+      },
+      Oracle.deferred {
+        val (idx, luts) = State.batch.getOrElse(throw new IllegalStateException(
+          "batch SQ state not recorded — run q_ann_sq_topk_batch before its oracle"))
+        val branches = luts.map { case (qId, lut) =>
+          s"""SELECT $qId AS q_id, vec_id,
+             |  CAST(floor((${scoreSql(lut, "c")}) * 1e6) AS BIGINT) AS sq_micros
+             |FROM c WHERE vec_id <> $qId""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |c AS (SELECT vec_id, ${codeSql(idx, "e")} AS c FROM v),
+           |sc AS (
+           |$branches),
+           |rk AS (SELECT q_id, vec_id, sq_micros, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY sq_micros ASC, vec_id ASC) AS r FROM sc)
+           |SELECT CAST(q_id AS BIGINT) AS q_id, vec_id, sq_micros
+           |FROM rk WHERE r <= 10 ORDER BY q_id, sq_micros, vec_id""".stripMargin
       }
     ),
 
