@@ -28,6 +28,38 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
       .filter(col("n") > 1)
 
+  /** Published exact-dedup index: one narrow row per DISTINCT content
+    * (hash, canonical keeper id) — the summary a standing corpus's
+    * exact-dedup decision needs. At 100 TB this is what persists
+    * between ingestion batches: ~48 bytes per distinct document, and
+    * the corpus TEXT never re-reads (the exact twin of [[bandTable]]
+    * for the near-dup path).
+    */
+  def exactIndex(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash")).agg(min(col(idCol)).as("keep_id"))
+
+  /** Batch canonical map against the published [[exactIndex]]:
+    * (id, keep_id) for every batch document — O(batch) hashing plus
+    * one join against the narrow index; no corpus text, no corpus
+    * shuffle (the index side shuffles on hash, bytes not documents).
+    * `least` folds the corpus keeper with the batch's own first-wins
+    * minimum, so the result equals [[canonicalize]] over
+    * corpus UNION batch restricted to batch ids even when a batch id
+    * undercuts the standing keeper (ids need not be monotonic;
+    * DedupIncrementalSpec pins both orders). To maintain the index
+    * itself, merge: `exactIndex(batch) grouped with the published
+    * index by hash, min(keep_id)` — same O(batch) class.
+    */
+  def exactDuplicatesIncremental(corpusIndex: DataFrame, newDocs: DataFrame,
+      idCol: String, text: Column): DataFrame = {
+    val b = newDocs.select(col(idCol).as("id"), md5(text).as("content_hash"))
+    val batchMin = b.groupBy(col("content_hash")).agg(min(col("id")).as("batch_keep"))
+    b.join(batchMin, Seq("content_hash"))
+      .join(corpusIndex.withColumnRenamed("keep_id", "corpus_keep"),
+        Seq("content_hash"), "left")
+      .select(col("id"), least(col("corpus_keep"), col("batch_keep")).as("keep_id"))
+  }
+
   /** Two 32-bit hash words from one md5 of a string. */
   def hashWords(s: Column): (Column, Column) = {
     val m = md5(s)

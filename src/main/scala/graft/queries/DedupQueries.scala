@@ -77,6 +77,34 @@ object DedupQueries extends QueryModule {
              |                       FROM documents GROUP BY 1) r ON md5(d.text) = r.h""".stripMargin)
     ),
 
+    // ---- incremental EXACT dedup: a batch decided against the
+    // published (hash, keeper) index — the 100 TB ingestion shape of
+    // q_dedup_canonical (batch hashes + one narrow-index join; the
+    // corpus text never re-reads). Oracle = the full-corpus canonical
+    // map restricted to batch ids, the equivalence the least()-fold
+    // must preserve even when batch ids undercut standing keepers ----
+    QueryDef(
+      "q_dedup_exact_incremental",
+      "canonical map for the doc_id%7=3 batch, via the published exact-dup index",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+        val idxPath = SessionPublish.once(s, "dedup_exact_idx|" + dir) {
+          val p = SessionPublish.tempDir("graft-dedup-exact") + "/index"
+          Dedup.exactIndex(corpus, "doc_id", col("text")).write.mode("overwrite").parquet(p)
+          p
+        }
+        Dedup.exactDuplicatesIncremental(s.read.parquet(idxPath), batch,
+          "doc_id", col("text"))
+          .select(col("id").as("doc_id"), col("keep_id"))
+      },
+      Some("""SELECT d.doc_id, r.keep_id
+             |FROM documents d JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id
+             |                       FROM documents GROUP BY 1) r ON md5(d.text) = r.h
+             |WHERE d.doc_id % 7 = 3""".stripMargin)
+    ),
+
     // ---- n-gram Jaccard near-dup pairs (verification-grade) ----
     QueryDef(
       "q_dedup_jaccard",

@@ -26,6 +26,8 @@ object SqQueries extends QueryModule {
     // Sq.sqLut (SqBatchSpec-pinned), so the driver re-derivation is
     // the exact literal
     @volatile var batch: Option[(Sq.SqIndex, Seq[(Long, Sq.SqLut)])] = None
+    // (coarse centroids, index, weights) for the shortlist→rerank gate
+    @volatile var rerank: Option[(Array[Array[Float]], Sq.SqIndex, Sq.SqLut)] = None
   }
 
   /** Train + publish the flat codes table once per (application, dir). */
@@ -102,6 +104,43 @@ object SqQueries extends QueryModule {
            |c AS (SELECT vec_id, ${codeSql(idx, "e")} AS c FROM v)
            |SELECT vec_id, CAST(floor((${scoreSql(lut, "c")}) * 1e6) AS BIGINT) AS sq_micros
            |FROM c ORDER BY sq_micros ASC, vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
+    // ---- production read path: SQ shortlist -> exact rerank ----
+    // Probe-pruned SQ shortlist over the partitioned codes, then an
+    // exact cosine re-rank of ONLY the shortlisted ids against the
+    // raw corpus (pushed In filter — no join, no corpus shuffle).
+    // The oracle re-derives codes -> probe list -> SQ shortlist ->
+    // exact cosine end-to-end.
+    QueryDef(
+      "q_ann_ivfsq_rerank",
+      "IVF-SQ shortlist (30 of 2/8 cells) re-ranked exactly by cosine, top-10",
+      (s, dir) => {
+        val (coarse, idx, path) = ivfSqLayout(s, dir)
+        val q = queryVec(s, dir)
+        State.rerank = Some((coarse.centroids, idx, Sq.sqLut(idx, q)))
+        Sq.topKRerankPartitionedSq(s, path, Tables(s, dir).embeddings,
+          "vec_id", "embedding", coarse, idx, q, k = 10, candidates = 30,
+          nprobe = 2, pred = col("vec_id") =!= 0L)
+      },
+      Oracle.deferred {
+        val (cents, idx, lut) = State.rerank.getOrElse(throw new IllegalStateException(
+          "rerank state not recorded — run q_ann_ivfsq_rerank before its oracle"))
+        s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT vec_id, e, ${argminSql(cents, "e")} AS cell FROM v0),
+           |q AS (SELECT e AS qv FROM v0 WHERE vec_id = 0),
+           |p AS (SELECT ${probeListSql(cents, 2, euclidDistSql, "qv")} AS probes FROM q),
+           |v AS (SELECT a.vec_id, a.e, a.cell FROM a, p
+           |      WHERE a.vec_id <> 0 AND list_contains(p.probes, a.cell)),
+           |c AS (SELECT vec_id, ${codeSql(idx, "e")} AS c FROM v),
+           |sl AS (SELECT vec_id,
+           |        CAST(floor((${scoreSql(lut, "c")}) * 1e6) AS BIGINT) AS sq_micros
+           |      FROM c ORDER BY sq_micros ASC, vec_id ASC LIMIT 30)
+           |SELECT r.vec_id, round(list_dot_product(r.e, q.qv) /
+           |  (sqrt(list_dot_product(r.e, r.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+           |FROM v0 r JOIN sl ON r.vec_id = sl.vec_id CROSS JOIN q
+           |ORDER BY cos DESC, r.vec_id ASC LIMIT 10""".stripMargin
       }
     ),
 

@@ -82,6 +82,19 @@ object DedupStream {
       "shingle_n" -> params.shingleN.toString))
   }
 
+  /** [[publish]] as the next version of a [[graft.core.Versions]]
+    * root. Geometry changes (threshold, hashes, bands, shingles)
+    * REQUIRE a republish — the sidecar guard refuses mixed-geometry
+    * appends — and versioning makes that republish atomic under live
+    * readers: queries that resolved the old version keep a complete
+    * store; a stream is re-pointed by resolving `currentPath` on its
+    * next (re)start. Returns the new live version.
+    */
+  def publishVersioned(docs: DataFrame, idCol: String, text: Column,
+      params: Params, versionedRoot: String): Long =
+    graft.core.Versions.publish(versionedRoot)(dir =>
+      publish(docs, idCol, text, params, dir))
+
   private def checkStore(root: String, params: Params): Unit = {
     val meta = Sidecar.readPropsExpected(metaPath(root)).getOrElse(
       throw new IllegalArgumentException(

@@ -98,4 +98,31 @@ class DedupIncrementalSpec extends GraftSuite {
     assert(!fallback.queryExecution.executedPlan.toString.contains("In(doc_id, ["))
     assert(pairSet(inc) == pairSet(fallback))
   }
+
+  test("incremental EXACT dedup == full canonicalize restricted to the batch, both id orders") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val idx = graft.pipeline.Dedup.exactIndex(corpus, "doc_id", col("text"))
+    val got = graft.pipeline.Dedup.exactDuplicatesIncremental(idx, batch, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = graft.pipeline.Dedup.canonicalize(docs, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = batch.select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => id -> full(id)).toMap
+    assert(got == want, "incremental decision must equal the full re-mine on batch ids")
+
+    // a batch id UNDERCUTTING the standing keeper: the least() fold
+    // must pick the batch id, exactly as a full re-mine would
+    val c2 = spark.createDataFrame(Seq((10L, "same text"), (11L, "same text"), (12L, "other")))
+      .toDF("doc_id", "text")
+    val b2 = spark.createDataFrame(Seq((3L, "same text"), (20L, "same text"), (21L, "fresh")))
+      .toDF("doc_id", "text")
+    val got2 = graft.pipeline.Dedup.exactDuplicatesIncremental(
+        graft.pipeline.Dedup.exactIndex(c2, "doc_id", col("text")), b2, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == Map(3L -> 3L, 20L -> 3L, 21L -> 21L),
+      s"batch id 3 undercuts corpus keeper 10 and must win: $got2")
+  }
 }

@@ -113,6 +113,37 @@ class DedupStreamSpec extends GraftSuite {
       "recovery drops the staging directory")
   }
 
+  test("versioned republish: geometry changes swap atomically; appends follow the resolve") {
+    val base = docs.filter(col("doc_id") < 60)
+    val vroot = java.nio.file.Files.createTempDirectory("dedup-vroot").toString + "/store"
+    assert(DedupStream.publishVersioned(base, "doc_id", col("text"), P, vroot) == 1L)
+    val v1 = graft.core.Versions.currentPath(vroot).get
+
+    // a stream appends against the resolved version
+    val batch = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-vroot-ckpt").toString
+    assert(DedupStream.appendBatch(spark, batch, ckpt, 0L, "doc_id", col("text"),
+      P, v1).isDefined)
+
+    // republish with NEW geometry: next version, pointer flip; the
+    // old version (incl. its append) is still complete
+    val p2 = P.copy(numHashes = 32, bands = 8)
+    assert(DedupStream.publishVersioned(docs.filter(col("doc_id") < 70),
+      "doc_id", col("text"), p2, vroot) == 2L)
+    val v2 = graft.core.Versions.currentPath(vroot).get
+    assert(v2 != v1)
+    assert(spark.read.parquet(DedupStream.docsPath(v1)).count() == 70,
+      "superseded version keeps serving its complete store")
+
+    // old-geometry appends to the new resolve fail loud; new-geometry work
+    val b2 = docs.filter(col("doc_id") >= 70 && col("doc_id") < 80)
+    intercept[IllegalArgumentException] {
+      DedupStream.appendBatch(spark, b2, ckpt, 1L, "doc_id", col("text"), P, v2)
+    }
+    assert(DedupStream.appendBatch(spark, b2, ckpt, 1L, "doc_id", col("text"),
+      p2, v2).isDefined)
+  }
+
   test("geometry sidecar refuses mismatched banding parameters") {
     val base = docs.filter(col("doc_id") < 50)
     val root = java.nio.file.Files.createTempDirectory("dedup-geom").toString + "/store"
