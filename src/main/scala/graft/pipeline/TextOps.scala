@@ -196,6 +196,45 @@ object TextOps {
         ((col("__cum") - col("n_tokens")) % capacityTokens).as("offset"))
   }
 
+  /** Domain-mixture sampling to a token budget: each source gets a
+    * deterministic acceptance rate so the sampled corpus hits
+    * ~`budgetTokens` at the requested mixture `weights` — the
+    * "domain reweighting" step of training-data prep (sample web down,
+    * keep code/books, hit a token count), reproducible run-over-run
+    * because acceptance is the same md5 [[hashSample]] gate (no RNG
+    * state, no partition-order dependence).
+    *
+    * Rates: `permille_s = min(1000, floor(1000 · budget · w_s / tokens_s))`
+    * over EXACT per-source whitespace-token totals. An over-requested
+    * source caps at keep-everything (sampling cannot mint data) — the
+    * realized mixture then under-delivers that source, visible in the
+    * output rather than silently rebalanced. Sources absent from
+    * `weights` drop entirely.
+    *
+    * Scale: one map-side-combined aggregate for the totals (rows =
+    * number of sources, driver-tiny), rates folded into ONE `when`
+    * chain, then a single filter scan of the corpus — no shuffle, no
+    * join. Returns the sampled rows with their `__permille` rate.
+    */
+  def mixSources(docs: org.apache.spark.sql.DataFrame, sourceCol: String,
+      text: Column, weights: Seq[(String, Double)],
+      budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+    val toks = size(tokens(text)).cast("long")
+    val totals = docs.groupBy(col(sourceCol)).agg(sum(toks).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val permille = weights.map { case (s, w) =>
+      val t = totals.getOrElse(s, 0L)
+      val p = if (t <= 0L) 0
+        else math.min(1000.0, math.floor(1000.0 * budgetTokens * w / t)).toInt
+      s -> p
+    }
+    val pCol = permille.foldLeft(lit(0)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    docs.withColumn("__permille", pCol)
+      .filter(hash32(0, text) % 1000 < col("__permille"))
+  }
+
   /** Per-document average unigram log-probability under the corpus'
     * own unigram distribution — the cheap language-model quality
     * score (KenLM-style filtering approximated at scan speed).

@@ -29,6 +29,42 @@ object TextQueries extends QueryModule {
              |GROUP BY source""".stripMargin)
     ),
 
+    // ---- domain-mixture sampling to a token budget ----
+    // The "domain reweighting" prep step: per-source acceptance
+    // permilles derived from EXACT token totals (floor'd doubles —
+    // identical IEEE steps both sides), then the md5 hash gate. src0
+    // is deliberately over-requested (rate caps at keep-everything:
+    // sampling cannot mint data), src1/src2 sample partially, the
+    // other 17 sources drop. n/sum_toks/permille must all agree.
+    QueryDef(
+      "q_mix_sources",
+      "domain-mixture sample: 3 weighted sources to a 3000-token budget",
+      (s, dir) =>
+        TextOps.mixSources(Tables(s, dir).documents, "source", col("text"),
+            Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budgetTokens = 3000)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_toks"),
+            max(col("__permille")).as("permille")),
+      Some("""WITH tt AS (SELECT source,
+             |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+             |      FROM documents GROUP BY source),
+             |p AS (SELECT source,
+             |        least(CAST(floor('1000'::DOUBLE * 3000 * (CASE source
+             |          WHEN 'src0' THEN '0.5'::DOUBLE
+             |          WHEN 'src1' THEN '0.3'::DOUBLE
+             |          WHEN 'src2' THEN '0.2'::DOUBLE
+             |          ELSE '0'::DOUBLE END) / toks) AS INT), 1000) AS pm
+             |      FROM tt),
+             |sm AS (SELECT d.source, d.text, p.pm
+             |      FROM documents d JOIN p ON d.source = p.source
+             |      WHERE CAST(('0x' || substr(md5('0|' || d.text), 1, 8)) AS BIGINT) % 1000 < p.pm)
+             |SELECT source, count(*) AS n,
+             |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_toks,
+             |       max(pm) AS permille
+             |FROM sm GROUP BY source""".stripMargin)
+    ),
+
     // ---- curation composite: quality filter -> dedup -> stats ----
     // The end-to-end shape of a training-data prep job: drop
     // too-short documents, keep the first copy of each exact text,

@@ -133,6 +133,41 @@ class CurationOpsSpec extends GraftSuite {
       "dequantization error within half a step")
   }
 
+  test("mixSources hits the requested mixture; over-requested sources cap at keep-all") {
+    val docs = graft.sources.Tables(spark, sf001).documents
+    val weights = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val budget = 2000L
+    val got = TextOps.mixSources(docs, "source", col("text"), weights, budget)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"),
+        max(col("__permille")).as("pm"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+
+    assert(got.keySet.subsetOf(weights.map(_._1).toSet),
+      "unweighted sources must drop entirely")
+    // per-source totals (~1300-1500 tokens each): src0 wants 1000 of
+    // them (uncapped), src1 600, src2 400 — all partial rates
+    weights.foreach { case (s, w) =>
+      val (toks, pm) = got(s)
+      assert(pm > 0 && pm < 1000, s"$s: expected a partial rate, got $pm")
+      val want = budget * w
+      assert(toks > want * 0.5 && toks < want * 1.6,
+        s"$s: realized $toks tokens vs requested ~$want — hash-gate variance bound blown")
+    }
+    // over-request: a source asked for more tokens than it has caps at
+    // keep-everything and delivers exactly its full token count
+    val capped = TextOps.mixSources(docs, "source", col("text"),
+        Seq("src3" -> 1.0), budgetTokens = 1000000L)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"),
+        max(col("__permille")).as("pm"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val full = docs.filter(col("source") === "src3")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(capped("src3") == (full, 1000),
+      s"over-requested source must keep everything: ${capped("src3")} vs ($full, 1000)")
+  }
+
   test("repetitionFeatures separate repetitive from diverse text") {
     val df = Seq(
       ("a", "spam spam spam spam spam spam spam spam"),
