@@ -187,6 +187,26 @@ class SqSpec extends GraftSuite {
       "streamed layout must score row-identically to a fresh publish of the union")
   }
 
+  test("partitioned SQ probe reads exactly nprobe cell directories") {
+    val emb = graft.sources.Tables(spark, sf001).embeddings
+    val coarse = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
+    val idx = Sq.train(spark, emb, "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val layout = java.nio.file.Files.createTempDirectory("ivfsq-plan").toString + "/layout"
+    Sq.writePartitionedSq(emb, "vec_id", "embedding", coarse, idx, layout)
+
+    val plan = Sq.topKPartitionedSq(spark, layout, "vec_id", coarse, idx, q,
+      k = 10, nprobe = 2).queryExecution.executedPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("ivfsq-plan")) => f
+    }
+    assert(scans.nonEmpty, "plan must read the published layout")
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 2,
+      "the probe filter must prune to exactly the 2 probed cell directories")
+  }
+
   test("rerank at probe-all/full candidates is the brute-force cosine top-k") {
     val emb = graft.sources.Tables(spark, sf001).embeddings
     val coarse = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 4)
