@@ -187,6 +187,50 @@ class SqSpec extends GraftSuite {
       "streamed layout must score row-identically to a fresh publish of the union")
   }
 
+  test("property: random corpora quantize within step/2 in range, clamp out of range") {
+    import org.scalacheck.{Gen, rng}
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, rng.Seed(seed)).get
+    // 3 deterministic corpora of 40 random dim-6 vectors each, value
+    // magnitudes spanning 6 orders (tiny steps to coarse steps)
+    val genVec = Gen.listOfN(6, Gen.chooseNum(-1e3f, 1e3f)
+      .flatMap(x => Gen.oneOf(x, x * 1e-3f, x * 1e3f)))
+    (1L to 3L).foreach { seed =>
+      val vecs = sample(Gen.listOfN(40, genVec), seed)
+      val df = spark.createDataFrame(vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+      val idx = Sq.train(spark, df, "embedding")
+      val rows = df.select(col("embedding"),
+          Sq.encode(col("embedding"), idx).as("codes"),
+          Sq.decode(Sq.encode(col("embedding"), idx), idx).as("recon"))
+        .collect()
+      rows.foreach { r =>
+        val v = r.getSeq[Float](0); val codes = r.getSeq[Byte](1).map(_ & 0xFF)
+        val recon = r.getSeq[Float](2)
+        (0 until 6).foreach { d =>
+          assert(codes(d) >= 0 && codes(d) <= 255)
+          // train saw the whole corpus, so every value is in range:
+          // reconstruction within half a step (+ float rounding slack)
+          assert(math.abs(recon(d).toDouble - v(d).toDouble) <=
+            idx.step(d) / 2 + math.abs(v(d)) * 1e-6 + 1e-9,
+            s"seed $seed dim $d: |${recon(d)} - ${v(d)}| > step/2 = ${idx.step(d) / 2}")
+        }
+      }
+      // out-of-range values (an APPENDED batch beyond the trained
+      // range) clamp to the endpoints instead of wrapping
+      val out = spark.createDataFrame(Seq(
+          (100L, Seq.fill(6)(Float.MaxValue / 2), ""),
+          (101L, Seq.fill(6)(-Float.MaxValue / 2), "")))
+        .toDF("vec_id", "embedding", "pad")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+      val oc = out.select(col("vec_id"), Sq.encode(col("embedding"), idx).as("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).map(_ & 0xFF)).toMap
+      assert(oc(100L).forall(_ == 255) && oc(101L).forall(_ == 0),
+        s"out-of-range must clamp: ${oc}")
+    }
+  }
+
   test("partitioned SQ probe reads exactly nprobe cell directories") {
     val emb = graft.sources.Tables(spark, sf001).embeddings
     val coarse = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
