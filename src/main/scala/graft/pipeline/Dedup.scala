@@ -457,4 +457,78 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("da"), col("db"), col("jac"))
   }
+
+  // --------------------------------------------------------------
+  // Span-level (substring) dedup — repeated n-token spans ACROSS
+  // documents, the whole-doc dedup complement (Lee et al., "Dedupli-
+  // cating Training Data Makes Language Models Better", ACL'22:
+  // boilerplate and licence blocks repeat inside otherwise-distinct
+  // documents and doc-level MinHash never sees them). The exact
+  // suffix-array construction of the paper is a single-machine
+  // algorithm; the Spark-first shape is positional n-gram shingles
+  // counted by key — one shuffle, no all-pairs anything.
+  // --------------------------------------------------------------
+
+  /** All positional n-token spans of each document: (id, span).
+    * Unlike [[TextOps.shingles]] this keeps EVERY occurrence (no
+    * array_distinct) — within-document repetition counts. Documents
+    * shorter than n tokens contribute nothing (no span of length n
+    * exists in them).
+    */
+  def positionalSpans(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame = {
+    val ts = TextOps.tokens(text)
+    df.select(col(idCol).as("id"),
+        explode(when(size(ts) >= n,
+            transform(sequence(lit(1), size(ts) - (n - 1)),
+              i => concat_ws(" ", slice(ts, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("span"))
+  }
+
+  /** Span repetition counts, SHUFFLING ONLY HASHES: at corpus scale
+    * the groupBy key must not be the n-token string itself (n× the
+    * corpus bytes through the exchange); count on a 60-bit span hash
+    * (md5-derived — cross-engine reproducible, ~2^-43 collision odds
+    * at a billion distinct spans), then resolve the (few) surviving
+    * hashes back to text with a second, filtered pass. Returns
+    * (h, n_docs, n_occ) for spans in ≥ minDocs distinct docs.
+    */
+  def repeatedSpanHashes(df: DataFrame, idCol: String, text: Column,
+      n: Int, minDocs: Int): DataFrame =
+    positionalSpans(df, idCol, text, n)
+      .select(col("id"), spanHash(col("span")).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** 60-bit span hash: first 15 hex chars of md5 as a long (positive,
+    * fits signed 64). SQL: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT).
+    */
+  def spanHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Top-k repeated spans WITH their text: hash-counted as above,
+    * k winners picked by (n_occ desc, h), then one term-filtered
+    * re-scan resolves hash → span text (the isin list is k hashes —
+    * driver-tiny, scan-side pushdown; ties inside equal n_occ are
+    * final-ordered by span text). The heavy exchange never carries
+    * strings.
+    */
+  def topRepeatedSpans(df: DataFrame, idCol: String, text: Column,
+      n: Int, minDocs: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE heavy pass: TakeOrdered over the hash counts, k rows to the
+    // driver (k is small by contract) — the winners then drive a
+    // single filtered re-scan; nothing heavy runs twice.
+    val winners = repeatedSpanHashes(df, idCol, text, n, minDocs)
+      .orderBy(col("n_occ").desc, col("h").asc)
+      .limit(k)
+      .as[(Long, Long, Long)].collect().toSeq
+    val texts = positionalSpans(df, idCol, text, n)
+      .select(col("span"), spanHash(col("span")).as("h"))
+      .filter(col("h").isin(winners.map(_._1): _*))
+      .groupBy(col("h")).agg(first(col("span")).as("span"))
+    winners.toDF("h", "n_docs", "n_occ").join(broadcast(texts), "h")
+      .select(col("span"), col("n_docs"), col("n_occ"))
+  }
 }

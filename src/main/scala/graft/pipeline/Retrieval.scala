@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (BM25) retrieval and rank fusion — the lexical half of a
+  * hybrid search stack over a document corpus, next to the dense ANN
+  * tiers in [[Similarity]]/[[Ivf]]/[[Pq]]/[[Sq]].
+  *
+  * Reference scope anchor: the reference engine's typed property
+  * lookup + scan surface (HGraphStorage `readProperties` /
+  * `filterObjects`, src/Database/Graph/HGraphStorage/API.hs) has no
+  * ranked text retrieval; this module is part of the training-data
+  * extension surface (decontamination-by-retrieval, dedup triage,
+  * eval-set mining). Formula is the public Robertson/Spärck Jones
+  * BM25 (k1 tf saturation, b length normalization).
+  *
+  * Scale design (100 TB corpus):
+  *  - The postings build is ONE shuffle keyed (doc, token) — the same
+  *    shape at any corpus size; df for the query terms is computed on
+  *    the term-filtered postings (the filter reaches the scan, so the
+  *    shuffle carries only matching rows), never a global vocabulary.
+  *  - Query terms ride as literals (`isin`) — scan-side pushdown, no
+  *    join against a query table for the single-query path.
+  *  - The per-document score is an ordered fold over the (few) query
+  *    terms, so the double accumulation order is fixed and
+  *    reproducible across engines — groupBy sum order is not.
+  *  - Corpus stats (N, avgdl) are a 1-row aggregate crossJoined in
+  *    (broadcast-trivial), computed once and reusable across queries.
+  */
+object Retrieval {
+
+  /** BM25 constants as exact-decimal literals (both engines parse the
+    * string form to the same nearest double).
+    */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Term-frequency postings restricted to `terms`: one row per
+    * (doc, term) with tf and the document length dl. The term filter
+    * sits UNDER the explode, so non-matching tokens never reach the
+    * groupBy shuffle.
+    */
+  def termPostings(docs: DataFrame, idCol: String, text: Column,
+      terms: Seq[String]): DataFrame = {
+    val toks = TextOps.tokens(text)
+    docs
+      .select(col(idCol), size(toks).cast("long").as("dl"), explode(toks).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+  }
+
+  /** Corpus stats: one row (n docs, avgdl). avgdl is the exact-long
+    * token total cast to double, divided by n — the same arithmetic
+    * the SQL oracle performs.
+    */
+  def corpusStats(docs: DataFrame, text: Column): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n"),
+      (sum(size(TextOps.tokens(text)).cast("long")).cast("double") / count(lit(1)))
+        .as("avgdl"))
+
+  /** BM25 scores for a bag-of-words query: (idCol, bm25) for every
+    * document matching at least one term.
+    *
+    * Per-term contribution
+    *   idf * tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl)),
+    *   idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    * is summed per document by an ordered fold (terms sorted
+    * lexicographically, left-to-right double adds) so the score is
+    * bit-stable under repartitioning and reproducible in SQL.
+    */
+  def bm25(docs: DataFrame, idCol: String, text: Column,
+      terms: Seq[String]): DataFrame = {
+    val tp = termPostings(docs, idCol, text, terms)
+    val df_ = tp.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = corpusStats(docs, text)
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    tp.join(broadcast(df_), "token")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("token"), contrib.as("contrib"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("token"), col("contrib")))),
+          x => x.getField("contrib")),
+        lit(0.0), (a, x) => a + x).as("bm25"))
+  }
+
+  /** Ranked BM25 top-k: (idCol, bm25 rounded to 6, rnk). Rank is over
+    * the ROUNDED score (ties to the lower id) so the ordering is
+    * deterministic across engines without relying on bit-identical
+    * `ln`. The top-k itself is a distributed TakeOrdered (sort +
+    * limit); the rank window only ever sees the k survivors — a
+    * global row_number over the full candidate set would drag every
+    * matching document into one partition.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, text: Column,
+      terms: Seq[String], k: Int): DataFrame = {
+    val w = Window.orderBy(col("bm25").desc, col(idCol).asc)
+    bm25(docs, idCol, text, terms)
+      .withColumn("bm25", round(col("bm25"), 6))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** Reciprocal-rank fusion of ranked legs (Cormack et al., SIGIR'09):
+    * rrf(d) = Σ_legs 1/(kRrf + rank_leg(d)), absent legs contribute 0.
+    * Each leg is (idCol, rankCol) — ranks are small ints, so the
+    * fused score is exact double arithmetic with no order
+    * sensitivity (each leg contributes one term, summed in leg
+    * order).
+    *
+    * The legs are top-k lists (driver-tiny at any corpus scale — the
+    * heavy lifting happened inside each retriever), so the outer
+    * joins here never shuffle anything large; Spark broadcasts both
+    * sides. For a BATCH of queries, fuse per query id by adding the
+    * qid to the join key — the shape is unchanged.
+    */
+  def rrfFuse(legs: Seq[(DataFrame, String, String)], kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse: no legs")
+    val renamed = legs.zipWithIndex.map { case ((df, id, rank), i) =>
+      df.select(col(id).as("id"), col(rank).as(s"rnk_$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = legs.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"rnk_$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("rrf", score)
+  }
+}

@@ -102,6 +102,40 @@ object AnalyticsQueries extends QueryModule {
       Some("""SELECT 0 AS dist, count(*) AS n FROM region
              |UNION ALL SELECT 1, count(*) FROM nation
              |UNION ALL SELECT 2, (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)""".stripMargin)
+    ),
+
+    // ---- triangle count over the supplier co-occurrence graph ----
+    // Edge (s1, s2) iff the two suppliers ship in the same order; the
+    // Spark side counts via degree-ordered orientation (out-degrees
+    // bounded by O(sqrt|E|), so the wedge join never sees a hub
+    // blow-up) — the oracle enumerates canonical triples directly,
+    // and the counts must agree because orientation counts each
+    // triangle exactly once.
+    QueryDef(
+      "q_tri_count",
+      "supplier co-shipment graph: nodes, edges, triangles (degree-oriented count)",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        val edges = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .distinct()
+        val nn = edges.select(explode(array(col("src"), col("dst"))).as("id"))
+          .distinct().agg(count(lit(1)).as("n_nodes"))
+        val ne = edges.agg(count(lit(1)).as("n_edges"))
+        val nt = GraphAnalytics.triangles(edges).agg(count(lit(1)).as("n_triangles"))
+        nn.crossJoin(ne).crossJoin(nt)
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+             |           FROM lineitem a JOIN lineitem b
+             |             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+             |t AS (SELECT count(*) AS n_triangles
+             |      FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+             |                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+             |SELECT (SELECT count(*) FROM (SELECT u FROM e UNION SELECT v FROM e)) AS n_nodes,
+             |       (SELECT count(*) FROM e) AS n_edges, n_triangles FROM t""".stripMargin)
     )
   )
 }

@@ -268,6 +268,30 @@ object DedupQueries extends QueryModule {
            |sh AS (SELECT doc_id, ($bits) AS simhash FROM tok)
            |SELECT simhash, count(*) AS n, min(doc_id) AS min_doc FROM sh GROUP BY simhash""".stripMargin
       })
+    ),
+
+    // ---- span-level dedup: repeated 8-token spans across documents ----
+    // The substring complement of doc-level MinHash (Lee et al.,
+    // ACL'22): boilerplate repeats inside otherwise-distinct docs.
+    // The Spark side counts 60-bit span HASHES (the shuffle never
+    // carries n-gram strings) and resolves only the 15 winners back
+    // to text; the oracle replays the same hash so the winner set —
+    // picked by (n_occ desc, h) — is identical.
+    QueryDef(
+      "q_dedup_spans",
+      "top-15 repeated 8-token spans (≥2 distinct docs): span, n_docs, n_occ",
+      (s, dir) =>
+        Dedup.topRepeatedSpans(Tables(s, dir).documents, "doc_id", col("text"),
+          n = 8, minDocs = 2, k = 15),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |sp AS (SELECT doc_id,
+             |         unnest(list_transform(generate_series(1, greatest(len(ts) - 7, 0)),
+             |           i -> array_to_string(ts[i:i+7], ' '))) AS span FROM tok),
+             |hh AS (SELECT doc_id, span, CAST('0x' || substr(md5(span), 1, 15) AS BIGINT) AS h FROM sp),
+             |c AS (SELECT h, min(span) AS span, count(DISTINCT doc_id) AS n_docs,
+             |             count(*) AS n_occ
+             |      FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT span, n_docs, n_occ FROM c ORDER BY n_occ DESC, h LIMIT 15""".stripMargin)
     )
   )
 }

@@ -58,6 +58,8 @@ object Catalog {
     PqQueries,
     SqQueries,
     TextQueries,
+    RetrievalQueries,
+    LayoutQueries,
     MultimodalQueries,
     AnalyticsQueries,
     StreamingQueries

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Retrieval, Similarity}
+import graft.sources.Tables
+
+/** Driver-verified gates for the sparse-retrieval surface: BM25
+  * scoring and hybrid (BM25 + dense cosine) reciprocal-rank fusion.
+  *
+  * Oracle discipline: every double constant is emitted as
+  * `'<Double.toString>'::DOUBLE` (DuckDB parses bare decimals as
+  * DECIMAL; the string form round-trips the exact Scala double), the
+  * per-document term fold is ordered on both engines (lexicographic
+  * by token, left-to-right adds), and every rank is computed over the
+  * ROUNDED score so ordering never depends on bit-identical `ln`.
+  */
+object RetrievalQueries extends QueryModule {
+
+  private def d(x: Double): String = s"'$x'::DOUBLE"
+
+  /** The fixed gate query: three terms with distinct document
+    * frequencies in the synthetic corpus.
+    */
+  private val terms = Seq("spark", "join", "window")
+  private def termsSql = terms.map(t => s"'$t'").mkString(", ")
+
+  /** BM25 score CTEs over `documents` for [[terms]] — shared by the
+    * BM25 gate and the hybrid gate. Mirrors [[Retrieval.bm25]]
+    * arithmetic term-for-term.
+    */
+  private def bm25Ctes: String =
+    s"""p AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |             unnest(string_split(text, ' ')) AS token FROM documents),
+       |tp AS (SELECT doc_id, token, max(dl) AS dl, count(*) AS tf FROM p
+       |       WHERE token IN ($termsSql) GROUP BY doc_id, token),
+       |stats AS (SELECT count(*) AS n,
+       |                 CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+       |          FROM documents),
+       |dfr AS (SELECT token, count(*) AS df FROM tp GROUP BY token),
+       |c AS (SELECT doc_id, tp.token AS token,
+       |        ln(${d(1.0)} + (n - df + ${d(0.5)}) / (df + ${d(0.5)}))
+       |          * (tf * ${d(Retrieval.K1 + 1.0)})
+       |          / (tf + ${d(Retrieval.K1)} * (${d(1.0 - Retrieval.B)} + ${d(Retrieval.B)} * dl / avgdl)) AS contrib
+       |      FROM tp JOIN dfr USING (token), stats),
+       |s AS (SELECT doc_id,
+       |        list_reduce(list_prepend(${d(0.0)}, list(contrib ORDER BY token)),
+       |                    (a, x) -> a + x) AS score
+       |      FROM c GROUP BY doc_id),
+       |bm AS (SELECT doc_id, round(score, 6) AS bm25,
+       |              row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+       |       FROM s)""".stripMargin
+
+  /** Dense leg: rank over rounded cosine vs vec 0 (same arithmetic as
+    * the q_ann_bruteforce oracle), vec 0 excluded.
+    */
+  private def cosCte: String =
+    """qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |cs AS (SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) /
+      |         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |          sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |       FROM embeddings, qv WHERE vec_id <> 0),
+      |cr AS (SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk
+      |       FROM cs)""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // ---- BM25 ranked retrieval ----
+    QueryDef(
+      "q_text_bm25",
+      "BM25 top-10 documents for a 3-term query (k1=1.2, b=0.75)",
+      (s, dir) =>
+        Retrieval.bm25TopK(Tables(s, dir).documents, "doc_id", col("text"), terms, 10),
+      Some(s"""WITH $bm25Ctes
+              |SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+              |FROM bm WHERE rnk <= 10""".stripMargin)
+    ),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion ----
+    // BM25 top-20 fused with cosine top-20 (query = vec 0's own
+    // embedding; doc_id and vec_id share the id space by
+    // construction). Ranks are small exact ints, so the fused score
+    // is identical double arithmetic on both engines; absent legs
+    // rank 0 (sentinel) and contribute nothing.
+    QueryDef(
+      "q_hybrid_rrf",
+      "RRF fusion (k=60) of BM25 top-20 and dense cosine top-20",
+      (s, dir) => {
+        graft.functions.CosineSim.register(s)
+        val t = Tables(s, dir)
+        val bmLeg = Retrieval.bm25TopK(t.documents, "doc_id", col("text"), terms, 20)
+        val emb = t.embeddings
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+        // distributed TakeOrdered first; the rank window sees 20 rows
+        val cosLeg = emb.filter(col("vec_id") =!= 0L)
+          .withColumn("cos", round(graft.functions.CosineSim.col(col("embedding"), typedLit(q)), 6))
+          .filter(!isnan(col("cos")) && col("cos").isNotNull)
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(20)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+        Retrieval.rrfFuse(Seq((bmLeg, "doc_id", "rnk"), (cosLeg, "vec_id", "rnk")))
+          .select(col("id"), round(col("rrf"), 9).as("rrf"),
+            coalesce(col("rnk_0"), lit(0L)).as("rnk_bm25"),
+            coalesce(col("rnk_1"), lit(0L)).as("rnk_cos"))
+          .orderBy(col("rrf").desc, col("id").asc)
+          .limit(10)
+      },
+      Some(s"""WITH $bm25Ctes,
+              |$cosCte,
+              |fused AS (
+              |  SELECT coalesce(bm.doc_id, cr.vec_id) AS id,
+              |         coalesce(${d(1.0)} / (${d(60.0)} + bm.rnk), ${d(0.0)})
+              |       + coalesce(${d(1.0)} / (${d(60.0)} + cr.rnk), ${d(0.0)}) AS rrf,
+              |         coalesce(bm.rnk, 0) AS rnk_bm25,
+              |         coalesce(cr.rnk, 0) AS rnk_cos
+              |  FROM (SELECT * FROM bm WHERE rnk <= 20) bm
+              |  FULL OUTER JOIN (SELECT * FROM cr WHERE rnk <= 20) cr
+              |    ON bm.doc_id = cr.vec_id)
+              |SELECT id, round(rrf, 9) AS rrf,
+              |       CAST(rnk_bm25 AS BIGINT) AS rnk_bm25,
+              |       CAST(rnk_cos AS BIGINT) AS rnk_cos
+              |FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin)
+    )
+  )
+}
