@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,18 +52,22 @@ object Retrieval {
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
   }
 
-  /** Corpus stats: one row (n docs, avgdl). avgdl is the exact-long
-    * token total cast to double, divided by n — the same arithmetic
-    * the SQL oracle performs.
+  /** Corpus stats: one row (n docs, exact token total, avgdl). avgdl
+    * is the exact-long token total cast to double, divided by n — the
+    * same arithmetic the SQL oracle performs, and the same arithmetic
+    * [[appendIndex]] reproduces from incrementally-maintained longs.
     */
   def corpusStats(docs: DataFrame, text: Column): DataFrame =
     docs.agg(
       count(lit(1)).as("n"),
+      sum(size(TextOps.tokens(text)).cast("long")).as("sum_dl"),
       (sum(size(TextOps.tokens(text)).cast("long")).cast("double") / count(lit(1)))
         .as("avgdl"))
 
-  /** BM25 scores for a bag-of-words query: (idCol, bm25) for every
-    * document matching at least one term.
+  /** Score term postings `(idCol, token, dl, tf)` against df counts
+    * and corpus stats — the ONE scoring expression both the one-shot
+    * path and the published-index path go through, so their doubles
+    * are bit-identical by construction.
     *
     * Per-term contribution
     *   idf * tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl)),
@@ -72,22 +76,30 @@ object Retrieval {
     * lexicographically, left-to-right double adds) so the score is
     * bit-stable under repartitioning and reproducible in SQL.
     */
-  def bm25(docs: DataFrame, idCol: String, text: Column,
-      terms: Seq[String]): DataFrame = {
-    val tp = termPostings(docs, idCol, text, terms)
-    val df_ = tp.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val stats = corpusStats(docs, text)
-    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+  def scorePostings(tp: DataFrame, idCol: String, dfr: DataFrame,
+      n: Column, avgdl: Column): DataFrame = {
+    val idf = log(lit(1.0) + (n - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = idf * (col("tf") * lit(K1 + 1.0)) /
-      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
-    tp.join(broadcast(df_), "token")
-      .crossJoin(broadcast(stats))
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+    tp.join(broadcast(dfr), "token")
       .select(col(idCol), col("token"), contrib.as("contrib"))
       .groupBy(col(idCol))
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("token"), col("contrib")))),
           x => x.getField("contrib")),
         lit(0.0), (a, x) => a + x).as("bm25"))
+  }
+
+  /** BM25 scores for a bag-of-words query: (idCol, bm25) for every
+    * document matching at least one term.
+    */
+  def bm25(docs: DataFrame, idCol: String, text: Column,
+      terms: Seq[String]): DataFrame = {
+    val tp = termPostings(docs, idCol, text, terms)
+    val df_ = tp.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = corpusStats(docs, text)
+    scorePostings(tp.crossJoin(broadcast(stats)), idCol, df_,
+      col("n"), col("avgdl"))
   }
 
   /** Ranked BM25 top-k: (idCol, bm25 rounded to 6, rnk). Rank is over
@@ -131,5 +143,117 @@ object Retrieval {
       .map(i => coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"rnk_$i")), lit(0.0)))
       .reduce(_ + _)
     joined.withColumn("rrf", score)
+  }
+
+  // --------------------------------------------------------------
+  // Published inverted-index layout — the lexical analog of the ANN
+  // tiers' cell-partitioned corpora: postings live under
+  // `path/postings/tb=<bucket>/` keyed by a token-hash bucket, so a
+  // query LISTS AND READS only its terms' buckets (a real partition
+  // filter — LexIndexSpec pins selectedPartitions), never the
+  // corpus. Corpus stats (n, Σdl) are exact longs in a sidecar;
+  // per-term df is computed from the pruned postings at query time —
+  // always consistent with the data, nothing global to maintain.
+  // --------------------------------------------------------------
+
+  private def postingsPath(path: String) = s"$path/postings"
+  private def metaPath(path: String) = s"$path/_lexmeta"
+
+  /** Driver-side twin of the bucket expression below — MUST stay in
+    * lockstep with it (LexIndexSpec pins the pair on a corpus).
+    */
+  def tokenBucket(token: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"0|$token".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  private def tokenBucketCol(token: Column, buckets: Int): Column =
+    TextOps.hash32(0, token) % buckets
+
+  /** All-token postings of a corpus: (token, id, dl, tf) — one
+    * shuffle keyed (doc, token), the same shape at any corpus size.
+    */
+  def allPostings(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = TextOps.tokens(text)
+    docs
+      .select(col(idCol).as("id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+  }
+
+  /** Publish the inverted index for `docs` under `path`. */
+  def publishIndex(docs: DataFrame, idCol: String, text: Column,
+      path: String, buckets: Int): Unit = {
+    allPostings(docs, idCol, text)
+      .withColumn("tb", tokenBucketCol(col("token"), buckets))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("token"))
+      .write.mode("overwrite").partitionBy("tb").parquet(postingsPath(path))
+    val st = corpusStats(docs, text).head()
+    graft.core.Sidecar.writeProps(metaPath(path), Seq(
+      "kind" -> "lex", "buckets" -> buckets.toString,
+      "n" -> st.getLong(0).toString, "sum_dl" -> st.getLong(1).toString))
+  }
+
+  /** Append a batch of NEW documents (id-disjoint from the published
+    * corpus, like every append tier in the engine) — O(batch)
+    * postings into the same buckets plus two exact-long counter
+    * bumps. Because df is query-time and avgdl derives from exact
+    * longs, an appended index scores BIT-IDENTICALLY to a full
+    * republish of the union (LexIndexSpec pins it). Single-writer,
+    * like the ANN appends; route concurrent writers through a
+    * versioned root ([[graft.core.Versions]]).
+    */
+  def appendIndex(newDocs: DataFrame, idCol: String, text: Column,
+      path: String): Unit = {
+    val meta = readLexMeta(path)
+    val buckets = meta("buckets").toInt
+    allPostings(newDocs, idCol, text)
+      .withColumn("tb", tokenBucketCol(col("token"), buckets))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("token"))
+      .write.mode("append").partitionBy("tb").parquet(postingsPath(path))
+    val st = newDocs.agg(count(lit(1)),
+      sum(size(TextOps.tokens(text)).cast("long"))).head()
+    graft.core.Sidecar.writeProps(metaPath(path), Seq(
+      "kind" -> "lex", "buckets" -> buckets.toString,
+      "n" -> (meta("n").toLong + st.getLong(0)).toString,
+      "sum_dl" -> (meta("sum_dl").toLong + st.getLong(1)).toString))
+  }
+
+  private def readLexMeta(path: String): Map[String, String] = {
+    val meta = graft.core.Sidecar.readPropsExpected(metaPath(path))
+      .getOrElse(throw new IllegalArgumentException(s"no lex sidecar at $path"))
+    require(meta.get("kind").contains("lex"),
+      s"sidecar at $path is kind=${meta.get("kind")}, not a lexical index")
+    meta
+  }
+
+  /** BM25 top-k over the published index: reads ONLY the query
+    * terms' bucket directories, computes df on those pruned postings,
+    * and scores through [[scorePostings]] — bit-identical to
+    * [[bm25TopK]] over the same corpus.
+    */
+  def searchIndex(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val meta = readLexMeta(path)
+    val buckets = meta("buckets").toInt
+    val n = meta("n").toLong
+    val sumDl = meta("sum_dl").toLong
+    val avgdl = sumDl.toDouble / n // same arithmetic as corpusStats
+    val tbs = terms.map(tokenBucket(_, buckets)).distinct
+    val tp = spark.read.parquet(postingsPath(path))
+      .filter(col("tb").isin(tbs: _*))
+      .filter(col("token").isin(terms: _*))
+    val df_ = tp.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.orderBy(col("bm25").desc, col("id").asc)
+    scorePostings(tp, "id", df_, lit(n), lit(avgdl))
+      .withColumn("bm25", round(col("bm25"), 6))
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
   }
 }

@@ -77,6 +77,29 @@ object RetrievalQueries extends QueryModule {
               |FROM bm WHERE rnk <= 10""".stripMargin)
     ),
 
+    // ---- BM25 over the published inverted-index layout ----
+    // Same oracle as q_text_bm25: the indexed path must score
+    // bit-identically to the one-shot path while reading ONLY the
+    // query terms' bucket directories (pruning pinned by
+    // LexIndexSpec). Publish is ingest cost, paid once per session.
+    QueryDef(
+      "q_text_bm25_indexed",
+      "BM25 top-10 via the token-bucket-partitioned inverted index",
+      (s, dir) => {
+        val path = SessionPublish.once(s, s"lexindex|$dir") {
+          val p = SessionPublish.tempDir("graft-lexindex")
+          Retrieval.publishIndex(Tables(s, dir).documents, "doc_id", col("text"),
+            p, buckets = 16)
+          p
+        }
+        Retrieval.searchIndex(s, path, terms, 10)
+          .select(col("id").as("doc_id"), col("bm25"), col("rnk"))
+      },
+      Some(s"""WITH $bm25Ctes
+              |SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+              |FROM bm WHERE rnk <= 10""".stripMargin)
+    ),
+
     // ---- hybrid retrieval: reciprocal-rank fusion ----
     // BM25 top-20 fused with cosine top-20 (query = vec 0's own
     // embedding; doc_id and vec_id share the id space by
