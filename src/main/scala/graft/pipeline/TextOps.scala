@@ -261,6 +261,100 @@ object TextOps {
         sum(col("lp_micro")).as("sum_lp_micro"))
   }
 
+  /** Per-document average trigram log-probability under a stupid-
+    * backoff LM trained on the corpus itself (Brants et al., EMNLP'07
+    * "Large Language Models in Machine Translation" — the distributed
+    * n-gram LM built exactly this way at web scale; CCNet-style
+    * perplexity filtering is this score with a pre-trained model).
+    *
+    * Training is three map-side-combinable groupBys over the token
+    * stream (trigram / bigram / unigram counts) — the same shape as
+    * Brants' MapReduce counting step, so it holds at 100 TB: the
+    * shuffle carries one row per DISTINCT n-gram per partition, not
+    * per token. Gram extraction is zero-shuffle: the token ARRAY stays
+    * with the row and the two context words are `element_at` lookups,
+    * no self-join and no window.
+    *
+    * Scoring joins the positioned token stream against the three
+    * count tables (Zipf-skewed keys are fine: these are lookup joins
+    * whose build sides are counts, and AQE splits skewed shuffle
+    * partitions; when the vocabulary fits the broadcast budget the
+    * unigram/bigram legs broadcast — at corpus scale the trigram
+    * table is the one that must stay a shuffle join).
+    *
+    * Backoff (score, not a distribution — Brants §4): for position p
+    * with context words w1 (previous) and w2 (before that),
+    *   p = 0:  S = c1(w)/N
+    *   p = 1:  S = c2(w1,w)/c1(w1)        if the bigram was seen
+    *           S = 0.4 * S1(w)            otherwise
+    *   p >= 2: S = c3(w2,w1,w)/c2(w2,w1)  if the trigram was seen
+    *           S = 0.4 * c2(w1,w)/c1(w1)  else if the bigram was seen
+    *           S = 0.16 * S1(w)           otherwise
+    * where the unigram leg itself backs off for out-of-vocabulary
+    * words: S1(w) = c1(w)/N if seen, else 0.4/N (the zerogram 1/N
+    * with one more penalty — stupid backoff has no principled OOV
+    * theory, so the choice is explicit and documented here). A seen
+    * n-gram's context count is never null (the context is a prefix
+    * of the seen gram), so no arm divides by null. Per-token
+    * log-scores round to 6 dp and scale to exact BIGINT micro-nats
+    * BEFORE the per-doc sum (the [[unigramLogProb]] exactness
+    * contract: integer sums are order-independent across engines; a
+    * double ln() sum is not).
+    */
+  def stupidBackoffLogProb(train: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    def positioned(df: org.apache.spark.sql.DataFrame) = df
+      .select(col(idCol), tokens(text).as("ts"))
+      .select(col(idCol), col("ts"), posexplode(col("ts")).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos"), col("w"),
+        when(col("pos") >= 1, element_at(col("ts"), col("pos"))).as("w1"),
+        when(col("pos") >= 2, element_at(col("ts"), col("pos") - 1)).as("w2"))
+    val tr = positioned(train)
+    val uni = tr.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = tr.filter(col("pos") >= 1)
+      .groupBy(col("w1"), col("w")).agg(count(lit(1)).as("c2"))
+    val tri = tr.filter(col("pos") >= 2)
+      .groupBy(col("w2"), col("w1"), col("w")).agg(count(lit(1)).as("c3"))
+    val tot = tr.agg(count(lit(1)).as("n"))
+
+    val d = (c: Column) => c.cast("double")
+    val joined = positioned(score)
+      .join(uni, Seq("w"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1ctx")), Seq("w1"), "left")
+      .join(bi, Seq("w1", "w"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w").as("w1"), col("c2").as("c2ctx")),
+        Seq("w2", "w1"), "left")
+      .join(tri, Seq("w2", "w1", "w"), "left")
+      .crossJoin(tot)
+    // IEEE-double steps mirrored verbatim in the oracle SQL: each arm
+    // is ln(<literal> * (count / count)) with left-to-right evaluation
+    val s1 = when(col("c1").isNotNull, d(col("c1")) / d(col("n")))
+      .otherwise(lit(0.4) / d(col("n")))
+    val lp = when(col("pos") === 0, log(s1))
+      .when(col("pos") === 1,
+        when(col("c2").isNotNull, log(d(col("c2")) / d(col("c1ctx"))))
+          .otherwise(log(lit(0.4) * s1)))
+      .otherwise(
+        when(col("c3").isNotNull, log(d(col("c3")) / d(col("c2ctx"))))
+          .when(col("c2").isNotNull, log(lit(0.4) * (d(col("c2")) / d(col("c1ctx")))))
+          .otherwise(log(lit(0.16) * s1)))
+    joined
+      .select(col(idCol),
+        round(round(lp, 6) * 1000000, 0).cast("long").as("lp_micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("sum_lp_micro"))
+  }
+
+  /** Self-trained stupid backoff: every doc scored through the LM of
+    * the whole corpus (its own grams included, so the backoff arms
+    * only fire in the held-out form above — which is the production
+    * use: a clean-corpus LM scoring candidate data).
+    */
+  def stupidBackoffLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame =
+    stupidBackoffLogProb(docs, docs, idCol, text)
+
   /** Quality features: exact integer counts (cross-engine safe) plus
     * a rounded composite. Assumes single-space-separated text.
     */

@@ -275,6 +275,73 @@ object TextQueries extends QueryModule {
              |GROUP BY doc_id""".stripMargin)
     ),
 
+    // ---- trigram stupid-backoff LM score, held out ----
+    // The distributed n-gram LM (Brants et al. EMNLP'07) as a quality
+    // filter in its production shape: an LM trained on the clean half
+    // (even doc_ids) scores the candidate half (odd doc_ids), so every
+    // backoff arm — seen trigram, bigram fallback, unigram double-
+    // fallback, OOV zerogram — fires and is oracle-covered. Three
+    // map-side-combinable count tables, zero-shuffle gram extraction
+    // (context words are element_at lookups on the in-row token
+    // array), five lookup joins, exact micro-nat sums. The oracle
+    // mirrors every IEEE-double step of the backoff CASE.
+    QueryDef(
+      "q_text_lm_backoff",
+      "held-out trigram stupid-backoff log-prob: even-doc LM scores odd docs",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        TextOps.stupidBackoffLogProb(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"))
+      },
+      Some("""WITH tokt AS (
+             |  SELECT doc_id, p - 1 AS pos, ts[p] AS w,
+             |         CASE WHEN p >= 2 THEN ts[p-1] END AS w1,
+             |         CASE WHEN p >= 3 THEN ts[p-2] END AS w2
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+             |        WHERE doc_id % 2 = 0),
+             |       LATERAL unnest(generate_series(1, len(ts))) AS u(p)),
+             |toks AS (
+             |  SELECT doc_id, p - 1 AS pos, ts[p] AS w,
+             |         CASE WHEN p >= 2 THEN ts[p-1] END AS w1,
+             |         CASE WHEN p >= 3 THEN ts[p-2] END AS w2
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+             |        WHERE doc_id % 2 = 1),
+             |       LATERAL unnest(generate_series(1, len(ts))) AS u(p)),
+             |uni AS (SELECT w, count(*) AS c1 FROM tokt GROUP BY w),
+             |bi  AS (SELECT w1, w, count(*) AS c2 FROM tokt WHERE pos >= 1 GROUP BY w1, w),
+             |tri AS (SELECT w2, w1, w, count(*) AS c3 FROM tokt WHERE pos >= 2 GROUP BY w2, w1, w),
+             |tot AS (SELECT count(*) AS n FROM tokt),
+             |j AS (
+             |  SELECT t.doc_id, t.pos, u.c1, uc.c1 AS c1ctx, b.c2, bc.c2 AS c2ctx,
+             |         tr.c3,
+             |         CASE WHEN u.c1 IS NOT NULL
+             |              THEN CAST(u.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE)
+             |              ELSE 0.4 / CAST(tot.n AS DOUBLE) END AS s1
+             |  FROM toks t
+             |  LEFT JOIN uni u ON t.w = u.w
+             |  LEFT JOIN uni uc ON t.w1 = uc.w
+             |  LEFT JOIN bi b ON t.w1 = b.w1 AND t.w = b.w
+             |  LEFT JOIN bi bc ON t.w2 = bc.w1 AND t.w1 = bc.w
+             |  LEFT JOIN tri tr ON t.w2 = tr.w2 AND t.w1 = tr.w1 AND t.w = tr.w, tot),
+             |scored AS (
+             |  SELECT doc_id,
+             |    CASE
+             |      WHEN pos = 0 THEN ln(s1)
+             |      WHEN pos = 1 THEN CASE WHEN c2 IS NOT NULL
+             |        THEN ln(CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE))
+             |        ELSE ln(0.4 * s1) END
+             |      ELSE CASE
+             |        WHEN c3 IS NOT NULL THEN ln(CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+             |        WHEN c2 IS NOT NULL THEN ln(0.4 * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE)))
+             |        ELSE ln(0.16 * s1) END
+             |    END AS lp
+             |  FROM j)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(CAST(round(round(lp, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
+             |FROM scored GROUP BY doc_id""".stripMargin)
+    ),
+
     // ---- TF-IDF: top-3 characteristic terms per document ----
     // Smoothed tfidf = tf * ln((N+1)/(df+1)); deterministic top-3 via
     // (score desc, token asc). Two aggregates + one token join — the
