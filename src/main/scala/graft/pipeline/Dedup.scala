@@ -413,6 +413,35 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter — the 100 TB shape when
+    * the benchmark side outgrows the broadcast budget. The exact
+    * variant ships the full distinct benchmark shingle SET to every
+    * executor; here only a fixed-size bitset ([[Bloom]], ~1.25 MB at
+    * 10 bits/key for a million shingles) rides the plan as one array
+    * literal, and the corpus prunes to Bloom candidates AT SCAN SPEED
+    * before any join. The exact verify join then runs over the
+    * candidates only — orders of magnitude fewer rows — and is left
+    * un-hinted so AQE picks broadcast or shuffle by the real bench
+    * size. Bloom filters have no false negatives, so the result is
+    * IDENTICAL to [[decontaminate]]: the gate reuses its oracle
+    * verbatim, and false positives only cost verify-join rows.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, text: Column,
+      isBenchmark: Column, shingleN: Int = 3, bitsPerKey: Int = 10): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), isBenchmark.as("bench"),
+      explode(TextOps.shingles(text, shingleN)).as("s"))
+    val bench   = sh.filter(col("bench")).select(col("s"), col("id").as("bench_id")).distinct()
+    val benchS  = bench.select(col("s")).distinct()
+    val (m, k)  = Bloom.params(benchS.count(), bitsPerKey)
+    val words   = Bloom.build(benchS, col("s"), m, k)
+    sh.filter(!col("bench")).select(col("id"), col("s"))
+      .filter(Bloom.mightContain(words, m, k, col("s")))
+      .join(bench, Seq("s"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("s")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** SimHash (16-bit) per document, batch path: one md5 per token,
     * bit sums via one groupBy. Bit i of the hash word matches
     * TextOps.hash32(0, token) — the seeded-md5 definition.

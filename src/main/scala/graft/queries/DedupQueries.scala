@@ -253,6 +253,29 @@ object DedupQueries extends QueryModule {
               |GROUP BY t.doc_id""".stripMargin)
     ),
 
+    // ---- decontamination through the Bloom prefilter ----
+    // Same answer as q_decontaminate, different 100 TB plan: the
+    // benchmark shingle set becomes a fixed-size bitset literal, the
+    // corpus prunes to Bloom candidates at scan speed, and only the
+    // candidates reach the exact verify join. Bloom filters have no
+    // false negatives, so the oracle is q_decontaminate's verbatim —
+    // the approximate structure is gate-proven to change nothing.
+    QueryDef(
+      "q_decontaminate_bloom",
+      "decontamination via Bloom prefilter + exact verify (same result, scan-speed pruning)",
+      (s, dir) =>
+        Dedup.decontaminateBloom(Tables(s, dir).documents, "doc_id", col("text"),
+          col("doc_id") % 50 === 0)
+          .select(col("id").as("doc_id"), col("n_shared"), col("n_bench_docs")),
+      Some(s"""$shinglesSql,
+              |bench AS (SELECT DISTINCT s, doc_id AS bench_id FROM sh WHERE doc_id % 50 = 0),
+              |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+              |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared,
+              |       count(DISTINCT b.bench_id) AS n_bench_docs
+              |FROM train t JOIN bench b ON t.s = b.s
+              |GROUP BY t.doc_id""".stripMargin)
+    ),
+
     // ---- SimHash fingerprints (one md5 per token, batch path) ----
     QueryDef(
       "q_dedup_simhash",
