@@ -55,6 +55,7 @@ object Catalog {
     IndexQueries,
     DedupQueries,
     SimilarityQueries,
+    PcaQueries,
     PqQueries,
     SqQueries,
     TextQueries,
