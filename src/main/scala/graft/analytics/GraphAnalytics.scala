@@ -229,4 +229,54 @@ object GraphAnalytics {
     wedges.join(e, col("b") === col("u") && col("c") === col("v"))
       .select(col("a"), col("b"), col("c"))
   }
+
+  /** k-core decomposition (Seidman 1983): iteratively peel vertices of
+    * degree < k until fixpoint; returns the surviving vertices with
+    * their WITHIN-CORE degree. Deterministic — the peel set of each
+    * round is degree-defined, no tie-breaking.
+    *
+    * Each round is one degree aggregation plus two semi-joins, with
+    * `localCheckpoint` cutting the per-round lineage (the
+    * [[hopDistancesDF]] contract). The edge set only shrinks, so
+    * round cost is monotone non-increasing; real graphs converge in a
+    * handful of rounds because whole low-degree fringes peel at once.
+    * `maxIters` bounds the loop LOUDLY (IllegalStateException, never a
+    * silently-unconverged answer) — on 100 TB pathologies (a long
+    * path peeling one vertex per round) raise the bound consciously
+    * instead of discovering a hang.
+    *
+    * Returns (vertices (id, degree), rounds) — rounds feeds the
+    * oracle's unrolled-peel SQL rendering.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): (DataFrame, Int) = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = nEdges == 0
+    while (!converged) {
+      require(rounds < maxIters,
+        s"k-core did not converge in $maxIters rounds ($nEdges edges live)")
+      val keep = e.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("id"))
+      val next = e
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val nNext = next.count()
+      rounds += 1
+      converged = nNext == nEdges
+      e = next
+      nEdges = nNext
+    }
+    val core = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    (core, rounds)
+  }
 }

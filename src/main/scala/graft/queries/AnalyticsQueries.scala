@@ -15,6 +15,31 @@ object AnalyticsQueries extends QueryModule {
 
   import TpchGraph._
 
+  private object State {
+    @volatile var kcoreRounds: Option[Int] = None
+  }
+
+  /** The customer co-purchase edge CTEs (DuckDB): an edge joins two
+    * customers who ordered the same part. Ends in `e0(u, v)`.
+    */
+  private val coPurchaseCtes =
+    """cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.c AS u, b.c AS v FROM cp a JOIN cp b
+      |       ON a.p = b.p AND a.c < b.c)""".stripMargin
+
+  /** One unrolled peel round: degree >= k survivors of e{i} filter
+    * e{i} into e{i+1}. MATERIALIZED is load-bearing: each round
+    * references its predecessor three times, so inlined CTEs would
+    * re-evaluate the base join 3^rounds times.
+    */
+  private def peelRoundSql(i: Int, k: Int): String =
+    s"""d$i AS MATERIALIZED (SELECT id, count(*) AS c
+       |        FROM (SELECT u AS id FROM e$i UNION ALL SELECT v AS id FROM e$i)
+       |        GROUP BY id HAVING count(*) >= $k),
+       |e${i + 1} AS MATERIALIZED (SELECT u, v FROM e$i
+       |        WHERE u IN (SELECT id FROM d$i) AND v IN (SELECT id FROM d$i))""".stripMargin
+
   /** Geography-only subgraph: label-pruned scans, no lineitem fan-in. */
   private def geo(s: org.apache.spark.sql.SparkSession, dir: String): GraphSnapshot = {
     val g = TpchGraph.snapshot(s, dir)
@@ -136,6 +161,41 @@ object AnalyticsQueries extends QueryModule {
              |                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
              |SELECT (SELECT count(*) FROM (SELECT u FROM e UNION SELECT v FROM e)) AS n_nodes,
              |       (SELECT count(*) FROM e) AS n_edges, n_triangles FROM t""".stripMargin)
+    ),
+
+    // ---- k-core of the customer co-purchase graph ----
+    // Iterative degree peeling to fixpoint (deterministic — no tie
+    // breaks). The oracle unrolls EXACTLY the number of peel rounds
+    // the run took (deferred render): the last unrolled round is the
+    // no-op that proves fixpoint, so an unconverged Spark answer
+    // cannot match. k=500 actually peels at sf0.01 (four rounds,
+    // ~10% of customers cut); at sf0.001 the whole graph dissolves —
+    // the empty core must agree too.
+    QueryDef(
+      "q_kcore",
+      "500-core of the customer co-purchase graph: surviving customers + core degree",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        val edges = cp.as("a")
+          .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+          .distinct()
+        val (core, rounds) = GraphAnalytics.kCore(edges, k = 500)
+        State.kcoreRounds = Some(rounds)
+        core.select(col("id"), col("degree"))
+      },
+      Oracle.deferred {
+        val rounds = State.kcoreRounds.getOrElse(throw new IllegalStateException(
+          "k-core rounds not recorded — run q_kcore before rendering its oracle"))
+        val peels = (0 until rounds).map(i => peelRoundSql(i, 500))
+        val ctes = (coPurchaseCtes +: peels).mkString(",\n")
+        s"""WITH $ctes
+           |SELECT id, count(*) AS degree
+           |FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v AS id FROM e$rounds)
+           |GROUP BY id""".stripMargin
+      }
     )
   )
 }
