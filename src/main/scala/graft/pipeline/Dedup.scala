@@ -535,6 +535,51 @@ object Dedup {
   def spanHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** The REMOVAL step of span-level dedup (Lee et al. ACL'22 §4.1
+    * "ExactSubstr": delete the repeated substrings, keep the rest of
+    * the document): every token covered by any n-token span that
+    * occurs in ≥ minDocs distinct documents is cut, and the survivors
+    * re-join into the cleaned text.
+    *
+    * Shape: positional span hashes (the [[repeatedSpanHashes]]
+    * exchange — hashes only, never span strings), an equi-join with
+    * the heavy-hash set to find covered START positions, one
+    * collect_set per document (bounded by document length), and a
+    * scan-side rebuild: `filter(ts, (t, i) -> no covering start)` is
+    * a pure array expression, O(|starts| · len) per doc worst case
+    * but |starts| is the document's own repeated-span count — tiny
+    * outside pathological boilerplate docs, which are exactly the
+    * ones being cut. Documents with no heavy span never enter the
+    * join result and keep their text through the left join.
+    *
+    * Returns (idCol, clean_text, n_removed).
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, text: Column,
+      n: Int, minDocs: Int): DataFrame = {
+    val ts = TextOps.tokens(text)
+    val spanArr = when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val spans = df.select(col(idCol).as("id"), posexplode(spanArr).as(Seq("s", "span")))
+      .select(col("id"), col("s"), spanHash(col("span")).as("h"))
+    val heavy = spans
+      .groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val starts = spans.join(heavy, Seq("h"))
+      .groupBy(col("id"))
+      .agg(collect_set(col("s")).as("ss"))
+    val covered = coalesce(col("ss"), array().cast("array<int>"))
+    val kept = filter(ts, (_, i) =>
+      !exists(covered, s => s <= i && i < s + n))
+    df.join(starts, df(idCol) === starts("id"), "left")
+      .select(col(idCol),
+        concat_ws(" ", kept).as("clean_text"),
+        (size(ts) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Top-k repeated spans WITH their text: hash-counted as above,
     * k winners picked by (n_occ desc, h), then one term-filtered
     * re-scan resolves hash → span text (the isin list is k hashes —

@@ -315,6 +315,36 @@ object DedupQueries extends QueryModule {
              |             count(*) AS n_occ
              |      FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
              |SELECT span, n_docs, n_occ FROM c ORDER BY n_occ DESC, h LIMIT 15""".stripMargin)
+    ),
+
+    // ---- span REMOVAL: the ExactSubstr delete step ----
+    // Every token covered by a cross-document repeated 8-span is cut;
+    // survivors re-join. The oracle rebuilds cleaned text with the
+    // same covered-position predicate over MATERIALIZED span CTEs.
+    QueryDef(
+      "q_dedup_spans_remove",
+      "documents with repeated 8-token spans removed: clean text + tokens cut",
+      (s, dir) =>
+        Dedup.removeRepeatedSpans(Tables(s, dir).documents, "doc_id", col("text"),
+          n = 8, minDocs = 2),
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |sp AS MATERIALIZED (
+             |  SELECT doc_id, i - 1 AS s,
+             |         CAST('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15) AS BIGINT) AS h
+             |  FROM tok, LATERAL unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS u(i)),
+             |heavy AS MATERIALIZED (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sp JOIN heavy USING (h)),
+             |st AS MATERIALIZED (SELECT doc_id, list(s) AS ss FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  coalesce(array_to_string(
+             |    list_transform(
+             |      list_filter(generate_series(1, len(t.ts)),
+             |        i -> len(list_filter(coalesce(st.ss, []), s -> s <= i - 1 AND i - 1 < s + 8)) = 0),
+             |      i -> t.ts[i]), ' '), '') AS clean_text,
+             |  CAST(len(t.ts) - len(
+             |    list_filter(generate_series(1, len(t.ts)),
+             |      i -> len(list_filter(coalesce(st.ss, []), s -> s <= i - 1 AND i - 1 < s + 8)) = 0)) AS BIGINT) AS n_removed
+             |FROM tok t LEFT JOIN st USING (doc_id)""".stripMargin)
     )
   )
 }
