@@ -93,7 +93,25 @@ object Bench {
     "q_ann_ivfpq_opq",
     "q_sq8_topk",
     "q_ann_ivfsq",
-    "q_ann_sq_topk_batch")
+    "q_ann_sq_topk_batch",
+    // round 9 session 3: lexical retrieval (one-shot + the partition-
+    // pruned token-bucket index), hybrid fusion, span mining AND the
+    // ExactSubstr removal pass, Z-order layout probes, triangle
+    // count + k-core peeling, the trigram stupid-backoff LM, Bloom
+    // decontamination, and the PCA tier (train + project + reduced-
+    // space ANN)
+    "q_text_bm25",
+    "q_text_bm25_indexed",
+    "q_hybrid_rrf",
+    "q_dedup_spans",
+    "q_dedup_spans_remove",
+    "q_tri_count",
+    "q_kcore",
+    "q_layout_zorder",
+    "q_text_lm_backoff",
+    "q_decontaminate_bloom",
+    "q_embed_pca",
+    "q_ann_pca")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
