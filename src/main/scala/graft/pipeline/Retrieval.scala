@@ -172,16 +172,21 @@ object Retrieval {
   private def tokenBucketCol(token: Column, buckets: Int): Column =
     TextOps.hash32(0, token) % buckets
 
-  /** All-token postings of a corpus: (token, id, dl, tf) — one
-    * shuffle keyed (doc, token), the same shape at any corpus size.
+  /** All-token postings of a corpus: (token, id, dl, tf, positions) —
+    * one shuffle keyed (doc, token), the same shape at any corpus
+    * size. `positions` is the sorted 0-based occurrence list (bounded
+    * by tf ≤ document length), which upgrades the index from
+    * bag-of-words to POSITIONAL: phrase queries intersect these lists
+    * instead of re-reading documents.
     */
   def allPostings(docs: DataFrame, idCol: String, text: Column): DataFrame = {
     val toks = TextOps.tokens(text)
     docs
       .select(col(idCol).as("id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("token"))
+        posexplode(toks).as(Seq("pos", "token")))
       .groupBy(col("id"), col("token"))
-      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
   }
 
   /** Publish the inverted index for `docs` under `path`. */
@@ -255,5 +260,65 @@ object Retrieval {
       .orderBy(col("bm25").desc, col("id").asc)
       .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** Exact phrase match at scan speed — the one-shot twin of
+    * [[phraseSearchIndex]]: count starts where the next |phrase|
+    * tokens equal the phrase. Pure array expressions, no shuffle.
+    * Returns (idCol, n_occ, first_pos) for matching docs only;
+    * first_pos is 0-based.
+    */
+  def phraseMatch(docs: DataFrame, idCol: String, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val n = phrase.length
+    val ts = TextOps.tokens(text)
+    val ph = phrase.mkString(" ")
+    val starts = filter(sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(ts, i, lit(n))) === lit(ph))
+    docs
+      .select(col(idCol), starts.as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col(idCol),
+        size(col("ss")).cast("long").as("n_occ"),
+        (element_at(col("ss"), 1) - 1).cast("long").as("first_pos"))
+  }
+
+  /** Phrase search over the PUBLISHED positional index: reads only
+    * the phrase terms' bucket directories, joins each term's
+    * positions list on the doc id (|distinct terms| − 1 narrow
+    * joins over postings — documents are never re-read), and counts
+    * starts where every term sits at its offset. Bit-identical to
+    * [[phraseMatch]] over the same corpus, the [[searchIndex]]
+    * equivalence contract.
+    */
+  def phraseSearchIndex(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val meta = readLexMeta(path)
+    val buckets = meta("buckets").toInt
+    val distinctTerms = phrase.distinct
+    val tbs = distinctTerms.map(tokenBucket(_, buckets)).distinct
+    val post = spark.read.parquet(postingsPath(path))
+      .filter(col("tb").isin(tbs: _*))
+      .filter(col("token").isin(distinctTerms: _*))
+      .select(col("id"), col("token"), col("positions"))
+    // one positions column per PHRASE SLOT (duplicate terms reuse the
+    // same postings row through their own join alias)
+    val joined = phrase.zipWithIndex.foldLeft[Option[DataFrame]](None) {
+      case (acc, (term, i)) =>
+        val leg = post.filter(col("token") === term)
+          .select(col("id"), col("positions").as(s"p$i"))
+        Some(acc.fold(leg)(_.join(leg, Seq("id"))))
+    }.get
+    val starts = filter(col("p0"), p =>
+      (1 until phrase.length).map(i => array_contains(col(s"p$i"), p + i))
+        .foldLeft(lit(true))(_ && _))
+    joined
+      .select(col("id"), starts.as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("id"),
+        size(col("ss")).cast("long").as("n_occ"),
+        element_at(col("ss"), 1).cast("long").as("first_pos"))
   }
 }

@@ -100,6 +100,54 @@ object RetrievalQueries extends QueryModule {
               |FROM bm WHERE rnk <= 10""".stripMargin)
     ),
 
+    // ---- exact phrase search, scan-speed one-shot ----
+    // Count starts where the next 3 tokens equal the phrase; the
+    // within-doc repeats at sf0.01 make n_occ > n_docs, so the
+    // occurrence count is genuinely exercised.
+    QueryDef(
+      "q_text_phrase",
+      "exact-phrase match: docs containing \"slow hash batch\", occurrences + first position",
+      (s, dir) =>
+        Retrieval.phraseMatch(Tables(s, dir).documents, "doc_id", col("text"),
+          Seq("slow", "hash", "batch")),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |m AS (SELECT doc_id,
+             |        list_filter(generate_series(1, greatest(len(ts) - 2, 0)),
+             |          i -> array_to_string(ts[i:i+2], ' ') = 'slow hash batch') AS ss
+             |      FROM tok)
+             |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_occ,
+             |       CAST(ss[1] - 1 AS BIGINT) AS first_pos
+             |FROM m WHERE len(ss) > 0""".stripMargin)
+    ),
+
+    // ---- phrase search over the POSITIONAL published index ----
+    // The postings now carry per-(doc, term) position lists, so a
+    // phrase query intersects postings of its terms' (pruned) buckets
+    // — documents are never re-read. Same oracle as q_text_phrase:
+    // the indexed path must match the scan path exactly.
+    QueryDef(
+      "q_text_phrase_indexed",
+      "exact-phrase match via positional postings in the token-bucket index",
+      (s, dir) => {
+        val path = SessionPublish.once(s, s"lexindex|$dir") {
+          val p = SessionPublish.tempDir("graft-lexindex")
+          Retrieval.publishIndex(Tables(s, dir).documents, "doc_id", col("text"),
+            p, buckets = 16)
+          p
+        }
+        Retrieval.phraseSearchIndex(s, path, Seq("slow", "hash", "batch"))
+          .select(col("id").as("doc_id"), col("n_occ"), col("first_pos"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |m AS (SELECT doc_id,
+             |        list_filter(generate_series(1, greatest(len(ts) - 2, 0)),
+             |          i -> array_to_string(ts[i:i+2], ' ') = 'slow hash batch') AS ss
+             |      FROM tok)
+             |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_occ,
+             |       CAST(ss[1] - 1 AS BIGINT) AS first_pos
+             |FROM m WHERE len(ss) > 0""".stripMargin)
+    ),
+
     // ---- hybrid retrieval: reciprocal-rank fusion ----
     // BM25 top-20 fused with cosine top-20 (query = vec 0's own
     // embedding; doc_id and vec_id share the id space by
