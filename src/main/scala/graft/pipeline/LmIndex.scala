@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Published n-gram count tables — the incremental leg of the stupid-
+  * backoff LM (Brants et al. EMNLP'07 ran exactly this as a standing
+  * MapReduce artifact). Counts are ADDITIVE, so appends are exact by
+  * construction: a batch writes its own (gram, count) segment files
+  * O(batch), and the read side merges segments with one sum-groupBy —
+  * scoring through the published index is therefore bit-identical to
+  * a full retrain on the union ([[TextOps.scoreBackoff]] takes counts
+  * as inputs, and the merged rows agree row-for-row). The same
+  * single-writer contract as every append tier here; route concurrent
+  * writers through a versioned root ([[graft.core.Versions]]).
+  */
+object LmIndex {
+
+  private def gramPath(path: String, which: String) = s"$path/$which"
+  private def metaPath(path: String) = s"$path/_lmmeta"
+
+  private def counts(df: DataFrame, idCol: String, text: Column) = {
+    val tr = TextOps.positionedTokens(df, idCol, text)
+    val uni = tr.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = tr.filter(col("pos") >= 1)
+      .groupBy(col("w1"), col("w")).agg(count(lit(1)).as("c2"))
+    val tri = tr.filter(col("pos") >= 2)
+      .groupBy(col("w2"), col("w1"), col("w")).agg(count(lit(1)).as("c3"))
+    (uni, bi, tri)
+  }
+
+  /** Publish the three count tables + the exact token total. */
+  def publish(train: DataFrame, idCol: String, text: Column, path: String): Unit = {
+    val (uni, bi, tri) = counts(train, idCol, text)
+    uni.write.mode("overwrite").parquet(gramPath(path, "uni"))
+    bi.write.mode("overwrite").parquet(gramPath(path, "bi"))
+    tri.write.mode("overwrite").parquet(gramPath(path, "tri"))
+    val n = train.agg(sum(size(TextOps.tokens(text)).cast("long"))).head()
+      .getLong(0)
+    graft.core.Sidecar.writeProps(metaPath(path), Seq(
+      "kind" -> "lm", "n" -> n.toString))
+  }
+
+  /** Append a document batch: O(batch) counting, segment-file writes,
+    * one exact counter bump. No published row is rewritten — merging
+    * is the read side's sum.
+    */
+  def append(batch: DataFrame, idCol: String, text: Column, path: String): Unit = {
+    val meta = readMeta(path)
+    val (uni, bi, tri) = counts(batch, idCol, text)
+    uni.write.mode("append").parquet(gramPath(path, "uni"))
+    bi.write.mode("append").parquet(gramPath(path, "bi"))
+    tri.write.mode("append").parquet(gramPath(path, "tri"))
+    val n = batch.agg(sum(size(TextOps.tokens(text)).cast("long"))).head()
+      .getLong(0)
+    graft.core.Sidecar.writeProps(metaPath(path), Seq(
+      "kind" -> "lm", "n" -> (meta("n").toLong + n).toString))
+  }
+
+  /** Score documents through the published counts: segment merge is
+    * one sum-groupBy per table, then the shared scoring pipeline.
+    */
+  def score(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, text: Column): DataFrame = {
+    val meta = readMeta(path)
+    val uni = spark.read.parquet(gramPath(path, "uni"))
+      .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+    val bi = spark.read.parquet(gramPath(path, "bi"))
+      .groupBy(col("w1"), col("w")).agg(sum(col("c2")).as("c2"))
+    val tri = spark.read.parquet(gramPath(path, "tri"))
+      .groupBy(col("w2"), col("w1"), col("w")).agg(sum(col("c3")).as("c3"))
+    val tot = spark.range(1).select(lit(meta("n").toLong).as("n"))
+    TextOps.scoreBackoff(docs, idCol, text, uni, bi, tri, tot)
+  }
+
+  private def readMeta(path: String): Map[String, String] = {
+    val meta = graft.core.Sidecar.readPropsExpected(metaPath(path))
+      .getOrElse(throw new IllegalArgumentException(s"no lm sidecar at $path"))
+    require(meta.get("kind").contains("lm"),
+      s"sidecar at $path is kind=${meta.get("kind")}, not an lm index")
+    meta
+  }
+}

@@ -304,22 +304,41 @@ object TextOps {
   def stupidBackoffLogProb(train: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.DataFrame, idCol: String,
       text: Column): org.apache.spark.sql.DataFrame = {
-    def positioned(df: org.apache.spark.sql.DataFrame) = df
-      .select(col(idCol), tokens(text).as("ts"))
-      .select(col(idCol), col("ts"), posexplode(col("ts")).as(Seq("pos", "w")))
-      .select(col(idCol), col("pos"), col("w"),
-        when(col("pos") >= 1, element_at(col("ts"), col("pos"))).as("w1"),
-        when(col("pos") >= 2, element_at(col("ts"), col("pos") - 1)).as("w2"))
-    val tr = positioned(train)
+    val tr = positionedTokens(train, idCol, text)
     val uni = tr.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val bi = tr.filter(col("pos") >= 1)
       .groupBy(col("w1"), col("w")).agg(count(lit(1)).as("c2"))
     val tri = tr.filter(col("pos") >= 2)
       .groupBy(col("w2"), col("w1"), col("w")).agg(count(lit(1)).as("c3"))
     val tot = tr.agg(count(lit(1)).as("n"))
+    scoreBackoff(score, idCol, text, uni, bi, tri, tot)
+  }
 
+  /** Positioned token stream with its two context words: (idCol, pos,
+    * w, w1, w2) — zero shuffle, the context words are `element_at`
+    * lookups on the in-row token array.
+    */
+  private[pipeline] def positionedTokens(df: org.apache.spark.sql.DataFrame,
+      idCol: String, text: Column): org.apache.spark.sql.DataFrame = df
+    .select(col(idCol), tokens(text).as("ts"))
+    .select(col(idCol), col("ts"), posexplode(col("ts")).as(Seq("pos", "w")))
+    .select(col(idCol), col("pos"), col("w"),
+      when(col("pos") >= 1, element_at(col("ts"), col("pos"))).as("w1"),
+      when(col("pos") >= 2, element_at(col("ts"), col("pos") - 1)).as("w2"))
+
+  /** The scoring half of [[stupidBackoffLogProb]], shared with the
+    * published-counts path ([[LmIndex]]): counts are INPUTS, so any
+    * two count sources that agree row-for-row score bit-identically.
+    * `uni(w, c1)`, `bi(w1, w, c2)`, `tri(w2, w1, w, c3)`, `tot(n)`
+    * (one row).
+    */
+  private[pipeline] def scoreBackoff(score: org.apache.spark.sql.DataFrame,
+      idCol: String, text: Column,
+      uni: org.apache.spark.sql.DataFrame, bi: org.apache.spark.sql.DataFrame,
+      tri: org.apache.spark.sql.DataFrame,
+      tot: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val d = (c: Column) => c.cast("double")
-    val joined = positioned(score)
+    val joined = positionedTokens(score, idCol, text)
       .join(uni, Seq("w"), "left")
       .join(uni.select(col("w").as("w1"), col("c1").as("c1ctx")), Seq("w1"), "left")
       .join(bi, Seq("w1", "w"), "left")

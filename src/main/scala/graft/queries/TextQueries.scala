@@ -10,6 +10,59 @@ import graft.sources.Tables
   */
 object TextQueries extends QueryModule {
 
+  /** Held-out stupid-backoff oracle (train = even docs, score =
+    * odd docs) — shared by q_text_lm_backoff and the published-
+    * counts gate q_text_lm_incremental, whose (%4==0) + (%4==2)
+    * publish/append must reproduce the even-trained scores.
+    */
+  private val lmBackoffOracle: String =
+    """WITH tokt AS (
+           |  SELECT doc_id, p - 1 AS pos, ts[p] AS w,
+           |         CASE WHEN p >= 2 THEN ts[p-1] END AS w1,
+           |         CASE WHEN p >= 3 THEN ts[p-2] END AS w2
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+           |        WHERE doc_id % 2 = 0),
+           |       LATERAL unnest(generate_series(1, len(ts))) AS u(p)),
+           |toks AS (
+           |  SELECT doc_id, p - 1 AS pos, ts[p] AS w,
+           |         CASE WHEN p >= 2 THEN ts[p-1] END AS w1,
+           |         CASE WHEN p >= 3 THEN ts[p-2] END AS w2
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+           |        WHERE doc_id % 2 = 1),
+           |       LATERAL unnest(generate_series(1, len(ts))) AS u(p)),
+           |uni AS (SELECT w, count(*) AS c1 FROM tokt GROUP BY w),
+           |bi  AS (SELECT w1, w, count(*) AS c2 FROM tokt WHERE pos >= 1 GROUP BY w1, w),
+           |tri AS (SELECT w2, w1, w, count(*) AS c3 FROM tokt WHERE pos >= 2 GROUP BY w2, w1, w),
+           |tot AS (SELECT count(*) AS n FROM tokt),
+           |j AS (
+           |  SELECT t.doc_id, t.pos, u.c1, uc.c1 AS c1ctx, b.c2, bc.c2 AS c2ctx,
+           |         tr.c3,
+           |         CASE WHEN u.c1 IS NOT NULL
+           |              THEN CAST(u.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE)
+           |              ELSE 0.4 / CAST(tot.n AS DOUBLE) END AS s1
+           |  FROM toks t
+           |  LEFT JOIN uni u ON t.w = u.w
+           |  LEFT JOIN uni uc ON t.w1 = uc.w
+           |  LEFT JOIN bi b ON t.w1 = b.w1 AND t.w = b.w
+           |  LEFT JOIN bi bc ON t.w2 = bc.w1 AND t.w1 = bc.w
+           |  LEFT JOIN tri tr ON t.w2 = tr.w2 AND t.w1 = tr.w1 AND t.w = tr.w, tot),
+           |scored AS (
+           |  SELECT doc_id,
+           |    CASE
+           |      WHEN pos = 0 THEN ln(s1)
+           |      WHEN pos = 1 THEN CASE WHEN c2 IS NOT NULL
+           |        THEN ln(CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE))
+           |        ELSE ln(0.4 * s1) END
+           |      ELSE CASE
+           |        WHEN c3 IS NOT NULL THEN ln(CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+           |        WHEN c2 IS NOT NULL THEN ln(0.4 * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE)))
+           |        ELSE ln(0.16 * s1) END
+           |    END AS lp
+           |  FROM j)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CAST(round(round(lp, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
+           |FROM scored GROUP BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     // ---- deterministic hash sampling (curation staple) ----
     // Reproducible across runs/engines and repartitioning (unlike
@@ -294,52 +347,33 @@ object TextQueries extends QueryModule {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"))
       },
-      Some("""WITH tokt AS (
-             |  SELECT doc_id, p - 1 AS pos, ts[p] AS w,
-             |         CASE WHEN p >= 2 THEN ts[p-1] END AS w1,
-             |         CASE WHEN p >= 3 THEN ts[p-2] END AS w2
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-             |        WHERE doc_id % 2 = 0),
-             |       LATERAL unnest(generate_series(1, len(ts))) AS u(p)),
-             |toks AS (
-             |  SELECT doc_id, p - 1 AS pos, ts[p] AS w,
-             |         CASE WHEN p >= 2 THEN ts[p-1] END AS w1,
-             |         CASE WHEN p >= 3 THEN ts[p-2] END AS w2
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-             |        WHERE doc_id % 2 = 1),
-             |       LATERAL unnest(generate_series(1, len(ts))) AS u(p)),
-             |uni AS (SELECT w, count(*) AS c1 FROM tokt GROUP BY w),
-             |bi  AS (SELECT w1, w, count(*) AS c2 FROM tokt WHERE pos >= 1 GROUP BY w1, w),
-             |tri AS (SELECT w2, w1, w, count(*) AS c3 FROM tokt WHERE pos >= 2 GROUP BY w2, w1, w),
-             |tot AS (SELECT count(*) AS n FROM tokt),
-             |j AS (
-             |  SELECT t.doc_id, t.pos, u.c1, uc.c1 AS c1ctx, b.c2, bc.c2 AS c2ctx,
-             |         tr.c3,
-             |         CASE WHEN u.c1 IS NOT NULL
-             |              THEN CAST(u.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE)
-             |              ELSE 0.4 / CAST(tot.n AS DOUBLE) END AS s1
-             |  FROM toks t
-             |  LEFT JOIN uni u ON t.w = u.w
-             |  LEFT JOIN uni uc ON t.w1 = uc.w
-             |  LEFT JOIN bi b ON t.w1 = b.w1 AND t.w = b.w
-             |  LEFT JOIN bi bc ON t.w2 = bc.w1 AND t.w1 = bc.w
-             |  LEFT JOIN tri tr ON t.w2 = tr.w2 AND t.w1 = tr.w1 AND t.w = tr.w, tot),
-             |scored AS (
-             |  SELECT doc_id,
-             |    CASE
-             |      WHEN pos = 0 THEN ln(s1)
-             |      WHEN pos = 1 THEN CASE WHEN c2 IS NOT NULL
-             |        THEN ln(CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE))
-             |        ELSE ln(0.4 * s1) END
-             |      ELSE CASE
-             |        WHEN c3 IS NOT NULL THEN ln(CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
-             |        WHEN c2 IS NOT NULL THEN ln(0.4 * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE)))
-             |        ELSE ln(0.16 * s1) END
-             |    END AS lp
-             |  FROM j)
-             |SELECT doc_id, count(*) AS n_tokens,
-             |  CAST(sum(CAST(round(round(lp, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
-             |FROM scored GROUP BY doc_id""".stripMargin)
+      Some(lmBackoffOracle)
+    ),
+
+    // ---- incremental LM: published counts + O(batch) appends ----
+    // Counts are additive, so the published index (docs % 4 = 0) plus
+    // an appended batch (docs % 4 = 2) must score the odd half
+    // BIT-IDENTICALLY to a full retrain on all even docs — the oracle
+    // is q_text_lm_backoff's even-trained SQL verbatim. The LM joins
+    // the exact-append family (dedup, MinHash, embeddings, ANN tiers,
+    // lex index): no published row rewrites, read-time segment merge.
+    QueryDef(
+      "q_text_lm_incremental",
+      "stupid-backoff scores via published+appended n-gram counts == full retrain",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val path = SessionPublish.once(s, s"lmindex|$dir") {
+          val p = SessionPublish.tempDir("graft-lmindex")
+          graft.pipeline.LmIndex.publish(
+            docs.filter(col("doc_id") % 4 === 0), "doc_id", col("text"), p)
+          graft.pipeline.LmIndex.append(
+            docs.filter(col("doc_id") % 4 === 2), "doc_id", col("text"), p)
+          p
+        }
+        graft.pipeline.LmIndex.score(s, path,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"))
+      },
+      Some(lmBackoffOracle)
     ),
 
     // ---- TF-IDF: top-3 characteristic terms per document ----

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{LmIndex, TextOps}
+
+/** Published LM counts (pipeline/LmIndex.scala): publish + append ≡
+  * full retrain bit-for-bit, kind guard, append token accounting.
+  */
+class LmIndexSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("publish + append scores bit-identically to full retrain") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val path = graft.queries.SessionPublish.tempDir("lm-spec")
+    LmIndex.publish(docs.filter(col("doc_id") % 4 === 0), "doc_id", col("text"), path)
+    LmIndex.append(docs.filter(col("doc_id") % 4 === 2), "doc_id", col("text"), path)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val direct = TextOps.stupidBackoffLogProb(
+        docs.filter(col("doc_id") % 2 === 0), odd, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaIdx = LmIndex.score(spark, path, odd, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaIdx === direct, "identical micro-nat sums, not approximately")
+  }
+
+  test("appended grams change scores (the append is visible)") {
+    val path = graft.queries.SessionPublish.tempDir("lm-spec-vis")
+    LmIndex.publish(Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", col("text"), path)
+    val probe = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val before = LmIndex.score(spark, path, probe, "doc_id", col("text"))
+      .head().getLong(2)
+    LmIndex.append(Seq((2L, "x y z x y z")).toDF("doc_id", "text"), "doc_id", col("text"), path)
+    val after = LmIndex.score(spark, path, probe, "doc_id", col("text"))
+      .head().getLong(2)
+    assert(after > before, s"seen grams must outscore OOV backoff: $after vs $before")
+  }
+
+  test("a non-lm sidecar fails loud") {
+    val path = graft.queries.SessionPublish.tempDir("lm-spec-kind")
+    graft.core.Sidecar.writeProps(s"$path/_lmmeta", Seq("kind" -> "lex", "n" -> "1"))
+    val e = intercept[IllegalArgumentException] {
+      LmIndex.score(spark, path, Seq((1L, "a")).toDF("doc_id", "text"),
+        "doc_id", col("text"))
+    }
+    assert(e.getMessage.contains("kind"))
+  }
+}
