@@ -156,8 +156,15 @@ object Retrieval {
   // always consistent with the data, nothing global to maintain.
   // --------------------------------------------------------------
 
-  private def postingsPath(path: String) = s"$path/postings"
-  private def metaPath(path: String) = s"$path/_lexmeta"
+  private[graft] def postingsPath(path: String) = s"$path/postings"
+  private[graft] def metaPath(path: String) = s"$path/_lexmeta"
+
+  /** Streaming counter deltas ([[graft.streaming.LexStream]]): one
+    * batch-keyed props file per committed micro-batch, summed into the
+    * base sidecar at read time. Keyed filenames make the write
+    * idempotent under replay; a republish folds them away.
+    */
+  private[graft] def countersDir(path: String) = s"$path/_lex_counters"
 
   /** Driver-side twin of the bucket expression below — MUST stay in
     * lockstep with it (LexIndexSpec pins the pair on a corpus).
@@ -169,7 +176,7 @@ object Retrieval {
     (java.lang.Long.parseLong(hex, 16) % buckets).toInt
   }
 
-  private def tokenBucketCol(token: Column, buckets: Int): Column =
+  private[graft] def tokenBucketCol(token: Column, buckets: Int): Column =
     TextOps.hash32(0, token) % buckets
 
   /** All-token postings of a corpus: (token, id, dl, tf, positions) —
@@ -229,12 +236,18 @@ object Retrieval {
       "sum_dl" -> (meta("sum_dl").toLong + st.getLong(1)).toString))
   }
 
-  private def readLexMeta(path: String): Map[String, String] = {
+  private[graft] def readLexMeta(path: String): Map[String, String] = {
     val meta = graft.core.Sidecar.readPropsExpected(metaPath(path))
       .getOrElse(throw new IllegalArgumentException(s"no lex sidecar at $path"))
     require(meta.get("kind").contains("lex"),
       s"sidecar at $path is kind=${meta.get("kind")}, not a lexical index")
-    meta
+    // fold in streamed counter deltas (exact longs; order-free sums)
+    val deltas = graft.core.Sidecar.listNames(countersDir(path))
+      .flatMap(f => graft.core.Sidecar.readProps(s"${countersDir(path)}/$f"))
+    if (deltas.isEmpty) meta
+    else meta +
+      ("n" -> (meta("n").toLong + deltas.map(_("n").toLong).sum).toString) +
+      ("sum_dl" -> (meta("sum_dl").toLong + deltas.map(_("sum_dl").toLong).sum).toString)
   }
 
   /** BM25 top-k over the published index: reads ONLY the query
