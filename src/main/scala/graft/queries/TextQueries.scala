@@ -63,6 +63,22 @@ object TextQueries extends QueryModule {
            |  CAST(sum(CAST(round(round(lp, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
            |FROM scored GROUP BY doc_id""".stripMargin
 
+  private object State {
+    @volatile var clf: Option[graft.pipeline.Classifier.Model] = None
+  }
+
+  private def dlit(x: Double): String = s"'$x'::DOUBLE"
+
+  /** SQL mirrors of [[graft.pipeline.Classifier.langFeatures]], in
+    * the same order (lexicon ratios, then mean word length), over a
+    * CTE providing `ts` (token list) and `lc` (text length).
+    */
+  private def clfFeatureSql: Seq[String] =
+    TextOps.lexicons.map { case (_, lex) =>
+      val inList = lex.map(w => s"'$w'").mkString(",")
+      s"CAST(len(list_filter(ts, x -> x IN ($inList))) AS DOUBLE) / CAST(len(ts) AS DOUBLE)"
+    } :+ "round((lc - (len(ts) - 1)) * 1.0 / len(ts), 4)"
+
   override def queries: Seq[QueryDef] = Seq(
     // ---- deterministic hash sampling (curation staple) ----
     // Reproducible across runs/engines and repartitioning (unlike
@@ -374,6 +390,52 @@ object TextQueries extends QueryModule {
           docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"))
       },
       Some(lmBackoffOracle)
+    ),
+
+    // ---- trained quality classifier (logistic regression) ----
+    // The model-based filtering step in its distillation shape (CCNet
+    // trains fasttext against Wikipedia labels; LLM-judge pipelines
+    // distill the judge into a cheap model): distributed batch
+    // gradient descent distills the nonlinear langId heuristic
+    // (argmax-of-lexicons) into a linear model over the ratio
+    // features, then scores every doc as ONE arithmetic expression.
+    // The gate scores the LINEAR z (monotone in the sigmoid) so the
+    // oracle is exact left-to-right double arithmetic over the
+    // weights the run itself trained — no cross-engine exp() ulp
+    // hazard. (The corpus' `lang` column is label noise by
+    // construction — uncorrelated with the text — so the heuristic's
+    // own output is the only learnable target; ClassifierSpec pins
+    // both facts.)
+    QueryDef(
+      "q_quality_classifier",
+      "distilled langId classifier: exact micro-int linear scores per doc",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val feats = graft.pipeline.Classifier.langFeatures(col("text"))
+        val model = graft.pipeline.Classifier.trainLogistic(
+          docs, "doc_id", feats, TextOps.langId(col("text")) === "en",
+          iters = 200)
+        State.clf = Some(model)
+        val z = graft.pipeline.Classifier.score(feats, model)
+        docs.select(col("doc_id"),
+          round(round(z, 6) * 1000000, 0).cast("long").as("score_micro"),
+          when(z > 0, 1L).otherwise(0L).as("pred_en"))
+      },
+      Oracle.deferred {
+        val m = State.clf.getOrElse(throw new IllegalStateException(
+          "classifier not recorded — run q_quality_classifier before its oracle"))
+        val z = clfFeatureSql.zipWithIndex.foldLeft(dlit(m.bias)) {
+          case (acc, (f, j)) =>
+            s"$acc + ${dlit(m.weights(j))} * (($f - ${dlit(m.mean(j))}) / ${dlit(m.std(j))})"
+        }
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts, length(text) AS lc
+           |           FROM documents),
+           |sc AS (SELECT doc_id, ($z) AS z FROM t)
+           |SELECT doc_id,
+           |  CAST(round(round(z, 6) * 1000000, 0) AS BIGINT) AS score_micro,
+           |  CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_en
+           |FROM sc""".stripMargin
+      }
     ),
 
     // ---- TF-IDF: top-3 characteristic terms per document ----
