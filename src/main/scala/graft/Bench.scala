@@ -109,9 +109,14 @@ object Bench {
     "q_kcore",
     "q_layout_zorder",
     "q_text_lm_backoff",
+    "q_text_lm_incremental",
+    "q_text_phrase",
+    "q_text_phrase_indexed",
+    "q_text_bm25_deleted",
     "q_decontaminate_bloom",
     "q_embed_pca",
-    "q_ann_pca")
+    "q_ann_pca",
+    "q_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -263,9 +263,7 @@ object Retrieval {
     val sumDl = meta("sum_dl").toLong
     val avgdl = sumDl.toDouble / n // same arithmetic as corpusStats
     val tbs = terms.map(tokenBucket(_, buckets)).distinct
-    val tp = spark.read.parquet(postingsPath(path))
-      .filter(col("tb").isin(tbs: _*))
-      .filter(col("token").isin(terms: _*))
+    val tp = livePostings(spark, path, tbs, terms)
     val df_ = tp.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.orderBy(col("bm25").desc, col("id").asc)
     scorePostings(tp, "id", df_, lit(n), lit(avgdl))
@@ -273,6 +271,61 @@ object Retrieval {
       .orderBy(col("bm25").desc, col("id").asc)
       .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  private[graft] def lexTombstonesPath(path: String) = s"$path/_lex_tombstones"
+
+  /** Takedown support for the published index — the lexical analog of
+    * the ANN tiers' id-level tombstones: deletes write a batch of
+    * (id, dl) tombstone rows (staged dir, atomic rename in) plus one
+    * batch-keyed NEGATIVE counter delta, and every read path
+    * anti-joins the (broadcast, tombstone-sized) id set. Corpus stats
+    * therefore track the LIVE corpus exactly, so a deleted index
+    * scores bit-identically to a republish without the deleted docs
+    * (LexDeleteSpec pins it). dl rides the tombstone so the counter
+    * correction never rescans postings; the one postings scan here is
+    * per takedown batch — rare by contract. A republish folds
+    * tombstones away.
+    */
+  def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    readLexMeta(path): Unit // kind guard
+    val dls = spark.read.parquet(postingsPath(path))
+      .filter(col("id").isin(ids: _*))
+      .groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val live = ids.distinct.filter(dls.contains) // unseen ids: no-op
+    if (live.isEmpty) return
+    // tombstones already present must not double-correct the counters
+    val existing = readTombstones(spark, path)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    val fresh = live.filterNot(existing)
+    if (fresh.isEmpty) return
+    val batch = java.util.UUID.randomUUID().toString.take(12)
+    val staging = s"${lexTombstonesPath(path)}_staging_$batch"
+    import spark.implicits._
+    fresh.map(id => (id, dls(id))).toDF("id", "dl")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    graft.core.Sidecar.renameDir(staging, s"${lexTombstonesPath(path)}/b=$batch")
+    graft.core.Sidecar.writeString(s"${countersDir(path)}/tomb_$batch",
+      s"n=${-fresh.size}\nsum_dl=${-fresh.map(dls(_)).sum}\n")
+  }
+
+  private[graft] def readTombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (graft.core.Sidecar.listNames(lexTombstonesPath(path)).isEmpty) None
+    else Some(spark.read.parquet(s"${lexTombstonesPath(path)}/*").select(col("id")))
+
+  /** Postings of `path` pruned to `tbs` buckets and `terms`, with
+    * tombstoned docs anti-joined out (broadcast, tombstone-sized;
+    * absent tombstones leave the plan untouched).
+    */
+  private def livePostings(spark: SparkSession, path: String,
+      tbs: Seq[Int], terms: Seq[String]): DataFrame = {
+    val tp = spark.read.parquet(postingsPath(path))
+      .filter(col("tb").isin(tbs: _*))
+      .filter(col("token").isin(terms: _*))
+    readTombstones(spark, path)
+      .fold(tp)(t => tp.join(broadcast(t), Seq("id"), "left_anti"))
   }
 
   /** Exact phrase match at scan speed — the one-shot twin of
@@ -312,9 +365,7 @@ object Retrieval {
     val buckets = meta("buckets").toInt
     val distinctTerms = phrase.distinct
     val tbs = distinctTerms.map(tokenBucket(_, buckets)).distinct
-    val post = spark.read.parquet(postingsPath(path))
-      .filter(col("tb").isin(tbs: _*))
-      .filter(col("token").isin(distinctTerms: _*))
+    val post = livePostings(spark, path, tbs, distinctTerms)
       .select(col("id"), col("token"), col("positions"))
     // one positions column per PHRASE SLOT (duplicate terms reuse the
     // same postings row through their own join alias)

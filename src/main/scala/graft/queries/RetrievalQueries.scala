@@ -30,14 +30,20 @@ object RetrievalQueries extends QueryModule {
     * BM25 gate and the hybrid gate. Mirrors [[Retrieval.bm25]]
     * arithmetic term-for-term.
     */
-  private def bm25Ctes: String =
+  private def bm25Ctes: String = bm25CtesOver("documents")
+
+  /** Same CTEs over an arbitrary corpus relation — the takedown gate
+    * scores the tombstoned index against the corpus minus the
+    * deleted docs.
+    */
+  private def bm25CtesOver(corpus: String): String =
     s"""p AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-       |             unnest(string_split(text, ' ')) AS token FROM documents),
+       |             unnest(string_split(text, ' ')) AS token FROM $corpus),
        |tp AS (SELECT doc_id, token, max(dl) AS dl, count(*) AS tf FROM p
        |       WHERE token IN ($termsSql) GROUP BY doc_id, token),
        |stats AS (SELECT count(*) AS n,
        |                 CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
-       |          FROM documents),
+       |          FROM $corpus),
        |dfr AS (SELECT token, count(*) AS df FROM tp GROUP BY token),
        |c AS (SELECT doc_id, tp.token AS token,
        |        ln(${d(1.0)} + (n - df + ${d(0.5)}) / (df + ${d(0.5)}))
@@ -146,6 +152,33 @@ object RetrievalQueries extends QueryModule {
              |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_occ,
              |       CAST(ss[1] - 1 AS BIGINT) AS first_pos
              |FROM m WHERE len(ss) > 0""".stripMargin)
+    ),
+
+    // ---- takedowns: BM25 after id-level deletes ----
+    // The lexical tombstone tier: docs with doc_id % 100 = 7 are
+    // taken down, reads anti-join the tombstone set and counters
+    // track the live corpus, so the oracle is simply BM25 over the
+    // corpus WITHOUT those docs — delete must equal republish-without.
+    QueryDef(
+      "q_text_bm25_deleted",
+      "BM25 top-10 after taking down doc_id % 100 = 7 (tombstoned index)",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir).documents
+        val path = SessionPublish.once(s, s"lexindex-del|$dir") {
+          val p = SessionPublish.tempDir("graft-lexindex-del")
+          Retrieval.publishIndex(docs, "doc_id", col("text"), p, buckets = 16)
+          val victims = docs.filter(col("doc_id") % 100 === 7)
+            .select(col("doc_id")).as[Long].collect().toSeq
+          Retrieval.deleteDocs(s, p, victims)
+          p
+        }
+        Retrieval.searchIndex(s, path, terms, 10)
+          .select(col("id").as("doc_id"), col("bm25"), col("rnk"))
+      },
+      Some(s"""WITH ${bm25CtesOver("(SELECT * FROM documents WHERE doc_id % 100 <> 7)")}
+              |SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+              |FROM bm WHERE rnk <= 10""".stripMargin)
     ),
 
     // ---- hybrid retrieval: reciprocal-rank fusion ----
