@@ -46,13 +46,21 @@ object Classifier {
   final case class Model(bias: Double, weights: Array[Double],
       mean: Array[Double], std: Array[Double], losses: Seq[Double])
 
-  /** Batch gradient descent on standardized features. One aggregation
-    * per iteration over the persisted sample; input capped by the
-    * deterministic id-hash sample (the [[Ivf.train]]/[[Pca.train]]
-    * contract).
+  /** IRLS / Newton (what R's `glm` runs): per iteration ONE
+    * aggregation computes the full Hessian X^T R X (R = p(1−p)), the
+    * gradient, and the loss — (d+1)(d+2)/2 + (d+1) + 1 sums through
+    * the partial-agg tree — then the driver solves the damped ridge
+    * system ((H + λI) Δ = g, breeze, microseconds at pipeline d).
+    * Quadratic convergence: ~8 iterations where gradient descent
+    * needed hundreds, which matters because iteration cost is
+    * job-launch dominated at sample sizes this small. The ridge λ
+    * keeps the Hessian invertible under perfect separation (where ML
+    * weights diverge); iteration stops early when the loss stops
+    * moving. Input capped by the deterministic id-hash sample (the
+    * [[Ivf.train]]/[[Pca.train]] contract).
     */
   def trainLogistic(df: DataFrame, idCol: String, features: Seq[(String, Column)],
-      label: Column, iters: Int = 50, lr: Double = 0.5,
+      label: Column, iters: Int = 25, ridge: Double = 1e-4,
       maxTrainRows: Long = 1L << 20): Model = {
     val d = features.length
     val nAll = df.count()
@@ -80,27 +88,42 @@ object Classifier {
         math.max(math.sqrt(math.max(v, 0.0)), 1e-9)
       }
 
-      var bias = 0.0
-      val w = new Array[Double](d)
+      val dd = d + 1 // bias as coordinate 0
+      var beta = new Array[Double](dd)
       val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
-      (1 to iters).foreach { _ =>
-        val xs = (0 until d).map(j => (col(s"f$j") - lit(mean(j))) / lit(std(j)))
-        val z = xs.zipWithIndex.foldLeft(lit(bias): Column) {
-          case (acc, (x, j)) => acc + lit(w(j)) * x
+      var it = 0
+      var stop = false
+      while (it < iters && !stop) {
+        val xs = lit(1.0) +:
+          (0 until d).map(j => (col(s"f$j") - lit(mean(j))) / lit(std(j)))
+        val z = xs.zipWithIndex.foldLeft(lit(0.0): Column) {
+          case (acc, (x, j)) => acc + lit(beta(j)) * x
         }
         val p = lit(1.0) / (lit(1.0) + exp(-z))
-        val err = p - col("y")
-        val row = feats.agg(
-          sum(err).as("g_b"),
-          (0 until d).map(j => sum(err * xs(j)).as(s"g$j")) :+
-            sum(-(col("y") * log(greatest(p, lit(1e-12))) +
-              (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12)))))
-              .as("loss"): _*).head()
-        bias -= lr * row.getDouble(0) / n
-        (0 until d).foreach(j => w(j) -= lr * row.getDouble(1 + j) / n)
-        losses += row.getDouble(1 + d) / n
+        val r = p * (lit(1.0) - p)
+        val err = col("y") - p
+        val gradCols = (0 until dd).map(j => sum(err * xs(j)).as(s"g$j"))
+        val hessCols = for { a <- 0 until dd; b <- a until dd }
+          yield sum(r * xs(a) * xs(b)).as(s"h${a}_$b")
+        val lossCol = sum(-(col("y") * log(greatest(p, lit(1e-12))) +
+          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12))))).as("loss")
+        val row = feats.agg(gradCols.head, (gradCols.tail ++ hessCols :+ lossCol): _*)
+          .head()
+        val g = breeze.linalg.DenseVector.tabulate(dd)(j => row.getDouble(j))
+        val h = breeze.linalg.DenseMatrix.zeros[Double](dd, dd)
+        var idx = dd
+        for { a <- 0 until dd; b <- a until dd } {
+          h(a, b) = row.getDouble(idx); h(b, a) = h(a, b); idx += 1
+        }
+        (0 until dd).foreach(j => h(j, j) += ridge * n)
+        val delta = h \ g
+        beta = Array.tabulate(dd)(j => beta(j) + delta(j))
+        val loss = row.getDouble(idx) / n
+        stop = losses.lastOption.exists(prev => math.abs(prev - loss) < 1e-10)
+        losses += loss
+        it += 1
       }
-      Model(bias, w, mean, std, losses.toSeq)
+      Model(beta(0), beta.drop(1), mean, std, losses.toSeq)
     } finally { feats.unpersist(blocking = false): Unit }
   }
 

@@ -395,8 +395,8 @@ object TextQueries extends QueryModule {
     // ---- trained quality classifier (logistic regression) ----
     // The model-based filtering step in its distillation shape (CCNet
     // trains fasttext against Wikipedia labels; LLM-judge pipelines
-    // distill the judge into a cheap model): distributed batch
-    // gradient descent distills the nonlinear langId heuristic
+    // distill the judge into a cheap model): distributed IRLS
+    // (Newton) distills the nonlinear langId heuristic
     // (argmax-of-lexicons) into a linear model over the ratio
     // features, then scores every doc as ONE arithmetic expression.
     // The gate scores the LINEAR z (monotone in the sigmoid) so the
@@ -413,8 +413,7 @@ object TextQueries extends QueryModule {
         val docs = Tables(s, dir).documents
         val feats = graft.pipeline.Classifier.langFeatures(col("text"))
         val model = graft.pipeline.Classifier.trainLogistic(
-          docs, "doc_id", feats, TextOps.langId(col("text")) === "en",
-          iters = 200)
+          docs, "doc_id", feats, TextOps.langId(col("text")) === "en")
         State.clf = Some(model)
         val z = graft.pipeline.Classifier.score(feats, model)
         docs.select(col("doc_id"),
