@@ -27,4 +27,43 @@ object Skew {
       .filter(col("__rn") <= k).drop("__rn", "__salt")
     perGroupTopK(survivors, group, order, k)
   }
+
+  /** Exact 1-based global rank over a strict total order — WITHOUT
+    * the single-partition window that `row_number() OVER (ORDER BY …)`
+    * plans (every row through one task: the canonical scale-killer,
+    * and the shape behind "deterministic corpus shuffle" in training
+    * pipelines, e.g. order by md5(doc)).
+    *
+    * Two-phase: range-partition + sort by the key, pin the placement
+    * with an eager localCheckpoint (range bounds come from sampling,
+    * so WITHOUT pinning the counting pass and the ranking pass could
+    * draw different bounds and mismatch), count rows per partition
+    * (driver-tiny: one row per partition), broadcast the cumulative
+    * offsets back, and add them to the per-partition ranks. Every
+    * window in the final plan partitions by `__pid` — no
+    * SinglePartition exchange anywhere (ShuffleSpec-pinned).
+    *
+    * `key` must be a strict total order (include a unique tiebreaker):
+    * equal keys could straddle a range boundary, and only strictness
+    * makes rank placement-independent.
+    */
+  def globalRank(df: DataFrame, key: Seq[Column], rankCol: String = "rnk"): DataFrame = {
+    val pinned = df
+      .repartitionByRange(key: _*)
+      .sortWithinPartitions(key: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = pinned.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts).map {
+      case (off, (pid, _)) => (pid, off)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(key: _*)
+    pinned.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(rankCol, (row_number().over(w) + col("__off")).cast("long"))
+      .drop("__pid", "__off")
+  }
 }

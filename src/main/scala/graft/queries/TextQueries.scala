@@ -437,6 +437,26 @@ object TextQueries extends QueryModule {
       }
     ),
 
+    // ---- deterministic corpus shuffle: exact global rank ----
+    // Training-order assignment (order by md5 = reproducible shuffle)
+    // through the two-phase rank: range partition + per-partition
+    // windows + driver-summed offsets — no SinglePartition exchange
+    // anywhere (ShuffleRankSpec pins the plan), where the naive
+    // row_number() OVER (ORDER BY ...) drags the corpus through one
+    // task. The oracle IS the naive form — DuckDB can afford it.
+    QueryDef(
+      "q_shuffle_rank",
+      "deterministic shuffle order: global rank by (md5(text), doc_id), two-phase",
+      (s, dir) =>
+        graft.operators.Skew.globalRank(
+          Tables(s, dir).documents.select(col("doc_id"), md5(col("text")).as("h")),
+          Seq(col("h"), col("doc_id")), "rnk")
+          .select(col("doc_id"), col("rnk")),
+      Some("""SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY md5(text), doc_id) AS BIGINT) AS rnk
+             |FROM documents""".stripMargin)
+    ),
+
     // ---- TF-IDF: top-3 characteristic terms per document ----
     // Smoothed tfidf = tf * ln((N+1)/(df+1)); deterministic top-3 via
     // (score desc, token asc). Two aggregates + one token join — the
