@@ -16,10 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object LmIndex {
 
-  private def gramPath(path: String, which: String) = s"$path/$which"
-  private def metaPath(path: String) = s"$path/_lmmeta"
+  private[graft] def gramPath(path: String, which: String) = s"$path/$which"
+  private[graft] def metaPath(path: String) = s"$path/_lmmeta"
 
-  private def counts(df: DataFrame, idCol: String, text: Column) = {
+  /** Streaming token-total deltas ([[graft.streaming.LmStream]]):
+    * batch-keyed props files summed into the sidecar at read time —
+    * the replay-idempotent channel the in-place sidecar bump cannot
+    * provide (same design as [[Retrieval.countersDir]]).
+    */
+  private[graft] def countersDir(path: String) = s"$path/_lm_counters"
+
+  private[graft] def counts(df: DataFrame, idCol: String, text: Column) = {
     val tr = TextOps.positionedTokens(df, idCol, text)
     val uni = tr.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val bi = tr.filter(col("pos") >= 1)
@@ -73,11 +80,14 @@ object LmIndex {
     TextOps.scoreBackoff(docs, idCol, text, uni, bi, tri, tot)
   }
 
-  private def readMeta(path: String): Map[String, String] = {
+  private[graft] def readMeta(path: String): Map[String, String] = {
     val meta = graft.core.Sidecar.readPropsExpected(metaPath(path))
       .getOrElse(throw new IllegalArgumentException(s"no lm sidecar at $path"))
     require(meta.get("kind").contains("lm"),
       s"sidecar at $path is kind=${meta.get("kind")}, not an lm index")
-    meta
+    val deltas = graft.core.Sidecar.listNames(countersDir(path))
+      .flatMap(f => graft.core.Sidecar.readProps(s"${countersDir(path)}/$f"))
+    if (deltas.isEmpty) meta
+    else meta + ("n" -> (meta("n").toLong + deltas.map(_("n").toLong).sum).toString)
   }
 }
