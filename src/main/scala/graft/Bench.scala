@@ -116,6 +116,8 @@ object Bench {
     "q_decontaminate_bloom",
     "q_embed_pca",
     "q_ann_pca",
+    "q_ann_ivfpca_rerank",
+    "q_shuffle_rank",
     "q_quality_classifier")
 
   def main(args: Array[String]): Unit = {

@@ -122,4 +122,36 @@ object Pca {
       acc.toFloat
     }
   }
+
+  /** Publish the cell-partitioned ANN layout in the REDUCED space:
+    * project the corpus, train coarse cells on the projections, write
+    * `(idCol, vecCol=projected, cell=N/)`. The full tier composition —
+    * file pruning × an 8× cheaper scan payload — with the standard
+    * lifecycle (tombstones, appends via [[Ivf.appendPartitioned]] on
+    * the projected batch) riding along for free.
+    */
+  def writePartitionedPca(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, model: PcaModel, nlist: Int, path: String): Ivf.IvfIndex = {
+    val projected = emb.select(col(idCol), project(col(vecCol), model).as(vecCol))
+    val coarse = Ivf.train(spark, projected, idCol, vecCol, nlist)
+    Ivf.writePartitioned(projected, vecCol, coarse, path)
+    coarse
+  }
+
+  /** The production PCA-tier read path: probe-pruned cosine shortlist
+    * in the reduced space (reads nprobe/nlist of the files, 8 floats
+    * per row), then exact cosine re-rank of ONLY the shortlisted ids
+    * against the raw corpus (pushed `In` filter — the
+    * [[Pq.topKRerankPartitionedPq]] shape at the cheapest tier).
+    */
+  def topKRerankPartitionedPca(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, vecCol: String, model: PcaModel, coarse: Ivf.IvfIndex,
+      query: Array[Float], k: Int, candidates: Int, nprobe: Int,
+      pred: Column = lit(true)): DataFrame = {
+    val q = driverProject(model, query)
+    val shortlist = Ivf.topKPartitioned(spark, path, idCol, vecCol, coarse, q,
+      candidates, nprobe, pred)
+    val ids = shortlist.select(col(idCol)).collect().map(_.get(0)).toSeq
+    Pq.rerankFetch(corpus, idCol, vecCol, ids, query, k)
+  }
 }
