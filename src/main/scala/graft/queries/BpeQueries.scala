@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.BpeTrain
+import graft.sources.Tables
+
+/** BPE tokenizer-training gates. The oracle re-derives the ENTIRE
+  * training run in SQL — no literals from the Spark run leak in, so
+  * the gate proves both engines learn the same merges from the same
+  * corpus. Each round is one MATERIALIZED CTE block (the k-core
+  * pattern — a round references its predecessor three times, and an
+  * inlined plan would re-scan the parquet 3^rounds times):
+  * pair counts → deterministic argmax → greedy left-to-right rewrite.
+  * The rewrite mirrors [[BpeTrain.applyMerge]]'s fold set-based:
+  * match positions, group consecutive runs (a=b runs are the only way
+  * matches can be adjacent), keep alternate positions from each run
+  * start — exactly the two-pointer greedy scan.
+  */
+object BpeQueries extends QueryModule {
+
+  /** Gate merge count: deep enough to exercise multi-char merges and
+    * the lexicographic tie-break on the sf corpora (rounds 7-8 at
+    * sf0.001 tie at cnt and merge a 2-char symbol).
+    */
+  private val Rounds = 8
+
+  private def model(s: SparkSession, dir: String): BpeTrain.BpeModel =
+    SessionPublish.once(s, s"bpetrain|$dir") {
+      BpeTrain.train(Tables(s, dir).documents, col("text"), Rounds)
+    }
+
+  /** One training round as SQL over `w{r-1}` → `w{r}`. */
+  private def roundCte(r: Int): String = {
+    val p = s"w${r - 1}"
+    s"""pr$r AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS cnt
+       |          FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM $p)
+       |          GROUP BY 1, 2),
+       |b$r AS (SELECT lhs, rhs, cnt FROM pr$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+       |mt$r AS MATERIALIZED (SELECT t.word, t.i
+       |          FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM $p) t, b$r b
+       |          WHERE t.syms[t.i] = b.lhs AND t.syms[t.i+1] = b.rhs),
+       |mg$r AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+       |          FROM mt$r),
+       |kp$r AS (SELECT word, i FROM (
+       |            SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+       |            FROM mg$r) WHERE rn % 2 = 1),
+       |w$r AS MATERIALIZED (SELECT p.word, min(p.cnt) AS cnt,
+       |                list(CASE WHEN k.i IS NOT NULL THEN p.s || p.s2 ELSE p.s END ORDER BY p.p) AS syms
+       |         FROM (SELECT word, cnt, p, syms[p] AS s, syms[p+1] AS s2
+       |               FROM (SELECT word, cnt, syms, unnest(range(1, len(syms)+1)) AS p FROM $p)) p
+       |         LEFT JOIN kp$r k  ON k.word = p.word AND k.i = p.p
+       |         LEFT JOIN kp$r k2 ON k2.word = p.word AND k2.i = p.p - 1
+       |         WHERE k2.i IS NULL
+       |         GROUP BY p.word)""".stripMargin
+  }
+
+  /** The shared CTE prefix: initial char-split vocab + all rounds. */
+  private def trainCtes: String = {
+    val base =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |         list_transform(range(1, length(word)+1), i -> word[i:i]) AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY word)""".stripMargin
+    base + ",\n" + (1 to Rounds).map(roundCte).mkString(",\n")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // ---- learned merge table: both engines train from scratch ----
+    QueryDef(
+      "q_text_bpe_train",
+      s"distributed BPE training: $Rounds learned merges (pair argmax per round, deterministic tie-break)",
+      (s, dir) => {
+        val m = model(s, dir)
+        import s.implicits._
+        m.merges.map(x => (x.round.toLong, x.lhs, x.rhs, x.cnt))
+          .toDF("round", "lhs", "rhs", "cnt")
+      },
+      Some {
+        val union = (1 to Rounds)
+          .map(r => s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, cnt FROM b$r")
+          .mkString(" UNION ALL ")
+        s"$trainCtes\nSELECT * FROM ($union)"
+      }
+    ),
+
+    // ---- trained tokenizer applied: per-doc BPE token counts.
+    // The corpus tokenizes through ONE broadcast join against the
+    // trained word vocab — words tokenize once, documents never
+    // re-fold the merges. ----
+    QueryDef(
+      "q_text_bpe_apply",
+      "per-doc token counts under the trained BPE vocab (broadcast vocab join)",
+      (s, dir) => {
+        val m = model(s, dir)
+        BpeTrain.tokenCounts(Tables(s, dir).documents, "doc_id", col("text"), m.vocab)
+      },
+      Some(
+        s"""$trainCtes
+           |SELECT d.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS bpe_tokens
+           |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+           |JOIN w$Rounds w ON w.word = d.word
+           |GROUP BY d.doc_id""".stripMargin)
+    )
+  )
+}

@@ -59,6 +59,7 @@ object Catalog {
     PqQueries,
     SqQueries,
     TextQueries,
+    BpeQueries,
     RetrievalQueries,
     LayoutQueries,
     MultimodalQueries,

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.BpeTrain
+import graft.pipeline.BpeTrain.BpeMerge
+
+/** BPE training conformance: the greedy-merge fold against the
+  * two-pointer reference semantics (run edge cases included), the
+  * training loop against a hand-computed corpus, deterministic
+  * tie-breaks, and the broadcast-vocab tokenization plan.
+  */
+class BpeTrainSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def mergeOf(word: String, lhs: String, rhs: String): Seq[String] =
+    Seq(word).toDF("w")
+      .select(BpeTrain.applyMerge(BpeTrain.chars(col("w")), lhs, rhs).as("m"))
+      .as[Seq[String]].head()
+
+  test("applyMerge is the greedy left-to-right scan, including a=b runs") {
+    assert(mergeOf("aaaa", "a", "a") === Seq("aa", "aa"))
+    assert(mergeOf("aaa", "a", "a") === Seq("aa", "a"))
+    assert(mergeOf("aaaaa", "a", "a") === Seq("aa", "aa", "a"))
+    assert(mergeOf("abab", "a", "b") === Seq("ab", "ab"))
+    assert(mergeOf("aab", "a", "b") === Seq("a", "ab"))
+    assert(mergeOf("ba", "a", "b") === Seq("b", "a"))
+    assert(mergeOf("x", "a", "b") === Seq("x"))
+  }
+
+  test("merging is symbol-level, not substring-level") {
+    // ("aa","a") on raw chars [a,a,a,a]: the SYMBOL "aa" never occurs
+    // in a character sequence, so nothing merges — the fold must not
+    // treat the rule as a string replace.
+    assert(mergeOf("aaaa", "aa", "a") === Seq("a", "a", "a", "a"))
+  }
+
+  test("train learns the hand-computed merges of a tiny corpus") {
+    // word counts: low x3, lowest x2 -> pairs: (l,o) 5, (o,w) 5,
+    // (w,e) 2, (e,s) 2, (s,t) 2. Round 1 tie (l,o) vs (o,w) at 5:
+    // lex order picks (l,o). Round 2: (lo,w) 5 beats the rest.
+    val docs = Seq("low low lowest", "low lowest").toDF("text")
+    val m = BpeTrain.train(docs, col("text"), rounds = 2)
+    assert(m.merges === Seq(BpeMerge(1, "l", "o", 5), BpeMerge(2, "lo", "w", 5)))
+    val vocab = m.vocab.select(col("word"), col("syms")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(vocab("low") === Seq("low"))
+    assert(vocab("lowest") === Seq("low", "e", "s", "t"))
+  }
+
+  test("training stops early when no pairs remain") {
+    val docs = Seq("ab ab cd").toDF("text")
+    val m = BpeTrain.train(docs, col("text"), rounds = 10)
+    // round 1 merges (a,b) cnt 2; round 2 merges (c,d) cnt 1; then
+    // every word is a single symbol and training stops at 2 merges.
+    assert(m.merges === Seq(BpeMerge(1, "a", "b", 2), BpeMerge(2, "c", "d", 1)))
+    assert(m.vocab.where(size(col("syms")) >= 2).count() === 0)
+  }
+
+  test("tokenCounts equals re-folding the merges over each document") {
+    val docs = Tables(spark, sf0001).documents.limit(100)
+    val m = BpeTrain.train(docs, col("text"), rounds = 4)
+    val got = BpeTrain.tokenCounts(docs, "doc_id", col("text"), m.vocab)
+      .as[(Long, Long)].collect().toMap
+    // independent path: fold the merge table over every word in place
+    val refold = docs
+      .select(col("doc_id"), explode(graft.pipeline.TextOps.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .select(col("doc_id"),
+        size(BpeTrain.applyMerges(BpeTrain.chars(col("word")), m.merges)).as("n"))
+      .groupBy("doc_id").agg(sum("n").cast("long").as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === refold)
+  }
+
+  test("tokenCounts broadcast-joins the vocab (corpus never shuffles for the join)") {
+    val docs = Tables(spark, sf0001).documents
+    val m = BpeTrain.train(docs, col("text"), rounds = 2)
+    val plan = BpeTrain.tokenCounts(docs, "doc_id", col("text"), m.vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  private def Tables(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.sources.Tables(s, dir)
+}
