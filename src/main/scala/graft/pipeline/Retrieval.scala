@@ -275,6 +275,53 @@ object Retrieval {
 
   private[graft] def lexTombstonesPath(path: String) = s"$path/_lex_tombstones"
 
+  /** Compact the index at `srcPath` into a fresh layout at `dstPath`:
+    * tombstoned docs drop out of the postings, appended segments and
+    * streamed counter deltas fold into one clean file set per bucket
+    * and one base sidecar, and the overlay dirs (tombstones,
+    * counters) disappear. ONE shuffle keyed by token bucket with
+    * `maxRecordsPerFile` re-splitting — the same contract as
+    * [[Ivf.compactPartitioned]], lexical edition. The streaming
+    * replay markers ARE carried: the compacted postings contain those
+    * batches, and losing the markers would make a restarted
+    * [[graft.streaming.LexStream]] re-append them. The source layout
+    * is left untouched — flip readers then retire it, or use
+    * [[compactIndexVersioned]] for an atomic flip.
+    */
+  def compactIndex(spark: SparkSession, srcPath: String, dstPath: String,
+      maxRecordsPerFile: Long = 1L << 22): Unit = {
+    val meta = readLexMeta(srcPath) // kind guard + folds counter deltas
+    val tp = spark.read.parquet(postingsPath(srcPath))
+    val live = readTombstones(spark, srcPath)
+      .fold(tp)(t => tp.join(broadcast(t), Seq("id"), "left_anti"))
+    live.repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("token"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("tb").parquet(postingsPath(dstPath))
+    graft.core.Sidecar.writeProps(metaPath(dstPath), Seq(
+      "kind" -> "lex", "buckets" -> meta("buckets"),
+      "n" -> meta("n"), "sum_dl" -> meta("sum_dl")))
+    graft.core.Sidecar.listNames(s"$srcPath/_lex_applied").foreach { key =>
+      graft.core.Sidecar.writeString(s"$dstPath/_lex_applied/$key", "")
+    }
+  }
+
+  /** [[compactIndex]] composed with [[graft.core.Versions]]: compact
+    * the live version of a versioned index root into the next version
+    * dir and flip the pointer atomically. Returns the new live
+    * version.
+    */
+  def compactIndexVersioned(spark: SparkSession, root: String,
+      maxRecordsPerFile: Long = 1L << 22): Long = {
+    val src = graft.core.Versions.currentPath(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no live version at $root — publish an index through Versions first"))
+    graft.core.Versions.publish(root) { dst =>
+      compactIndex(spark, src, dst, maxRecordsPerFile)
+    }
+  }
+
   /** Takedown support for the published index — the lexical analog of
     * the ANN tiers' id-level tombstones: deletes write a batch of
     * (id, dl) tombstone rows (staged dir, atomic rename in) plus one

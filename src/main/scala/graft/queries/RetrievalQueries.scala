@@ -181,6 +181,42 @@ object RetrievalQueries extends QueryModule {
               |FROM bm WHERE rnk <= 10""".stripMargin)
     ),
 
+    // ---- full lexical lifecycle, compacted ----
+    // publish(evens) -> append(odds) -> delete(doc_id % 100 = 3) ->
+    // versioned compaction (atomic pointer flip). The compacted index
+    // has NO overlays left — tombstones and counter deltas are gone,
+    // the postings are one clean file set per bucket — yet must score
+    // bit-identically to a republish of the live corpus, which is
+    // exactly what the oracle computes.
+    QueryDef(
+      "q_text_bm25_compacted",
+      "BM25 top-10 via the compacted index (publish + append + takedown folded into v2)",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir).documents
+        val root = SessionPublish.once(s, s"lexindex-compact|$dir") {
+          val r = SessionPublish.tempDir("graft-lexindex-compact")
+          graft.core.Versions.publish(r) { v1 =>
+            Retrieval.publishIndex(docs.filter(col("doc_id") % 2 === 0),
+              "doc_id", col("text"), v1, buckets = 16)
+            Retrieval.appendIndex(docs.filter(col("doc_id") % 2 === 1),
+              "doc_id", col("text"), v1)
+            val victims = docs.filter(col("doc_id") % 100 === 3)
+              .select(col("doc_id")).as[Long].collect().toSeq
+            Retrieval.deleteDocs(s, v1, victims)
+          }
+          Retrieval.compactIndexVersioned(s, r): Unit
+          r
+        }
+        val path = graft.core.Versions.currentPath(root).get
+        Retrieval.searchIndex(s, path, terms, 10)
+          .select(col("id").as("doc_id"), col("bm25"), col("rnk"))
+      },
+      Some(s"""WITH ${bm25CtesOver("(SELECT * FROM documents WHERE doc_id % 100 <> 3)")}
+              |SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+              |FROM bm WHERE rnk <= 10""".stripMargin)
+    ),
+
     // ---- hybrid retrieval: reciprocal-rank fusion ----
     // BM25 top-20 fused with cosine top-20 (query = vec 0's own
     // embedding; doc_id and vec_id share the id space by
