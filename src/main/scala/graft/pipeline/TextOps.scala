@@ -153,6 +153,52 @@ object TextOps {
       "uniq_ratio" -> round(dist.cast("double") / total, 4))
   }
 
+  /** Repetition-COVERAGE quality features (the Gopher repetition
+    * rules, Rae et al. '21 §A1.1 — public knowledge), word-level:
+    * for one n, the fraction of token positions covered by (a)
+    * occurrences of the doc's most frequent n-gram and (b) any n-gram
+    * occurring at least twice. Coverage is a position-set UNION, so
+    * overlapping occurrences never double-count and both fractions
+    * are exact and ≤ 1 — unlike the count×n approximation, which is
+    * neither. Tie-break for the top gram: count desc, gram lex asc
+    * (deterministic cross-engine).
+    *
+    * Shape at scale: one (doc, gram) groupBy with map-side combine,
+    * one per-doc window (partitioned — never a global window), two
+    * per-doc coverage aggregations. Everything is keyed by doc, so
+    * the plan is embarrassingly parallel at any corpus size.
+    */
+  def ngramCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ts = tokens(text)
+    val base = docs.select(col(idCol), ts.as("ts"), size(ts).as("n_tokens"))
+    val grams = base
+      .select(col(idCol), col("ts"), col("n_tokens"),
+        explode(when(col("n_tokens") >= n, sequence(lit(1), col("n_tokens") - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(idCol), col("i"),
+        concat_ws(" ", slice(col("ts"), col("i"), lit(n))).as("gram"))
+    val gc = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("cnt").desc, col("gram").asc)
+    val top = gc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("gram"))
+    val dup = gc.filter(col("cnt") >= 2).select(col(idCol), col("gram"))
+    def cov(sel: org.apache.spark.sql.DataFrame, as: String) = grams
+      .join(sel, Seq(idCol, "gram"))
+      .select(col(idCol), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy(col(idCol)).agg(countDistinct(col("p")).as(as))
+    base.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
+      .join(cov(top, "top_cov"), Seq(idCol), "left")
+      .join(cov(dup, "dup_cov"), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(coalesce(col("top_cov"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as(s"top${n}_frac"),
+        round(coalesce(col("dup_cov"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as(s"dup${n}_frac"))
+  }
+
   /** Fixed-size token chunking with overlap — the context-window
     * prep step: windows of `chunkTokens` advancing by
     * `chunkTokens - overlapTokens`, last window ragged. Returns

@@ -540,6 +540,49 @@ object TextQueries extends QueryModule {
              |  FROM documents) WHERE rn <= 20""".stripMargin)
     ),
 
+    // ---- repetition COVERAGE (Gopher rules, position-set union) ----
+    // Fraction of token positions covered by the top n-gram / by any
+    // duplicated n-gram, n = 2 and 3. Coverage dedups overlapping
+    // occurrences, so the n=2 features are dense on this corpus
+    // ("batch batch batch" runs) while n=3's dup leg exercises the
+    // zero/coalesce path on most docs.
+    QueryDef(
+      "q_quality_gopher",
+      "Gopher repetition-coverage: top/dup n-gram token coverage for n=2,3",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        TextOps.ngramCoverage(d, "doc_id", col("text"), 2)
+          .join(TextOps.ngramCoverage(d, "doc_id", col("text"), 3)
+            .drop("n_tokens"), Seq("doc_id"))
+      },
+      Some {
+        def block(n: Int): String =
+          s"""g$n AS (SELECT doc_id, i, array_to_string(ts[i:i+${n - 1}], ' ') AS gram
+             |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - $n + 2)) AS i FROM tok)),
+             |gc$n AS (SELECT doc_id, gram, count(*) AS cnt FROM g$n GROUP BY 1, 2),
+             |top$n AS (SELECT doc_id, gram FROM (
+             |          SELECT doc_id, gram, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+             |          FROM gc$n) WHERE rn = 1),
+             |tcov$n AS (SELECT g.doc_id, count(DISTINCT g.i + u.o) AS cov
+             |           FROM g$n g JOIN top$n t ON t.doc_id = g.doc_id AND t.gram = g.gram,
+             |                LATERAL unnest(range(0, $n)) AS u(o) GROUP BY g.doc_id),
+             |dcov$n AS (SELECT g.doc_id, count(DISTINCT g.i + u.o) AS cov
+             |           FROM g$n g JOIN gc$n d ON d.doc_id = g.doc_id AND d.gram = g.gram AND d.cnt >= 2,
+             |                LATERAL unnest(range(0, $n)) AS u(o) GROUP BY g.doc_id),
+             |r$n AS (SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+             |          round(CAST(COALESCE(tc.cov, 0) AS DOUBLE) / len(t.ts), 6) AS top${n}_frac,
+             |          round(CAST(COALESCE(dc.cov, 0) AS DOUBLE) / len(t.ts), 6) AS dup${n}_frac
+             |        FROM tok t LEFT JOIN tcov$n tc ON tc.doc_id = t.doc_id
+             |                   LEFT JOIN dcov$n dc ON dc.doc_id = t.doc_id)""".stripMargin
+        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |${block(2)},
+           |${block(3)}
+           |SELECT r2.doc_id, r2.n_tokens, r2.top2_frac, r2.dup2_frac,
+           |       r3.top3_frac, r3.dup3_frac
+           |FROM r2 JOIN r3 USING (doc_id)""".stripMargin
+      }
+    ),
+
     // ---- quality features ----
     QueryDef(
       "q_text_quality",

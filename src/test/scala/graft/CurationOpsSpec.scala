@@ -180,4 +180,19 @@ class CurationOpsSpec extends GraftSuite {
     assert(feats("b")._2 == feats("b")._1, "all shingles distinct")
     assert(feats("a")._3 < 0.2 && feats("b")._3 == 1.0)
   }
+
+  test("ngramCoverage is a position-set union with deterministic top pick") {
+    val df = Seq(
+      (1L, "a a a b"),        // top 2-gram "a a" x2, covers pos {1,2,3}
+      (2L, "a b c"),          // no dup; top "a b" (lex tie-break) covers 2/3
+      (3L, "x"),              // shorter than n: no grams at all
+      (4L, "a b a b a b")     // "a b" x3 + "b a" x2 overlap-cover everything
+    ).toDF("doc_id", "t")
+    val got = TextOps.ngramCoverage(df, "doc_id", col("t"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 0.75, 0.75)), s"overlapping 'a a' must union, got ${got(1L)}")
+    assert(got(2L) === ((3L, 0.666667, 0.0)), s"lex tie-break + zero dup, got ${got(2L)}")
+    assert(got(3L) === ((1L, 0.0, 0.0)), "sub-n docs have zero coverage, not a crash")
+    assert(got(4L) === ((6L, 1.0, 1.0)), s"dup union across grams, got ${got(4L)}")
+  }
 }
