@@ -142,4 +142,27 @@ object BpeTrain {
         Seq("word"))
       .groupBy(col(idCol))
       .agg(sum(col("n_syms")).cast("long").as("bpe_tokens"))
+
+  /** The tokenize-the-corpus step: each document's 1-based token
+    * stream `(idCol, pos, token)` under a trained vocab. Same
+    * broadcast-vocab shape as [[tokenCounts]] — words never re-fold
+    * the merges — plus one DOC-partitioned running sum to convert
+    * per-word offsets into global positions (no global window, so
+    * the plan parallelizes by document at any corpus size).
+    */
+  def segment(docs: DataFrame, idCol: String, text: Column,
+      vocab: DataFrame): DataFrame = {
+    val words = docs
+      .select(col(idCol), posexplode(TextOps.tokens(text)).as(Seq("widx", "word")))
+      .where(length(col("word")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("widx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    words
+      .join(broadcast(vocab.select(col("word"), col("syms"))), Seq("word"))
+      .withColumn("prev", coalesce(sum(size(col("syms"))).over(w), lit(0)))
+      .select(col(idCol), col("prev"), posexplode(col("syms")).as(Seq("j", "token")))
+      .select(col(idCol), (col("prev") + col("j") + 1).cast("long").as("pos"),
+        col("token"))
+  }
 }

@@ -105,6 +105,30 @@ object BpeQueries extends QueryModule {
            |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
            |JOIN w$Rounds w ON w.word = d.word
            |GROUP BY d.doc_id""".stripMargin)
+    ),
+
+    // ---- tokenize-the-corpus: every doc's token stream ----
+    // Global positions come from a doc-partitioned running sum of
+    // per-word token counts — the oracle mirrors it with the same
+    // window over the trained w{R} vocab.
+    QueryDef(
+      "q_text_bpe_segment",
+      "per-doc 1-based BPE token stream under the trained vocab",
+      (s, dir) => {
+        val m = model(s, dir)
+        BpeTrain.segment(Tables(s, dir).documents, "doc_id", col("text"), m.vocab)
+      },
+      Some(
+        s"""$trainCtes,
+           |wd AS (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS widx
+           |       FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+           |seg AS (SELECT wd.doc_id, wd.widx, w.syms,
+           |        COALESCE(sum(len(w.syms)) OVER (PARTITION BY wd.doc_id ORDER BY wd.widx
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           |        FROM wd JOIN w$Rounds w ON w.word = wd.ts[wd.widx]
+           |        WHERE length(wd.ts[wd.widx]) > 0)
+           |SELECT doc_id, CAST(prev + u.j AS BIGINT) AS pos, syms[u.j] AS token
+           |FROM seg, LATERAL unnest(range(1, len(syms)+1)) AS u(j)""".stripMargin)
     )
   )
 }

@@ -73,6 +73,28 @@ class BpeTrainSpec extends GraftSuite {
     assert(got === refold)
   }
 
+  test("segment emits a contiguous 1..N stream consistent with tokenCounts") {
+    val docs = Tables(spark, sf0001).documents.limit(50)
+    val m = BpeTrain.train(docs, col("text"), rounds = 3)
+    val seg = BpeTrain.segment(docs, "doc_id", col("text"), m.vocab)
+      .as[(Long, Long, String)].collect()
+    val counts = BpeTrain.tokenCounts(docs, "doc_id", col("text"), m.vocab)
+      .as[(Long, Long)].collect().toMap
+    val byDoc = seg.groupBy(_._1)
+    assert(byDoc.keySet === counts.keySet)
+    byDoc.foreach { case (d, rows) =>
+      val ps = rows.map(_._2).sorted
+      assert(ps === (1L to counts(d)).toArray.toSeq.toArray.toSeq,
+        s"doc $d positions must be contiguous 1..${counts(d)}")
+      // every emitted token is a learned symbol: rebuilding the doc's
+      // words from the stream must reproduce the original text
+      val rebuilt = rows.sortBy(_._2).map(_._3).mkString
+      val original = docs.filter(col("doc_id") === d).select("text")
+        .head().getString(0).replace(" ", "")
+      assert(rebuilt === original, s"doc $d stream must concatenate back")
+    }
+  }
+
   test("tokenCounts broadcast-joins the vocab (corpus never shuffles for the join)") {
     val docs = Tables(spark, sf0001).documents
     val m = BpeTrain.train(docs, col("text"), rounds = 2)
