@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.GraphSnapshot
@@ -278,5 +279,44 @@ object GraphAnalytics {
     val core = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
     (core, rounds)
+  }
+
+  /** Synchronous label propagation (Raghavan et al. '07 — public
+    * knowledge), deterministic variant: a FIXED number of rounds in
+    * which every node simultaneously adopts the most frequent label
+    * among its neighbors, ties broken by smallest label. Classic LPA
+    * breaks ties randomly and updates asynchronously; both choices
+    * are non-reproducible across cluster layouts, so the engine pins
+    * the synchronous/deterministic form (the price is that it labels
+    * an oscillation-prone graph by round parity — callers choose
+    * `rounds`, and the gate's oracle unrolls exactly that many).
+    *
+    * Per round: one (node, label) count groupBy and one
+    * node-partitioned argmax window — everything keyed by node id,
+    * nothing global; `localCheckpoint` keeps lineage one round deep.
+    * Input edges are made undirected and simple here; self-loops
+    * dropped.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("lab", col("id")).localCheckpoint()
+    val w = Window.partitionBy(col("a")).orderBy(col("c").desc, col("lab").asc)
+    for (_ <- 1 to rounds) {
+      val winners = und
+        .join(labels.toDF("b", "lab"), Seq("b"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("a").as("id"), col("lab").as("nl"))
+      labels = labels.join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
   }
 }

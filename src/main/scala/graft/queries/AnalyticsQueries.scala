@@ -196,6 +196,50 @@ object AnalyticsQueries extends QueryModule {
            |FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v AS id FROM e$rounds)
            |GROUP BY id""".stripMargin
       }
+    ),
+
+    // ---- deterministic label propagation (community detection) ----
+    // Graph: customers sharing >= 4 distinct parts (the raw
+    // co-purchase graph is near-complete and collapses to one label
+    // in two rounds; the threshold leaves real cluster structure —
+    // 23 communities after 3 rounds at sf0.01). The oracle unrolls
+    // exactly the 3 synchronous rounds with the same min-label
+    // tie-break; MATERIALIZED for the usual 3^rounds reason.
+    QueryDef(
+      "q_label_prop",
+      "3-round synchronous LPA over the >=4-shared-parts co-purchase graph",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        val edges = cp.as("a")
+          .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+          .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 4)
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        GraphAnalytics.labelPropagation(edges, rounds = 3)
+          .select(col("id"), col("lab"))
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""lp$r AS MATERIALIZED (
+             |  SELECT l.id, COALESCE(w.nl, l.lab) AS lab
+             |  FROM lp${r - 1} l LEFT JOIN (
+             |    SELECT a AS id, lab AS nl FROM (
+             |      SELECT ed.u AS a, nb.lab, count(*) AS c,
+             |             row_number() OVER (PARTITION BY ed.u ORDER BY count(*) DESC, nb.lab) AS rn
+             |      FROM ed JOIN lp${r - 1} nb ON nb.id = ed.v
+             |      GROUP BY ed.u, nb.lab) x WHERE rn = 1) w ON w.id = l.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |te AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
+           |       ON a.p = b.p AND a.c < b.c GROUP BY a.c, b.c HAVING count(*) >= 4),
+           |ed AS MATERIALIZED (SELECT u, v FROM te UNION ALL SELECT v AS u, u AS v FROM te),
+           |lp0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lab FROM ed),
+           |$rounds
+           |SELECT id, lab FROM lp3""".stripMargin
+      }
     )
   )
 }
