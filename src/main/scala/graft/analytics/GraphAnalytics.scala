@@ -319,4 +319,52 @@ object GraphAnalytics {
     }
     labels
   }
+
+  /** Personalized PageRank in EXACT integer fixed-point: scores are
+    * BIGINT micro-units, each round's contribution is the floor
+    * division `ppr·d / (1000·deg)`, and the restart mass re-seeds the
+    * source. Floating-point power iteration cannot gate cross-engine
+    * (sum order differs per partition layout); integer terms make the
+    * per-node sums order-free and every round bit-reproducible — the
+    * micro-int trick the LM scores use, applied to a graph walk. The
+    * floor leaks mass deterministically (scores are a lower bound
+    * within rounds·deg micro-units), which is irrelevant for ranking
+    * — the operator's purpose.
+    *
+    * Per round: one edge-to-scores join (only nonzero scores — the
+    * frontier — join in) and one order-free integer sum keyed by
+    * destination; `localCheckpoint` per round. At 100 TB the frontier
+    * filter is the lever: round t touches only edges reachable in t
+    * hops from the seed.
+    */
+  def personalizedPageRank(edges: DataFrame, seed: Long, rounds: Int,
+      dampingPermille: Int = 850): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(dampingPermille > 0 && dampingPermille < 1000,
+      s"dampingPermille must be in (0, 1000), got $dampingPermille")
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("u").as("id")).distinct().localCheckpoint()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val restart = (1000L - dampingPermille) * 1000L
+    var r = nodes.withColumn("ppr",
+      when(col("id") === seed, lit(1000000L)).otherwise(lit(0L))).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = und
+        .join(r.filter(col("ppr") > 0).toDF("u", "ppr"), Seq("u"))
+        .join(deg, Seq("u"))
+        .select(col("v").as("id"),
+          floor(col("ppr") * dampingPermille / (col("deg") * 1000)).cast("long").as("m"))
+        .groupBy(col("id")).agg(sum(col("m")).as("m"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") === seed, lit(restart)).otherwise(lit(0L))
+            + coalesce(col("m"), lit(0L))).as("ppr"))
+        .localCheckpoint()
+    }
+    r.filter(col("ppr") > 0).select(col("id"), col("ppr").as("ppr_micro"))
+  }
 }

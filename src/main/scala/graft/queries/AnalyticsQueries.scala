@@ -240,6 +240,54 @@ object AnalyticsQueries extends QueryModule {
            |$rounds
            |SELECT id, lab FROM lp3""".stripMargin
       }
+    ),
+
+    // ---- personalized PageRank, exact integer fixed-point ----
+    // Same thresholded co-purchase graph, seed = its smallest
+    // customer; 3 rounds of micro-unit floor-division power
+    // iteration. Integer terms make the per-node sums order-free, so
+    // the gate is hash-exact where a floating PPR never could be.
+    QueryDef(
+      "q_pagerank_personalized",
+      "3-round integer-exact personalized PageRank from the min-id seed",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        val edges = cp.as("a")
+          .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+          .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 4)
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+          .localCheckpoint()
+        val seed = edges.agg(least(min(col("src")), min(col("dst")))).head().getLong(0)
+        GraphAnalytics.personalizedPageRank(edges, seed, rounds = 3)
+      },
+      Some {
+        val d = 850
+        val rounds = (1 to 3).map { t =>
+          s"""pr$t AS MATERIALIZED (
+             |  SELECT n.id, (CASE WHEN n.id = (SELECT s FROM sd) THEN ${(1000 - d) * 1000} ELSE 0 END)
+             |               + COALESCE(c.m, 0) AS ppr
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT ed.v AS id, CAST(sum((p.ppr * $d) // (1000 * dg.deg)) AS BIGINT) AS m
+             |    FROM ed JOIN pr${t - 1} p ON p.id = ed.u JOIN dg ON dg.id = ed.u
+             |    WHERE p.ppr > 0
+             |    GROUP BY ed.v) c ON c.id = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |te AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
+           |       ON a.p = b.p AND a.c < b.c GROUP BY a.c, b.c HAVING count(*) >= 4),
+           |ed AS MATERIALIZED (SELECT u, v FROM te UNION ALL SELECT v AS u, u AS v FROM te),
+           |nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM ed),
+           |sd AS (SELECT min(id) AS s FROM nodes),
+           |dg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM ed GROUP BY u),
+           |pr0 AS MATERIALIZED (SELECT id,
+           |       CASE WHEN id = (SELECT s FROM sd) THEN 1000000 ELSE 0 END AS ppr FROM nodes),
+           |$rounds
+           |SELECT id, CAST(ppr AS BIGINT) AS ppr_micro FROM pr3 WHERE ppr > 0""".stripMargin
+      }
     )
   )
 }
