@@ -367,4 +367,43 @@ object GraphAnalytics {
     }
     r.filter(col("ppr") > 0).select(col("id"), col("ppr").as("ppr_micro"))
   }
+
+  /** DeepWalk-style walk corpus (Perozzi et al., KDD'14 — public
+    * knowledge), DETERMINISTIC: one walk per node, and each step
+    * moves to the neighbor minimizing a seeded md5 hash of
+    * (start, current, candidate) — a pseudo-random but fully
+    * reproducible choice, where true sampling could never gate
+    * cross-engine or across cluster layouts. Returns the token
+    * stream `(start, step, node)` with step 0 = the start itself —
+    * the sentence corpus a skip-gram embedding trains on.
+    *
+    * Per step: one frontier-to-edges join plus a start-partitioned
+    * argmin window — work proportional to Σ deg(frontier), never the
+    * whole graph; `localCheckpoint` per step. Walks never strand:
+    * every frontier node has ≥ 1 neighbor by construction of the
+    * undirected edge set.
+    */
+  def deterministicWalks(edges: DataFrame, walkLen: Int): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var cur = und.select(col("u").as("start")).distinct()
+      .withColumn("cur", col("start")).localCheckpoint()
+    var out = cur.select(col("start"), lit(0L).as("step"), col("cur").as("node"))
+    for (t <- 1 to walkLen) {
+      val cand = und.join(cur.toDF("start", "u"), Seq("u"))
+        .select(col("start"), col("v"),
+          graft.pipeline.TextOps.hash32(t,
+            concat_ws("|", col("start"), col("u"), col("v"))).as("h"))
+      val w = Window.partitionBy(col("start")).orderBy(col("h").asc, col("v").asc)
+      cur = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("start"), col("v").as("cur")).localCheckpoint()
+      out = out.unionAll(cur.select(col("start"), lit(t.toLong).as("step"),
+        col("cur").as("node")))
+    }
+    out
+  }
 }

@@ -22,6 +22,35 @@ object AnalyticsQueries extends QueryModule {
   /** The customer co-purchase edge CTEs (DuckDB): an edge joins two
     * customers who ordered the same part. Ends in `e0(u, v)`.
     */
+  /** Customers sharing >= 4 distinct parts — the community-structured
+    * graph the LPA / PPR / walk gates share (the raw co-purchase
+    * graph is near-complete; see q_label_prop). Checkpointed so each
+    * gate builds it once per invocation.
+    */
+  private def sharedPartsEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables(s, dir)
+    val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    cp.as("a")
+      .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 4)
+      .select(col("a.c").as("src"), col("b.c").as("dst"))
+      .localCheckpoint()
+  }
+
+  /** SQL twin of [[sharedPartsEdges]]: `te` (u < v), its undirected
+    * expansion `ed`, and the node set.
+    */
+  private val sharedPartsCtes =
+    """cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |te AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
+      |       ON a.p = b.p AND a.c < b.c GROUP BY a.c, b.c HAVING count(*) >= 4),
+      |ed AS MATERIALIZED (SELECT u, v FROM te UNION ALL SELECT v AS u, u AS v FROM te),
+      |nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM ed)""".stripMargin
+
   private val coPurchaseCtes =
     """cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
       |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -208,18 +237,9 @@ object AnalyticsQueries extends QueryModule {
     QueryDef(
       "q_label_prop",
       "3-round synchronous LPA over the >=4-shared-parts co-purchase graph",
-      (s, dir) => {
-        val t = Tables(s, dir)
-        val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-        val edges = cp.as("a")
-          .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-          .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 4)
-          .select(col("a.c").as("src"), col("b.c").as("dst"))
-        GraphAnalytics.labelPropagation(edges, rounds = 3)
-          .select(col("id"), col("lab"))
-      },
+      (s, dir) =>
+        GraphAnalytics.labelPropagation(sharedPartsEdges(s, dir), rounds = 3)
+          .select(col("id"), col("lab")),
       Some {
         val rounds = (1 to 3).map { r =>
           s"""lp$r AS MATERIALIZED (
@@ -231,12 +251,8 @@ object AnalyticsQueries extends QueryModule {
              |      FROM ed JOIN lp${r - 1} nb ON nb.id = ed.v
              |      GROUP BY ed.u, nb.lab) x WHERE rn = 1) w ON w.id = l.id)""".stripMargin
         }.mkString(",\n")
-        s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-           |te AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
-           |       ON a.p = b.p AND a.c < b.c GROUP BY a.c, b.c HAVING count(*) >= 4),
-           |ed AS MATERIALIZED (SELECT u, v FROM te UNION ALL SELECT v AS u, u AS v FROM te),
-           |lp0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lab FROM ed),
+        s"""WITH $sharedPartsCtes,
+           |lp0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes),
            |$rounds
            |SELECT id, lab FROM lp3""".stripMargin
       }
@@ -251,15 +267,7 @@ object AnalyticsQueries extends QueryModule {
       "q_pagerank_personalized",
       "3-round integer-exact personalized PageRank from the min-id seed",
       (s, dir) => {
-        val t = Tables(s, dir)
-        val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-        val edges = cp.as("a")
-          .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-          .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 4)
-          .select(col("a.c").as("src"), col("b.c").as("dst"))
-          .localCheckpoint()
+        val edges = sharedPartsEdges(s, dir)
         val seed = edges.agg(least(min(col("src")), min(col("dst")))).head().getLong(0)
         GraphAnalytics.personalizedPageRank(edges, seed, rounds = 3)
       },
@@ -275,18 +283,40 @@ object AnalyticsQueries extends QueryModule {
              |    WHERE p.ppr > 0
              |    GROUP BY ed.v) c ON c.id = n.id)""".stripMargin
         }.mkString(",\n")
-        s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-           |te AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
-           |       ON a.p = b.p AND a.c < b.c GROUP BY a.c, b.c HAVING count(*) >= 4),
-           |ed AS MATERIALIZED (SELECT u, v FROM te UNION ALL SELECT v AS u, u AS v FROM te),
-           |nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM ed),
+        s"""WITH $sharedPartsCtes,
            |sd AS (SELECT min(id) AS s FROM nodes),
            |dg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM ed GROUP BY u),
            |pr0 AS MATERIALIZED (SELECT id,
            |       CASE WHEN id = (SELECT s FROM sd) THEN 1000000 ELSE 0 END AS ppr FROM nodes),
            |$rounds
            |SELECT id, CAST(ppr AS BIGINT) AS ppr_micro FROM pr3 WHERE ppr > 0""".stripMargin
+      }
+    ),
+
+    // ---- deterministic walk corpus (DeepWalk sentences) ----
+    // One 4-step walk per node; each hop argmins a seeded md5 hash
+    // over the neighbors, so both engines reproduce the identical
+    // "random" corpus — 7125 rows hash-exact at sf0.01.
+    QueryDef(
+      "q_graph_walks",
+      "deterministic 4-step DeepWalk corpus over the shared-parts graph",
+      (s, dir) =>
+        GraphAnalytics.deterministicWalks(sharedPartsEdges(s, dir), walkLen = 4),
+      Some {
+        val steps = (1 to 4).map { t =>
+          s"""c$t AS MATERIALIZED (SELECT start, v FROM (
+             |   SELECT s.start, e.v,
+             |          row_number() OVER (PARTITION BY s.start ORDER BY
+             |            CAST(('0x' || substr(md5('$t|' || s.start || '|' || s.cur || '|' || e.v), 1, 8)) AS BIGINT), e.v) AS rn
+             |   FROM s${t - 1} s JOIN ed e ON e.u = s.cur) WHERE rn = 1),
+             |s$t AS (SELECT start, v AS cur FROM c$t)""".stripMargin
+        }.mkString(",\n")
+        val union = "SELECT id AS start, CAST(0 AS BIGINT) AS step, id AS node FROM nodes" +
+          (1 to 4).map(t => s" UNION ALL SELECT start, CAST($t AS BIGINT), cur FROM s$t").mkString
+        s"""WITH $sharedPartsCtes,
+           |s0 AS (SELECT id AS start, id AS cur FROM nodes),
+           |$steps
+           |$union""".stripMargin
       }
     )
   )
