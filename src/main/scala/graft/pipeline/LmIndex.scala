@@ -80,6 +80,46 @@ object LmIndex {
     TextOps.scoreBackoff(docs, idCol, text, uni, bi, tri, tot)
   }
 
+  /** Compact the count store at `srcPath` into `dstPath`: every
+    * table's segments sum-merge into one clean row set (one groupBy
+    * per table — the same aggregation the read side pays on EVERY
+    * score today, paid once), streamed counter deltas fold into the
+    * base sidecar, and the streaming replay markers are carried (the
+    * compacted counts contain those batches). Scores through the
+    * compacted store are bit-identical by construction: [[score]]
+    * re-aggregates either way and sums are associative in exact
+    * longs. Same publish-then-swap contract as the ANN and lexical
+    * compactions; compose with [[graft.core.Versions]] for an atomic
+    * flip via [[compactVersioned]].
+    */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
+    val meta = readMeta(srcPath) // kind guard + counter fold
+    spark.read.parquet(gramPath(srcPath, "uni"))
+      .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+      .write.mode("overwrite").parquet(gramPath(dstPath, "uni"))
+    spark.read.parquet(gramPath(srcPath, "bi"))
+      .groupBy(col("w1"), col("w")).agg(sum(col("c2")).as("c2"))
+      .write.mode("overwrite").parquet(gramPath(dstPath, "bi"))
+    spark.read.parquet(gramPath(srcPath, "tri"))
+      .groupBy(col("w2"), col("w1"), col("w")).agg(sum(col("c3")).as("c3"))
+      .write.mode("overwrite").parquet(gramPath(dstPath, "tri"))
+    graft.core.Sidecar.writeProps(metaPath(dstPath), Seq(
+      "kind" -> "lm", "n" -> meta("n")))
+    graft.core.Sidecar.listNames(s"$srcPath/_lm_applied").foreach { key =>
+      graft.core.Sidecar.writeString(s"$dstPath/_lm_applied/$key", "")
+    }
+  }
+
+  /** [[compact]] into the next version of a versioned root, pointer
+    * flipped atomically. Returns the new live version.
+    */
+  def compactVersioned(spark: SparkSession, root: String): Long = {
+    val src = graft.core.Versions.currentPath(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no live version at $root — publish through Versions first"))
+    graft.core.Versions.publish(root)(dst => compact(spark, src, dst))
+  }
+
   private[graft] def readMeta(path: String): Map[String, String] = {
     val meta = graft.core.Sidecar.readPropsExpected(metaPath(path))
       .getOrElse(throw new IllegalArgumentException(s"no lm sidecar at $path"))

@@ -392,6 +392,32 @@ object TextQueries extends QueryModule {
       Some(lmBackoffOracle)
     ),
 
+    // ---- compacted LM counts: segments sum-merged once ----
+    // publish(doc%4=0) + append(doc%4=2) + versioned compaction; the
+    // compacted store must score bit-identically, so the oracle is
+    // again the even-trained backoff SQL verbatim.
+    QueryDef(
+      "q_text_lm_compacted",
+      "stupid-backoff scores via the compacted n-gram store == full retrain",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val root = SessionPublish.once(s, s"lmindex-compact|$dir") {
+          val r = SessionPublish.tempDir("graft-lmindex-compact")
+          graft.core.Versions.publish(r) { v1 =>
+            graft.pipeline.LmIndex.publish(
+              docs.filter(col("doc_id") % 4 === 0), "doc_id", col("text"), v1)
+            graft.pipeline.LmIndex.append(
+              docs.filter(col("doc_id") % 4 === 2), "doc_id", col("text"), v1)
+          }
+          graft.pipeline.LmIndex.compactVersioned(s, r): Unit
+          r
+        }
+        graft.pipeline.LmIndex.score(s, graft.core.Versions.currentPath(root).get,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"))
+      },
+      Some(lmBackoffOracle)
+    ),
+
     // ---- trained quality classifier (logistic regression) ----
     // The model-based filtering step in its distillation shape (CCNet
     // trains fasttext against Wikipedia labels; LLM-judge pipelines

@@ -45,4 +45,31 @@ class LmIndexSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("kind"))
   }
+
+  test("compaction merges segments, folds counters, carries markers, changes no score") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val src = graft.queries.SessionPublish.tempDir("lm-spec-compact") + "/src"
+    val dst = graft.queries.SessionPublish.tempDir("lm-spec-compact") + "/dst"
+    LmIndex.publish(docs.filter(col("doc_id") % 4 === 0), "doc_id", col("text"), src)
+    LmIndex.append(docs.filter(col("doc_id") % 4 === 2), "doc_id", col("text"), src)
+    // a streamed counter delta + replay marker that must fold/carry
+    graft.core.Sidecar.writeString(s"${LmIndex.countersDir(src)}/b1", "n=5\n")
+    graft.core.Sidecar.writeString(s"$src/_lm_applied/b1", "")
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val before = LmIndex.score(spark, src, odd, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    LmIndex.compact(spark, src, dst)
+
+    val after = LmIndex.score(spark, dst, odd, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(after === before, "compaction must not change a single micro-nat")
+    assert(LmIndex.readMeta(dst)("n") === LmIndex.readMeta(src)("n"),
+      "counter deltas must fold into the base sidecar")
+    assert(graft.core.Sidecar.listNames(LmIndex.countersDir(dst)).isEmpty)
+    assert(graft.core.Sidecar.listNames(s"$dst/_lm_applied").contains("b1"))
+    // segments really merged: one row per distinct unigram
+    val uni = spark.read.parquet(s"$dst/uni")
+    assert(uni.count() === uni.select("w").distinct().count())
+  }
 }
