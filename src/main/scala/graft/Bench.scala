@@ -118,7 +118,24 @@ object Bench {
     "q_ann_pca",
     "q_ann_ivfpca_rerank",
     "q_shuffle_rank",
-    "q_quality_classifier")
+    "q_quality_classifier",
+    // round 9 session 4: distributed BPE training (8 vocab-bounded
+    // rounds) + corpus tokenization through the trained vocab; the
+    // Gopher repetition-coverage scan; the compacted lexical index
+    // (overlays folded — the post-takedown steady state); and the
+    // deterministic graph trio over the thresholded co-purchase graph
+    // (LPA communities, integer-exact personalized PageRank, DeepWalk
+    // corpus; the graph build is NOT memoized, so the lines price the
+    // full pipeline). BPE training itself is the special `bpe_train`
+    // line below — its catalog gate memoizes the model per session,
+    // which is ingest-cost discipline for q_text_bpe_segment's reps
+    // but would make a q_text_bpe_train line measure nothing.
+    "q_text_bpe_segment",
+    "q_quality_gopher",
+    "q_text_bm25_compacted",
+    "q_label_prop",
+    "q_pagerank_personalized",
+    "q_graph_walks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -269,11 +286,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // BPE training cost, un-memoized (the catalog gate caches its
+    // model per session — correct for segment reps, useless to time):
+    // 8 rounds of vocab-bounded pair counting + argmax + rewrite.
+    def bpeTrain(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val docs = graft.sources.Tables(spark, sfDir).documents
+        val m = graft.pipeline.BpeTrain.train(docs,
+          org.apache.spark.sql.functions.col("text"), rounds = 8)
+        require(m.merges.size == 8, s"expected 8 merges, got ${m.merges.size}")
+      } catch { case e: Throwable => System.err.println(s"[bench] bpe_train failed: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     def wanted(n: String) = only.forall(_.contains(n))
     val results = headline.filter(wanted).map(n => n -> best(n)) ++
       (if (wanted("ingest")) Seq("ingest" -> timed("ingest", () => ingest())) else Nil) ++
       (if (wanted("index_build")) Seq("index_build" -> timed("index_build", () => indexBuild())) else Nil) ++
-      (if (wanted("ivf_train")) Seq("ivf_train" -> timed("ivf_train", () => ivfTrain())) else Nil)
+      (if (wanted("ivf_train")) Seq("ivf_train" -> timed("ivf_train", () => ivfTrain())) else Nil) ++
+      (if (wanted("bpe_train")) Seq("bpe_train" -> timed("bpe_train", () => bpeTrain())) else Nil)
     // convergence rounds of the last clustering run: a swing in rounds
     // explains a swing in seconds (q_dedup_cluster is iterative)
     val ccRounds = graft.operators.Components.lastRounds
