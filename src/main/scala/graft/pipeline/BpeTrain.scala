@@ -107,11 +107,15 @@ object BpeTrain {
     */
   def train(docs: DataFrame, text: Column, rounds: Int): BpeModel = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var words = wordVocab(docs, text).localCheckpoint()
+    trainRounds(wordVocab(docs, text).localCheckpoint(), firstRound = 1, rounds)
+  }
+
+  private def trainRounds(vocab: DataFrame, firstRound: Int, rounds: Int): BpeModel = {
+    var words = vocab
     val merges = Seq.newBuilder[BpeMerge]
-    var r = 1
+    var r = firstRound
     var exhausted = false
-    while (r <= rounds && !exhausted) {
+    while (r < firstRound + rounds && !exhausted) {
       val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
@@ -125,6 +129,31 @@ object BpeTrain {
       }
     }
     BpeModel(merges.result(), words)
+  }
+
+  /** Extend a trained tokenizer with a NEW corpus — the O(batch)
+    * incremental leg: the new corpus collapses to ITS word vocab,
+    * replays the published merges (per-word folds, no argmax — the
+    * base corpus is never re-read, let alone re-counted), folds into
+    * the published vocab by summing counts (identical words have
+    * identical syms under the same merge table, by determinism of
+    * the greedy fold — spec-pinned), and training continues for
+    * `extraRounds` over the union. Rounds keep numbering where the
+    * base left off, so the returned model's merge table is the full
+    * ordered history.
+    */
+  def extend(model: BpeModel, newDocs: DataFrame, text: Column,
+      extraRounds: Int): BpeModel = {
+    require(extraRounds >= 1, s"extraRounds must be >= 1, got $extraRounds")
+    val replayed = wordVocab(newDocs, text)
+      .withColumn("syms", applyMerges(chars(col("word")), model.merges))
+    val union = model.vocab.select(col("word"), col("cnt"), col("syms"))
+      .unionByName(replayed.select(col("word"), col("cnt"), col("syms")))
+      .groupBy(col("word"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("syms")).as("syms"))
+      .localCheckpoint()
+    val ext = trainRounds(union, firstRound = model.merges.size + 1, extraRounds)
+    BpeModel(model.merges ++ ext.merges, ext.vocab)
   }
 
   /** Per-document token counts under a trained vocab: explode the

@@ -129,6 +129,88 @@ object BpeQueries extends QueryModule {
            |        WHERE length(wd.ts[wd.widx]) > 0)
            |SELECT doc_id, CAST(prev + u.j AS BIGINT) AS pos, syms[u.j] AS token
            |FROM seg, LATERAL unnest(range(1, len(syms)+1)) AS u(j)""".stripMargin)
+    ),
+
+    // ---- incremental training: extend a trained vocab O(batch) ----
+    // Base = even docs (8 rounds), extension = odd docs (2 rounds):
+    // the extension replays the 8 published merges over the odd vocab
+    // only (no argmax, base corpus untouched), folds counts, and
+    // learns rounds 9-10 over the union. The oracle re-derives ALL of
+    // it — base training, replay (same rewrite blocks driven by the
+    // base round's pair instead of a fresh argmax), count fold, and
+    // the union rounds — so both engines agree on the full 10-row
+    // history, including round 9's merge ON an earlier learned symbol.
+    QueryDef(
+      "q_text_bpe_incremental",
+      "BPE vocab extension: 8 base merges (evens) + 2 union merges (odds folded in)",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val base = SessionPublish.once(s, s"bpebase|$dir") {
+          BpeTrain.train(docs.filter(col("doc_id") % 2 === 0), col("text"), Rounds)
+        }
+        val full = BpeTrain.extend(base, docs.filter(col("doc_id") % 2 === 1),
+          col("text"), extraRounds = 2)
+        import s.implicits._
+        full.merges.map(x => (x.round.toLong, x.lhs, x.rhs, x.cnt))
+          .toDF("round", "lhs", "rhs", "cnt")
+      },
+      Some {
+        val parts = Seq(vocab0Sql("we", "doc_id % 2 = 0")) ++
+          (1 to Rounds).map(r => roundSql(r, "we", argmax = true)) ++
+          Seq(vocab0Sql("od", "doc_id % 2 = 1")) ++
+          (1 to Rounds).map(r => roundSql(r, "od", argmax = false, pairFrom = s"bwe$r")) ++
+          Seq(s"""un0 AS MATERIALIZED (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt, min(syms) AS syms
+                 |  FROM (SELECT * FROM we$Rounds UNION ALL SELECT * FROM od$Rounds)
+                 |  GROUP BY word)""".stripMargin) ++
+          (1 to 2).map(r => roundSql(r, "un", argmax = true))
+        val union = ((1 to Rounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, cnt FROM bwe$r") ++
+          (1 to 2).map(r =>
+            s"SELECT CAST(${Rounds + r} AS BIGINT), lhs, rhs, cnt FROM bun$r"))
+          .mkString(" UNION ALL ")
+        "WITH " + parts.mkString(",\n") + s"\nSELECT * FROM ($union)"
+      }
     )
   )
+
+  /** Char-split word vocab of a corpus slice, as CTE `{pfx}0`. */
+  private def vocab0Sql(pfx: String, where: String): String =
+    s"""${pfx}0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |         list_transform(range(1, length(word)+1), i -> word[i:i]) AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE $where)
+       |  WHERE length(word) > 0 GROUP BY word)""".stripMargin
+
+  /** One round over `{pfx}{r-1}` → `{pfx}{r}`. With `argmax` the pair
+    * is this vocab's own most-frequent (CTE `b{pfx}{r}`); otherwise
+    * the rewrite REPLAYS the pair of `pairFrom` — the published-merge
+    * replay of the incremental leg.
+    */
+  private def roundSql(r: Int, pfx: String, argmax: Boolean,
+      pairFrom: String = ""): String = {
+    val p = s"$pfx${r - 1}"
+    val b = if (argmax) s"b$pfx$r" else pairFrom
+    val own = if (!argmax) "" else
+      s"""pr$pfx$r AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS cnt
+         |          FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM $p)
+         |          GROUP BY 1, 2),
+         |b$pfx$r AS (SELECT lhs, rhs, cnt FROM pr$pfx$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |""".stripMargin
+    s"""${own}mt$pfx$r AS MATERIALIZED (SELECT t.word, t.i
+       |          FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM $p) t, $b bb
+       |          WHERE t.syms[t.i] = bb.lhs AND t.syms[t.i+1] = bb.rhs),
+       |mg$pfx$r AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+       |          FROM mt$pfx$r),
+       |kp$pfx$r AS (SELECT word, i FROM (
+       |            SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+       |            FROM mg$pfx$r) WHERE rn % 2 = 1),
+       |$pfx$r AS MATERIALIZED (SELECT p.word, min(p.cnt) AS cnt,
+       |                list(CASE WHEN k.i IS NOT NULL THEN p.s || p.s2 ELSE p.s END ORDER BY p.p) AS syms
+       |         FROM (SELECT word, cnt, p, syms[p] AS s, syms[p+1] AS s2
+       |               FROM (SELECT word, cnt, syms, unnest(range(1, len(syms)+1)) AS p FROM $p)) p
+       |         LEFT JOIN kp$pfx$r k  ON k.word = p.word AND k.i = p.p
+       |         LEFT JOIN kp$pfx$r k2 ON k2.word = p.word AND k2.i = p.p - 1
+       |         WHERE k2.i IS NULL
+       |         GROUP BY p.word)""".stripMargin
+  }
 }

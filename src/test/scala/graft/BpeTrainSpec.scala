@@ -73,6 +73,38 @@ class BpeTrainSpec extends GraftSuite {
     assert(got === refold)
   }
 
+  test("extend replays the base merges and keeps learning where it left off") {
+    // base "low low lowest" (low x2, lowest x1): (l,o) 3 then (lo,w) 3.
+    // Extension "wet wet" replays both merges with no effect (no 'lo'),
+    // then round 3 counts the union — lowest=[low,e,s,t] x1 +
+    // wet=[w,e,t] x2 -> (w,e) 2, (e,t) 2, (e,s) 1, (s,t) 1; the
+    // (e,t)/(w,e) tie at 2 lex-breaks to (e,t).
+    val base = BpeTrain.train(Seq("low low lowest").toDF("text"), col("text"), 2)
+    val full = BpeTrain.extend(base, Seq("wet wet").toDF("text"), col("text"), 1)
+    assert(full.merges.map(m => (m.round, m.lhs, m.rhs, m.cnt)) ===
+      Seq((1, "l", "o", 3L), (2, "lo", "w", 3L), (3, "e", "t", 2L)))
+    val vocab = full.vocab.select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(vocab("wet") === Seq("w", "et"))
+    assert(vocab("lowest") === Seq("low", "e", "s", "t"))
+  }
+
+  test("replayed syms equal freshly trained syms for shared words") {
+    // the count-fold in extend assumes word -> syms is a function of
+    // the merge table alone; pin it on the real corpus
+    val docs = Tables(spark, sf0001).documents
+    val base = BpeTrain.train(docs.filter(col("doc_id") % 2 === 0), col("text"), 4)
+    val replayed = docs.filter(col("doc_id") % 2 === 1)
+      .select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("word"))
+      .distinct()
+      .select(col("word"),
+        BpeTrain.applyMerges(BpeTrain.chars(col("word")), base.merges).as("syms"))
+    val clash = replayed.toDF("word", "s2")
+      .join(base.vocab.select(col("word"), col("syms")), Seq("word"))
+      .filter(col("s2") =!= col("syms")).count()
+    assert(clash === 0, "a shared word must tokenize identically on both paths")
+  }
+
   test("segment emits a contiguous 1..N stream consistent with tokenCounts") {
     val docs = Tables(spark, sf0001).documents.limit(50)
     val m = BpeTrain.train(docs, col("text"), rounds = 3)
