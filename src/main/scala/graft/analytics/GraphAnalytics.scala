@@ -406,4 +406,20 @@ object GraphAnalytics {
     }
     out
   }
+
+  /** Skip-gram training pairs from a walk corpus: every
+    * (center, context) with 0 < |Δstep| <= window within one walk —
+    * the input a word2vec-style embedding trains on. One self-join
+    * keyed by walk id; amplification bounded by 2·window.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val b = walks.select(col("start"), col("step").as("step2"),
+      col("node").as("context"))
+    walks.select(col("start"), col("step"), col("node"))
+      .join(b, Seq("start"))
+      .filter(col("step2") =!= col("step") &&
+        abs(col("step2") - col("step")) <= window)
+      .select(col("start"), col("step"), col("node").as("center"), col("context"))
+  }
 }

@@ -303,14 +303,7 @@ object AnalyticsQueries extends QueryModule {
       (s, dir) =>
         GraphAnalytics.deterministicWalks(sharedPartsEdges(s, dir), walkLen = 4),
       Some {
-        val steps = (1 to 4).map { t =>
-          s"""c$t AS MATERIALIZED (SELECT start, v FROM (
-             |   SELECT s.start, e.v,
-             |          row_number() OVER (PARTITION BY s.start ORDER BY
-             |            CAST(('0x' || substr(md5('$t|' || s.start || '|' || s.cur || '|' || e.v), 1, 8)) AS BIGINT), e.v) AS rn
-             |   FROM s${t - 1} s JOIN ed e ON e.u = s.cur) WHERE rn = 1),
-             |s$t AS (SELECT start, v AS cur FROM c$t)""".stripMargin
-        }.mkString(",\n")
+        val steps = (1 to 4).map(walkStepSql).mkString(",\n")
         val union = "SELECT id AS start, CAST(0 AS BIGINT) AS step, id AS node FROM nodes" +
           (1 to 4).map(t => s" UNION ALL SELECT start, CAST($t AS BIGINT), cur FROM s$t").mkString
         s"""WITH $sharedPartsCtes,
@@ -318,6 +311,40 @@ object AnalyticsQueries extends QueryModule {
            |$steps
            |$union""".stripMargin
       }
+    ),
+
+    // ---- skip-gram pairs over the walk corpus ----
+    // The word2vec input: (center, context) within window 2 of each
+    // walk. Composition gate — the oracle re-derives the walks (same
+    // CTEs) and self-joins, so the pair set is exact end-to-end.
+    QueryDef(
+      "q_graph_walk_pairs",
+      "skip-gram (center, context) pairs, window 2, over the walk corpus",
+      (s, dir) =>
+        GraphAnalytics.skipGramPairs(
+          GraphAnalytics.deterministicWalks(sharedPartsEdges(s, dir), walkLen = 4),
+          window = 2),
+      Some {
+        val steps = (1 to 4).map(walkStepSql).mkString(",\n")
+        val union = "SELECT id AS start, CAST(0 AS BIGINT) AS step, id AS node FROM nodes" +
+          (1 to 4).map(t => s" UNION ALL SELECT start, CAST($t AS BIGINT), cur FROM s$t").mkString
+        s"""WITH $sharedPartsCtes,
+           |s0 AS (SELECT id AS start, id AS cur FROM nodes),
+           |$steps,
+           |wk AS MATERIALIZED ($union)
+           |SELECT a.start, a.step, a.node AS center, b.node AS context
+           |FROM wk a JOIN wk b ON a.start = b.start
+           |WHERE b.step <> a.step AND abs(b.step - a.step) <= 2""".stripMargin
+      }
     )
   )
+
+  /** One deterministic-walk hop as SQL: `s{t-1}` → `c{t}`/`s{t}`. */
+  private def walkStepSql(t: Int): String =
+    s"""c$t AS MATERIALIZED (SELECT start, v FROM (
+       |   SELECT s.start, e.v,
+       |          row_number() OVER (PARTITION BY s.start ORDER BY
+       |            CAST(('0x' || substr(md5('$t|' || s.start || '|' || s.cur || '|' || e.v), 1, 8)) AS BIGINT), e.v) AS rn
+       |   FROM s${t - 1} s JOIN ed e ON e.u = s.cur) WHERE rn = 1),
+       |s$t AS (SELECT start, v AS cur FROM c$t)""".stripMargin
 }

@@ -34,6 +34,23 @@ class GraphWalkSpec extends GraftSuite {
     assert(walks(3) === walks(3))
   }
 
+  test("skipGramPairs emits exactly the window-bounded pairs") {
+    val walks = GraphAnalytics.deterministicWalks(edges.toDF("src", "dst"), 4)
+    val pairs = GraphAnalytics.skipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    val stream = walks.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val expected = stream.flatMap { case (s, seq) =>
+      for {
+        i <- seq.indices; j <- seq.indices
+        if i != j && math.abs(i - j) <= 2
+      } yield (s, i.toLong, seq(i), seq(j))
+    }.toSet
+    assert(pairs.toSet === expected)
+    // 5 positions, window 2 -> 2+3+4+3+2 = 14 ordered pairs per walk
+    assert(pairs.length === 5 * 14)
+  }
+
   test("the hash actually drives the choice (not min neighbor id)") {
     // node 3's neighbors are {1, 2, 4}: across starts/steps at least
     // one hop out of 3 must pick a neighbor other than 1 — if every
