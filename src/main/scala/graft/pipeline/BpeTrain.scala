@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * the trained vocabulary stays distributed.
   *
   * Reference anchor: HGraphStorage models typed property VALUES, not
-  * tokenizers (reference `src/Database/Graph/HGraphStorage/Types.hs`);
+  * tokenizers (`HGraphStorage/src/Database/Graph/HGraphStorage/Types.hs`);
   * BPE training is part of the beyond-reference training-data surface
   * the engine targets.
   */
