@@ -128,4 +128,30 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("lineitem"), s"label-pruned edge scan must skip the fact table:\n$p")
     assert(!p.contains("orders"), "placed branch folds away too")
   }
+
+  test("q_quality_gopher: windows are doc-partitioned, never global") {
+    val p = plan("q_quality_gopher")
+    assert(p.contains("Window"), s"coverage needs the per-doc argmax window:\n${p.take(500)}")
+    assert(!p.contains("SinglePartition"),
+      s"a global window would serialize the corpus through one task:\n$p")
+    assert(!p.contains("ScalaUDF"), "coverage must stay expression-only")
+  }
+
+  test("BPE pair counting combines map-side before the exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf001).documents
+    val words = graft.pipeline.BpeTrain.wordVocab(docs, col("text"))
+    Seq(words, graft.pipeline.BpeTrain.pairCounts(words)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("partial_count") || p.contains("partial_sum") ||
+        (p.contains("HashAggregate") && p.contains("partial")),
+        s"vocab/pair aggregation must combine before shuffling:\n${p.take(2000)}")
+    }
+  }
+
+  test("deterministic walks never plan a cartesian product") {
+    val p = plan("q_graph_walks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"walk hops must be equi-joins on the frontier:\n${p.take(2000)}")
+  }
 }
