@@ -345,6 +345,59 @@ object DedupQueries extends QueryModule {
              |    list_filter(generate_series(1, len(t.ts)),
              |      i -> len(list_filter(coalesce(st.ss, []), s -> s <= i - 1 AND i - 1 < s + 8)) = 0)) AS BIGINT) AS n_removed
              |FROM tok t LEFT JOIN st USING (doc_id)""".stripMargin)
+    ),
+
+    // ---- content-defined chunking (rolling-hash CDC) ----
+    // Boundaries where the 8-char polynomial hash hits 0 mod 32
+    // (avg ~32-char chunks): a pure-integer, shift-resistant tiling
+    // the oracle re-derives boundary-for-boundary. 6201 chunks at
+    // sf0.01.
+    QueryDef(
+      "q_dedup_cdc",
+      "CDC chunk tiling of every document (window 8, avg chunk 32)",
+      (s, dir) =>
+        graft.pipeline.Cdc.chunks(Tables(s, dir).documents, "doc_id",
+          col("text"), avgChunk = 32),
+      Some(s"""WITH $cdcCtes
+              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              |       CAST(s AS BIGINT) AS start, CAST(e - s + 1 AS BIGINT) AS n_chars,
+              |       md5(substring(d.text, s, (e - s + 1)::INT)) AS chunk_md5
+              |FROM ch JOIN documents d USING (doc_id)""".stripMargin)
+    ),
+
+    // ---- cross-doc chunk sharing: what CDC boundaries buy ----
+    // Identical phrases in different documents chunk identically, so
+    // sub-document duplication shows up as repeated chunk hashes
+    // (2265 shared-chunk rows at sf0.01 — non-vacuous by measurement).
+    QueryDef(
+      "q_dedup_cdc_shared",
+      "chunks occurring more than once corpus-wide (copy + doc counts)",
+      (s, dir) =>
+        graft.pipeline.Cdc.sharedChunks(Tables(s, dir).documents, "doc_id",
+          col("text"), avgChunk = 32),
+      Some(s"""WITH $cdcCtes,
+              |cc AS (SELECT md5(substring(d.text, s, (e - s + 1)::INT)) AS chunk_md5, doc_id
+              |       FROM ch JOIN documents d USING (doc_id))
+              |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+              |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |FROM cc GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin)
     )
   )
+
+  /** CDC boundary + chunk-extent CTEs (window 8, base 31, mod 2^20,
+    * avg chunk 32) — mirrors [[graft.pipeline.Cdc]] term-for-term.
+    */
+  private def cdcCtes: String = {
+    val hterms = (0 until 8)
+      .map(j => s"CAST(ascii(text[i-$j:i-$j]) AS BIGINT) * ${math.pow(31, j).toLong}")
+      .mkString(" + ")
+    s"""pos AS (SELECT doc_id, text, unnest(range(8, length(text)+1)) AS i FROM documents),
+       |bnd AS (SELECT doc_id, i FROM pos WHERE (($hterms) % ${1L << 20}) % 32 = 0),
+       |ebnd AS (SELECT DISTINCT doc_id, i FROM (SELECT doc_id, i FROM bnd
+       |         UNION ALL SELECT doc_id, length(text) FROM documents WHERE length(text) > 0)),
+       |ch AS (SELECT doc_id, i AS e,
+       |              COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+       |              row_number() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx
+       |       FROM ebnd)""".stripMargin
+  }
 }

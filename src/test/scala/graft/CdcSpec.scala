@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Cdc
+
+/** Content-defined chunking: exact tiling, shift resistance (THE
+  * property that distinguishes CDC from fixed chunking), cross-doc
+  * sharing, and sub-window degenerate docs.
+  */
+class CdcSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def chunksOf(rows: Seq[(Long, String)], avg: Int = 32) =
+    Cdc.chunks(rows.toDF("doc_id", "text"), "doc_id", col("text"), avg)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("chunks tile the text exactly: contiguous, complete, hash-consistent") {
+    val text = Tables.docs(spark, sf001).limit(20)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val got = chunksOf(text)
+    val byDoc = got.groupBy(_._1)
+    text.foreach { case (id, t) =>
+      val cs = byDoc(id)
+      assert(cs.head._3 === 1L, "first chunk starts at 1")
+      assert(cs.map(c => c._3 + c._4 - 1).max === t.length, "last chunk ends at length")
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 === a._3 + a._4, "chunks are contiguous")
+        case _ =>
+      }
+      cs.foreach { c =>
+        val content = t.substring(c._3.toInt - 1, (c._3 + c._4 - 1).toInt)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(c._5 === md5, "chunk hash is the hash of the tiled content")
+      }
+    }
+  }
+
+  test("shift resistance: a prefix edit re-chunks only the head") {
+    val t = Tables.docs(spark, sf001).filter(col("doc_id") === 1L)
+      .select(col("text")).head().getString(0)
+    val orig = chunksOf(Seq((1L, t))).map(_._5)
+    val shifted = chunksOf(Seq((1L, "zzzz " + t))).map(_._5)
+    // every original chunk except (at most) the first must survive the
+    // insertion verbatim — fixed-size chunking would lose all of them
+    val surviving = orig.toSet.intersect(shifted.toSet).size
+    assert(surviving >= orig.size - 1,
+      s"CDC must keep tail chunks stable: ${surviving} of ${orig.size} survived")
+    assert(orig.size > 2, "test doc must actually chunk")
+  }
+
+  test("identical phrases across docs produce identical chunk hashes") {
+    val shared = "batch batch batch window merge sort key table scan " * 3
+    val rows = Seq((1L, "aaa " + shared + " xxx"), (2L, "bbbbbbb " + shared + " yyy"))
+    val sharedCount = Cdc.sharedChunks(rows.toDF("doc_id", "text"), "doc_id",
+      col("text"), 32).count()
+    assert(sharedCount >= 2, s"interior chunks of the shared run must collide: $sharedCount")
+  }
+
+  test("docs shorter than the window are one whole-text chunk") {
+    val got = chunksOf(Seq((5L, "abc")))
+    assert(got.map(c => (c._2, c._3, c._4)) === Seq((1L, 1L, 3L)))
+  }
+
+  private object Tables {
+    def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.sources.Tables(s, dir).documents
+  }
+}
