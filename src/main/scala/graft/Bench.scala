@@ -135,7 +135,10 @@ object Bench {
     "q_text_bm25_compacted",
     "q_label_prop",
     "q_pagerank_personalized",
-    "q_graph_walks")
+    "q_graph_walks",
+    // CDC chunk dedup: scan-speed integer boundary predicate + one
+    // (chunk-hash) groupBy — sub-document sharing across the corpus
+    "q_dedup_cdc_shared")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
