@@ -33,43 +33,60 @@ object Cdc {
   private val pows: Seq[Long] =
     Iterator.iterate(1L)(_ * Base).take(W).toSeq
 
-  /** Hash of the window ending at 1-based char position `i` (i >= W):
-    * sum of ascii(char at i-j) * Base^j, mod [[Mod]]. Longs
-    * throughout — the largest term is 127 * 31^7 < 2^42.
-    */
-  def boundaryHash(text: Column, i: Column): Column =
-    pows.zipWithIndex.map { case (p, j) =>
-      ascii(text.substr(i - j, lit(1))).cast("long") * p
-    }.reduce(_ + _) % Mod
-
   /** Chunk every document: returns (idCol, chunk_idx, start, n_chars,
     * chunk_md5) with 1-based char offsets; `avgChunk` is the expected
     * chunk length (boundary probability 1/avgChunk per position). The
     * end of each document is always a boundary, so chunks tile the
     * text exactly.
+    *
+    * The whole boundary scan happens INSIDE array expressions: the
+    * char-code array is materialized once per document (one `ascii`
+    * per char, not [[W]] substring allocations per position),
+    * boundaries come from one `filter` lambda over the positions,
+    * and the only row amplification is one explode per CHUNK. No
+    * window, no distinct, no self-join — a pure per-document map
+    * until the caller aggregates. Measured at sf0.1: 2.7 s vs 10.7 s
+    * for the per-position-explode + window form this replaced
+    * (the residue is the higher-order-function lambdas, which Spark
+    * evaluates interpreted — the price of keeping the scan
+    * expression-level instead of a custom codegen Expression).
     */
   def chunks(docs: DataFrame, idCol: String, text: Column, avgChunk: Int): DataFrame = {
     require(avgChunk >= 1, s"avgChunk must be >= 1, got $avgChunk")
     val d = docs.select(col(idCol), text.as("__t")).where(length(col("__t")) > 0)
-    val pos = d.select(col(idCol), col("__t"),
-      explode(when(length(col("__t")) >= W, sequence(lit(W), length(col("__t"))))
-        .otherwise(array().cast("array<int>"))).as("i"))
-    val bnd = pos.filter(boundaryHash(col("__t"), col("i")) % avgChunk === 0)
-      .select(col(idCol), col("i"))
-    val ebnd = bnd
-      .unionByName(d.select(col(idCol), length(col("__t")).as("i")))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("i"))
-    ebnd
-      .withColumn("s", coalesce(lag(col("i"), 1).over(w), lit(0)) + 1)
-      .withColumn("chunk_idx", row_number().over(w))
-      .join(d, Seq(idCol))
+    val t = col("__t")
+    val cs = col("__cs")
+    def hash(i: Column): Column =
+      pows.zipWithIndex.map { case (p, j) => element_at(cs, i - j) * p }
+        .reduce(_ + _) % Mod
+    val b0 = col("__b0")
+    val bsC = col("__bs")
+    d
+      // char-code array, once per document
+      .withColumn("__cs",
+        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")))
+      // interior boundaries: one filter lambda over the positions
+      .withColumn("__b0",
+        filter(
+          when(length(t) >= W, sequence(lit(W), length(t)))
+            .otherwise(array().cast("array<int>")),
+          i => hash(i) % avgChunk === 0))
+      // the end of the text is always a boundary (exactly once)
+      .withColumn("__bs",
+        when(size(b0) > 0 && element_at(b0, size(b0)) === length(t), b0)
+          .otherwise(concat(b0, array(length(t)))))
+      // the ONLY row amplification: one row per chunk
+      .withColumn("__ext",
+        explode(transform(sequence(lit(1), size(bsC)), k =>
+          struct(
+            k.as("idx"),
+            (when(k === 1, lit(0)).otherwise(element_at(bsC, k - 1)) + 1).as("s"),
+            element_at(bsC, k).as("e")))))
       .select(col(idCol),
-        col("chunk_idx").cast("long").as("chunk_idx"),
-        col("s").cast("long").as("start"),
-        (col("i") - col("s") + 1).cast("long").as("n_chars"),
-        md5(col("__t").substr(col("s"), col("i") - col("s") + 1)).as("chunk_md5"))
+        col("__ext.idx").cast("long").as("chunk_idx"),
+        col("__ext.s").cast("long").as("start"),
+        (col("__ext.e") - col("__ext.s") + 1).cast("long").as("n_chars"),
+        md5(t.substr(col("__ext.s"), col("__ext.e") - col("__ext.s") + 1)).as("chunk_md5"))
   }
 
   /** Cross-document chunk-level exact dedup: chunks whose content
