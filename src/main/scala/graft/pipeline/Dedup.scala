@@ -582,14 +582,18 @@ object Dedup {
       .agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("h"))
+    // the join-side key gets a reserved alias so a caller whose idCol
+    // is literally "id" doesn't hit an ambiguous-reference
+    // AnalysisException in the final select
     val starts = spans.join(heavy, Seq("h"))
       .groupBy(col("id"))
       .agg(collect_set(col("s")).as("ss"))
+      .withColumnRenamed("id", "__rrs_id")
     val covered = coalesce(col("ss"), array().cast("array<int>"))
     val kept = filter(ts, (_, i) =>
       !exists(covered, s => s <= i && i < s + n))
-    df.join(starts, df(idCol) === starts("id"), "left")
-      .select(col(idCol),
+    df.join(starts, df(idCol) === starts("__rrs_id"), "left")
+      .select(df(idCol),
         concat_ws(" ", kept).as("clean_text"),
         (size(ts) - size(kept)).cast("long").as("n_removed"))
   }

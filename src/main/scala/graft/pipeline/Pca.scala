@@ -70,7 +70,15 @@ object Pca {
       .groupBy(col("pos"))
       .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
       .collect()
-    val n = firsts.head.getLong(2)
+    // ragged corpora fail LOUDLY: every dimension must be present in
+    // every sampled row, or the moments below silently mix row counts
+    // and produce a wrong covariance
+    require(firsts.length == d,
+      s"ragged embeddings: saw ${firsts.length} distinct positions, first row had $d")
+    val counts = firsts.map(_.getLong(2)).distinct
+    require(counts.length == 1,
+      s"ragged embeddings: per-dimension counts differ (${counts.sorted.mkString(", ")})")
+    val n = counts.head
     require(n > 1, s"PCA sample needs >= 2 rows, got $n")
     val mean = new Array[Double](d)
     firsts.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / n)

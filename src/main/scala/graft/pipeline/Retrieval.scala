@@ -387,7 +387,13 @@ object Retrieval {
     val n = phrase.length
     val ts = TextOps.tokens(text)
     val ph = phrase.mkString(" ")
-    val starts = filter(sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
+    // guard the short-doc case explicitly: sequence(1, 0) in Spark is
+    // the DESCENDING [1, 0] (default step -1 when start > stop), and
+    // slice(ts, 0, n) then throws — docs shorter than the phrase must
+    // yield an empty start list, the sibling call sites' pattern
+    val cand = when(size(ts) >= n, sequence(lit(1), size(ts) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val starts = filter(cand,
       i => concat_ws(" ", slice(ts, i, lit(n))) === lit(ph))
     docs
       .select(col(idCol), starts.as("ss"))

@@ -84,4 +84,16 @@ class PcaSpec extends GraftSuite {
     val recall = exact.intersect(reduced).size / 10.0
     assert(recall >= 0.9, s"recall@10=$recall in the 16-dim space")
   }
+
+  test("ragged embedding arrays fail loudly instead of skewing moments") {
+    import spark.implicits._
+    val ragged = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pca.train(spark, ragged, "vec_id", "embedding", dOut = 2)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
 }

@@ -32,6 +32,13 @@ class PhraseSpec extends GraftSuite {
     assert(scan(d, Seq("b", "a", "b")) === Seq((3L, 2L, 0L)))
   }
 
+  test("docs shorter than the phrase yield no match (and no crash)") {
+    // regression: sequence(1, 0) defaults to step -1 in Spark, so the
+    // unguarded start list was [1, 0] and slice(ts, 0, n) threw
+    val d = docsOf(1L -> "ab", 2L -> "", 3L -> "slow hash batch here")
+    assert(scan(d, Seq("slow", "hash", "batch")) === Seq((3L, 1L, 0L)))
+  }
+
   test("a phrase split across two docs never matches") {
     val got = scan(docsOf(1L -> "end of doc slow hash", 2L -> "batch next doc"),
       Seq("slow", "hash", "batch"))

@@ -41,6 +41,13 @@ class SpanRemoveSpec extends GraftSuite {
     assert(got(1L) === (("a b c z a b c", 0L)))
   }
 
+  test("a caller whose id column is literally \"id\" resolves unambiguously") {
+    val docs = Seq((1L, "x x a b c y y"), (2L, "z a b c w")).toDF("id", "text")
+    val got = Dedup.removeRepeatedSpans(docs, "id", col("text"), n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "x x y y", 2L -> "z w"))
+  }
+
   test("docs shorter than n tokens pass through untouched") {
     val got = run(Seq((1L, "a b"), (2L, "a b")), n = 3)
     assert(got(1L) === (("a b", 0L)))
