@@ -203,21 +203,8 @@ object GraphAnalytics {
     * `count()` it, or group by vertex for per-node clustering input.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    // orient: from lower (deg, id) to higher (deg, id)
-    val o = e
-      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
-      .select(
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("u")).otherwise(col("v")).as("src"),
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("v")).otherwise(col("u")).as("dst"))
+    val e = canonicalEdges(edges)
+    val o = degreeOrient(e)
     // Each triangle has exactly ONE vertex with oriented out-edges to
     // the other two (the (deg, id)-minimum — orientation is acyclic),
     // so canonicalizing the wedge pair numerically (b < c) yields one
@@ -229,6 +216,61 @@ object GraphAnalytics {
       .filter(col("b") < col("c"))
     wedges.join(e, col("b") === col("u") && col("c") === col("v"))
       .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Undirected canonical edge set (u < v, loops dropped, dups out). */
+  private def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
+  /** Degree orientation of a canonical edge set: each edge points from
+    * lower (deg, id) to higher (deg, id), so every out-degree is
+    * bounded by O(sqrt |E|) (a vertex with out-degree t has t
+    * (deg, id)-larger neighbors, each of degree >= t, so t² <= 2|E|).
+    */
+  private def degreeOrient(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+  }
+
+  /** Triangle COUNT via sorted-adjacency intersection — the same
+    * degree orientation as [[triangles]], but instead of materializing
+    * one row per triangle through a wedge shuffle join (1.6e8 rows on
+    * the sf0.1 supplier co-shipment graph), each oriented vertex's
+    * out-neighbors aggregate into ONE array and every oriented edge
+    * (u, v) contributes `|adj(u) ∩ adj(v)|` — triangles are counted
+    * where BOTH endpoints precede the apex, which happens exactly once
+    * per triangle (at its (deg, id)-minimal edge). Shuffled volume is
+    * |E| rows carrying O(sqrt |E|)-bounded arrays, and the aggregate
+    * is a partial-merged long sum; dense graphs with huge triangle
+    * counts never materialize them.
+    *
+    * Returns one row, `n_triangles: long`. Callers needing the
+    * triangle LIST (per-vertex clustering input) use [[triangles]].
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    graft.functions.SortedIntersectCount.register(edges.sparkSession)
+    // o feeds BOTH the adjacency aggregate and the probe side; Spark
+    // plans common subtrees twice, so cut once (also gives AQE real
+    // size stats — the per-vertex adj side is |V| rows and broadcasts
+    // when it fits)
+    val o = degreeOrient(canonicalEdges(edges)).localCheckpoint()
+    val adj = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    o.join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      // a dst with no out-edges closes no wedge: left join, null -> 0
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
+      .select(when(col("nv").isNull, lit(0L))
+        .otherwise(graft.functions.SortedIntersectCount.col(col("nu"), col("nv"))).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_triangles"))
   }
 
   /** k-core decomposition (Seidman 1983): iteratively peel vertices of
@@ -409,17 +451,25 @@ object GraphAnalytics {
 
   /** Skip-gram training pairs from a walk corpus: every
     * (center, context) with 0 < |Δstep| <= window within one walk —
-    * the input a word2vec-style embedding trains on. One self-join
-    * keyed by walk id; amplification bounded by 2·window.
+    * the input a word2vec-style embedding trains on.
+    *
+    * Each center row explodes over its 2·window offsets and
+    * equi-joins on `(start, step + delta)` — the join OUTPUT is the
+    * pair set, no band filter afterwards, so amplification through
+    * the exchange is exactly 2·window (the old `start`-keyed
+    * self-join emitted (walkLen+1)² rows per walk before its filter —
+    * 4-15× the needed volume at production DeepWalk parameters).
+    * Off-the-end offsets simply find no join partner.
     */
   def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val b = walks.select(col("start"), col("step").as("step2"),
+    val deltas = ((-window to -1) ++ (1 to window)).map(_.toLong)
+    val centers = walks.select(col("start"), col("step"), col("node").as("center"))
+      .withColumn("delta", explode(typedlit(deltas)))
+      .withColumn("step2", col("step") + col("delta"))
+    val contexts = walks.select(col("start"), col("step").as("step2"),
       col("node").as("context"))
-    walks.select(col("start"), col("step"), col("node"))
-      .join(b, Seq("start"))
-      .filter(col("step2") =!= col("step") &&
-        abs(col("step2") - col("step")) <= window)
-      .select(col("start"), col("step"), col("node").as("center"), col("context"))
+    centers.join(contexts, Seq("start", "step2"))
+      .select(col("start"), col("step"), col("center"), col("context"))
   }
 }

@@ -51,5 +51,6 @@ object Graft {
     graft.functions.CosineSim.register(spark)
     graft.functions.DotFloat.register(spark)
     graft.functions.NearestCell.register(spark)
+    graft.functions.SortedIntersectCount.register(spark)
   }
 }

@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(PqLut.NAME),
       new ExpressionInfo(classOf[PqLut].getName, PqLut.NAME),
       (exprs: Seq[Expression]) => PqLut(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(SortedIntersectCount.NAME),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, SortedIntersectCount.NAME),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.EliminateUnusedUniqueJoin)
   }
 }

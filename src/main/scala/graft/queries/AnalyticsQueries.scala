@@ -170,16 +170,20 @@ object AnalyticsQueries extends QueryModule {
       "supplier co-shipment graph: nodes, edges, triangles (degree-oriented count)",
       (s, dir) => {
         val li = Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        // the edge build (self-join + distinct) feeds THREE branches
+        // (nodes, edges, triangles) — cut it once instead of letting
+        // the crossJoin plan re-run it per branch
         val edges = li.as("a")
           .join(li.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_suppkey") < col("b.l_suppkey"))
           .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
           .distinct()
+          .localCheckpoint()
         val nn = edges.select(explode(array(col("src"), col("dst"))).as("id"))
           .distinct().agg(count(lit(1)).as("n_nodes"))
         val ne = edges.agg(count(lit(1)).as("n_edges"))
-        val nt = GraphAnalytics.triangles(edges).agg(count(lit(1)).as("n_triangles"))
+        val nt = GraphAnalytics.triangleCount(edges)
         nn.crossJoin(ne).crossJoin(nt)
       },
       Some("""WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v

@@ -154,4 +154,14 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"walk hops must be equi-joins on the frontier:\n${p.take(2000)}")
   }
+
+  test("skip-gram pairs join on exploded offsets — no post-join band filter") {
+    // the join OUTPUT is the pair set: amplification through the
+    // exchange is exactly 2·window, never (walkLen+1)² per walk
+    val p = plan("q_graph_walk_pairs")
+    assert(!p.contains("abs("),
+      s"no |Δstep| band filter may survive in the physical plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join:\n${p.take(2000)}")
+  }
 }

@@ -39,6 +39,21 @@ class TriangleSpanSpec extends GraftSuite {
     assert(tris.count() == 39)
   }
 
+  test("triangleCount == triangles().count() on every fixture, incl. empty") {
+    val k4 = (for (i <- 1 to 4; j <- 1 to 4 if i != j) yield (i.toLong, j.toLong))
+      .toDF("src", "dst")
+    val star = (2 to 10).map(i => (1L, i.toLong)).toDF("src", "dst")
+    val shared = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val hub = ((1 to 40).map(i => (0L, i.toLong)) ++
+      (1 until 40).map(i => (i.toLong, (i + 1).toLong))).toDF("src", "dst")
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    for (g <- Seq(k4, star, shared, hub, empty)) {
+      val viaList = GraphAnalytics.triangles(g).count()
+      val viaAdj = GraphAnalytics.triangleCount(g).as[Long].head()
+      assert(viaAdj === viaList)
+    }
+  }
+
   test("positionalSpans: every occurrence kept, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b a b"), // spans of 4: "a b a b" x2 (overlapping), "b a b a"
