@@ -292,12 +292,19 @@ object GraphAnalytics {
     * oracle's unrolled-peel SQL rendering.
     */
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): (DataFrame, Int) = {
-    var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    var nEdges = e.count()
+    // each round is ONE job: the convergence count rides the eager
+    // localCheckpoint as an observed metric (CollectMetrics) instead
+    // of a second count() action over the checkpointed partitions
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (cp, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, nEdges) = checkpointCounted(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+        .distinct())
     var rounds = 0
     var converged = nEdges == 0
     while (!converged) {
@@ -307,12 +314,10 @@ object GraphAnalytics {
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("id"))
-      val next = e
+      val (next, nNext) = checkpointCounted(e
         .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint()
-      val nNext = next.count()
+        .select(col("u"), col("v")))
       rounds += 1
       converged = nNext == nEdges
       e = next
