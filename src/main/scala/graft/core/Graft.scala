@@ -52,5 +52,6 @@ object Graft {
     graft.functions.DotFloat.register(spark)
     graft.functions.NearestCell.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.CdcBoundaries.register(spark)
   }
 }

@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SortedIntersectCount.NAME),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, SortedIntersectCount.NAME),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(CdcBoundaries.NAME),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, CdcBoundaries.NAME),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.EliminateUnusedUniqueJoin)
   }
 }

@@ -39,19 +39,32 @@ object Cdc {
     * end of each document is always a boundary, so chunks tile the
     * text exactly.
     *
-    * The whole boundary scan happens INSIDE array expressions: the
-    * char-code array is materialized once per document (one `ascii`
-    * per char, not [[W]] substring allocations per position),
-    * boundaries come from one `filter` lambda over the positions,
-    * and the only row amplification is one explode per CHUNK. No
-    * window, no distinct, no self-join — a pure per-document map
-    * until the caller aggregates. Measured at sf0.1: 2.7 s vs 10.7 s
-    * for the per-position-explode + window form this replaced
-    * (the residue is the higher-order-function lambdas, which Spark
-    * evaluates interpreted — the price of keeping the scan
-    * expression-level instead of a custom codegen Expression).
+    * The boundary scan is ONE codegen'd expression
+    * ([[graft.functions.CdcBoundaries]]: decode code point, roll the
+    * window, 8 multiply-adds, two mods per character) and the only
+    * row amplification is one explode per CHUNK. No window, no
+    * distinct, no self-join — a pure per-document map until the
+    * caller aggregates. History of this line at sf0.1: 10.7 s as
+    * per-position explode + window, 2.7 s as `transform`/`filter`
+    * higher-order functions (interpreted lambdas), now sub-second as
+    * a native expression; [[graft.CdcSpec]] pins the HOF form and the
+    * expression bit-identical.
     */
   def chunks(docs: DataFrame, idCol: String, text: Column, avgChunk: Int): DataFrame = {
+    require(avgChunk >= 1, s"avgChunk must be >= 1, got $avgChunk")
+    graft.functions.CdcBoundaries.register(docs.sparkSession)
+    val d = docs.select(col(idCol), text.as("__t")).where(length(col("__t")) > 0)
+    val t = col("__t")
+    chunksFromBoundaries(d, idCol, t,
+      graft.functions.CdcBoundaries.col(t, lit(avgChunk)))
+  }
+
+  /** The legacy higher-order-function boundary scan — semantically
+    * identical to [[chunks]] (CdcSpec pins bit-equality), kept as the
+    * executable specification of the codegen expression.
+    */
+  private[graft] def chunksHof(docs: DataFrame, idCol: String, text: Column,
+      avgChunk: Int): DataFrame = {
     require(avgChunk >= 1, s"avgChunk must be >= 1, got $avgChunk")
     val d = docs.select(col(idCol), text.as("__t")).where(length(col("__t")) > 0)
     val t = col("__t")
@@ -60,8 +73,7 @@ object Cdc {
       pows.zipWithIndex.map { case (p, j) => element_at(cs, i - j) * p }
         .reduce(_ + _) % Mod
     val b0 = col("__b0")
-    val bsC = col("__bs")
-    d
+    val withBs = d
       // char-code array, once per document
       .withColumn("__cs",
         transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")))
@@ -75,6 +87,16 @@ object Cdc {
       .withColumn("__bs",
         when(size(b0) > 0 && element_at(b0, size(b0)) === length(t), b0)
           .otherwise(concat(b0, array(length(t)))))
+    chunksFromBoundaries(withBs, idCol, t, col("__bs"))
+  }
+
+  /** Boundary array -> one row per chunk with offsets and content
+    * hash (shared tail of [[chunks]] and [[chunksHof]]).
+    */
+  private def chunksFromBoundaries(d: DataFrame, idCol: String, t: Column,
+      bs: Column): DataFrame = {
+    val bsC = col("__bsx")
+    d.withColumn("__bsx", bs)
       // the ONLY row amplification: one row per chunk
       .withColumn("__ext",
         explode(transform(sequence(lit(1), size(bsC)), k =>

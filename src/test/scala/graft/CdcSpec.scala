@@ -63,6 +63,26 @@ class CdcSpec extends GraftSuite {
     assert(got.map(c => (c._2, c._3, c._4)) === Seq((1L, 1L, 3L)))
   }
 
+  test("codegen boundary expression == HOF form, bit for bit") {
+    // the corpus plus crafted edges: sub-window, exactly-window,
+    // non-ASCII code points (ascii() returns code points, and the
+    // expression must count positions in characters, not bytes)
+    val corpus = Tables.docs(spark, sf001).limit(100)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val crafted = Seq(
+      (100001L, "abc"), (100002L, "exactly8"), (100003L, ""),
+      (100004L, "héllo wörld café € straße " * 20),
+      (100005L, ("batch batch window merge " * 40)))
+    val df = (corpus ++ crafted).toDF("doc_id", "text")
+    for (avg <- Seq(1, 32, 200)) {
+      val fast = Cdc.chunks(df, "doc_id", col("text"), avg)
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val ref = Cdc.chunksHof(df, "doc_id", col("text"), avg)
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(fast === ref, s"avg=$avg diverged")
+    }
+  }
+
   private object Tables {
     def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
       graft.sources.Tables(s, dir).documents
