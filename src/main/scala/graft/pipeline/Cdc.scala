@@ -123,4 +123,50 @@ object Cdc {
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_copies") >= 2)
+
+  /** Published chunk-hash index: one narrow row per DISTINCT chunk
+    * content — `(chunk_md5, n_copies, n_docs)`. This is what persists
+    * between ingestion batches at 100 TB (the [[Dedup.exactIndex]]
+    * shape at sub-document granularity): ~48 bytes per distinct
+    * chunk, and the corpus text never re-reads. Counts are ADDITIVE,
+    * so maintenance is [[mergeChunkIndex]] — append a batch's index
+    * and sum, bit-identical to a full republish (the engine's
+    * incremental exactness contract).
+    */
+  def chunkIndex(docs: DataFrame, idCol: String, text: Column,
+      avgChunk: Int): DataFrame =
+    chunks(docs, idCol, text, avgChunk)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col(idCol)).as("n_docs"))
+
+  /** Fold a batch's [[chunkIndex]] into the standing index: additive
+    * integer sums, O(index + batch) — never the corpus.
+    */
+  def mergeChunkIndex(index: DataFrame, batchIndex: DataFrame): DataFrame =
+    index.unionByName(batchIndex)
+      .groupBy(col("chunk_md5"))
+      .agg(sum(col("n_copies")).as("n_copies"), sum(col("n_docs")).as("n_docs"))
+
+  /** Batch shared-chunk mining against the published [[chunkIndex]]:
+    * for every chunk content occurring in the batch, the TOTAL copy
+    * and doc counts over corpus ∪ batch, filtered to actually-shared
+    * (>= 2 copies) — equal to `sharedChunks(corpus ∪ batch)`
+    * restricted to batch chunk hashes, at O(batch chunking + one
+    * narrow index join) cost. Contract: batch doc ids are disjoint
+    * from corpus ids (an ingestion batch is new documents), which is
+    * what makes the distinct-doc counts additive.
+    */
+  def sharedChunksIncremental(corpusIndex: DataFrame, newDocs: DataFrame,
+      idCol: String, text: Column, avgChunk: Int): DataFrame = {
+    val b = chunkIndex(newDocs, idCol, text, avgChunk)
+      .withColumnRenamed("n_copies", "__bc").withColumnRenamed("n_docs", "__bd")
+    b.join(corpusIndex
+        .withColumnRenamed("n_copies", "__cc").withColumnRenamed("n_docs", "__cd"),
+        Seq("chunk_md5"), "left")
+      .select(col("chunk_md5"),
+        (coalesce(col("__cc"), lit(0L)) + col("__bc")).as("n_copies"),
+        (coalesce(col("__cd"), lit(0L)) + col("__bd")).as("n_docs"))
+      .filter(col("n_copies") >= 2)
+  }
 }

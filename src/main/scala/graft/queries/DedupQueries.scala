@@ -381,6 +381,39 @@ object DedupQueries extends QueryModule {
               |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
               |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
               |FROM cc GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin)
+    ),
+
+    // ---- incremental CDC: a batch mined against the published
+    // chunk-hash index — the O(batch) ingestion leg of
+    // q_dedup_cdc_shared (batch chunking + one narrow-index join;
+    // corpus text never re-reads). Oracle = the full-corpus shared
+    // mine restricted to chunk hashes occurring in the batch, the
+    // equivalence the additive count fold must preserve ----
+    QueryDef(
+      "q_dedup_cdc_incremental",
+      "total shared-chunk counts for the doc_id%7=3 batch, via the published chunk index",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+        val idxPath = SessionPublish.once(s, "dedup_cdc_idx|" + dir) {
+          val p = SessionPublish.tempDir("graft-dedup-cdc") + "/index"
+          graft.pipeline.Cdc.chunkIndex(corpus, "doc_id", col("text"), avgChunk = 32)
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        graft.pipeline.Cdc.sharedChunksIncremental(s.read.parquet(idxPath), batch,
+          "doc_id", col("text"), avgChunk = 32)
+      },
+      Some(s"""WITH $cdcCtes,
+              |cc AS (SELECT md5(substring(d.text, s, (e - s + 1)::INT)) AS chunk_md5, doc_id
+              |       FROM ch JOIN documents d USING (doc_id)),
+              |agg AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+              |               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |        FROM cc GROUP BY chunk_md5),
+              |bh AS (SELECT DISTINCT chunk_md5 FROM cc WHERE doc_id % 7 = 3)
+              |SELECT a.chunk_md5, a.n_copies, a.n_docs
+              |FROM agg a JOIN bh USING (chunk_md5) WHERE a.n_copies >= 2""".stripMargin)
     )
   )
 

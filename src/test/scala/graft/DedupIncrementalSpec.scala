@@ -125,4 +125,29 @@ class DedupIncrementalSpec extends GraftSuite {
     assert(got2 == Map(3L -> 3L, 20L -> 3L, 21L -> 21L),
       s"batch id 3 undercuts corpus keeper 10 and must win: $got2")
   }
+
+  test("CDC: merged chunk index == full republish; incremental == full mine on batch hashes") {
+    import graft.pipeline.Cdc
+    val docs = Tables(spark, sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 2)
+    val batch = docs.filter(col("doc_id") % 5 === 2)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val merged = Cdc.mergeChunkIndex(
+      Cdc.chunkIndex(corpus, "doc_id", col("text"), 32),
+      Cdc.chunkIndex(batch, "doc_id", col("text"), 32))
+    val full = Cdc.chunkIndex(docs, "doc_id", col("text"), 32)
+    assert(rows(merged.select(col("chunk_md5"), col("n_copies"), col("n_docs")))
+      === rows(full.select(col("chunk_md5"), col("n_copies"), col("n_docs"))))
+
+    val inc = Cdc.sharedChunksIncremental(
+      Cdc.chunkIndex(corpus, "doc_id", col("text"), 32), batch, "doc_id", col("text"), 32)
+    val batchHashes = Cdc.chunks(batch, "doc_id", col("text"), 32)
+      .select(col("chunk_md5")).distinct()
+    val fullShared = Cdc.sharedChunks(docs, "doc_id", col("text"), 32)
+      .join(batchHashes, Seq("chunk_md5"), "left_semi")
+    assert(rows(inc.select(col("chunk_md5"), col("n_copies"), col("n_docs")))
+      === rows(fullShared.select(col("chunk_md5"), col("n_copies"), col("n_docs"))))
+  }
 }
