@@ -98,4 +98,24 @@ object PropValues {
     */
   def propsMap(entries: (String, Column)*): Column =
     map(entries.flatMap { case (k, v) => Seq(lit(k), array(v)) }: _*)
+
+  /** Decode one value-struct Row back to the host ADT — the inverse
+    * of [[pvLit]] (the seam typed predicates see real
+    * `PropertyValue`s through, QueryStep.tgtPredicate).
+    */
+  def cellFromRow(r: org.apache.spark.sql.Row): PropertyValue = r.getByte(0) match {
+    case TEXT    => PVText(r.getString(1))
+    case INTEGER => PVInteger(BigInt(r.getDecimal(2).toBigInteger))
+    case BINARY  => PVBinary(r.getAs[Array[Byte]](3))
+    case JSON    => PVJson(r.getString(4))
+    case t       => throw new IllegalArgumentException(s"unknown vType $t")
+  }
+
+  /** Decode a whole props map field of `row` (null map -> empty). */
+  def propsFromRow(row: org.apache.spark.sql.Row, field: String): Map[String, Seq[PropertyValue]] = {
+    val i = row.fieldIndex(field)
+    if (row.isNullAt(i)) Map.empty
+    else row.getMap[String, scala.collection.Seq[org.apache.spark.sql.Row]](i)
+      .map { case (k, cells) => k -> cells.map(cellFromRow).toSeq }.toMap
+  }
 }

@@ -29,17 +29,35 @@ object QueryStep {
   case object IN   extends Direction
   case object BOTH extends Direction
 
-  /** RelationStep (Query.hs:19-25). `tgtFilter` is the reference's
-    * arbitrary host-language predicate seam (`rsTgtFilter`,
-    * Query.hs:23): an opaque Column predicate over the joined target
-    * node's columns (`tgt_*`). Prefer plain column predicates so
-    * Catalyst can push them; a typed closure would kill codegen.
+  /** The target node as the host language sees it — the reference's
+    * populated `GraphObject` (`populateObject`, API.hs): id, label,
+    * multi-valued typed properties.
+    */
+  final case class TargetNode(id: Long, label: String,
+      props: Map[String, Seq[graft.model.PropertyValue]])
+
+  /** RelationStep (Query.hs:19-25). Two target-filter seams, mirroring
+    * the reference's `rsTgtFilter :: GraphObject -> Bool` (Query.hs:23):
+    *
+    *  - `tgtFilter`: an opaque Column predicate over the joined target
+    *    node's columns (`tgt_*`). PREFER THIS — Catalyst pushes it and
+    *    it stays inside whole-stage codegen.
+    *  - `tgtPredicate`: an ARBITRARY host-language closure over the
+    *    decoded [[TargetNode]] — the full power of the reference seam
+    *    (host-side set lookups, regexes over computed combinations,
+    *    anything). Compiled as a typed `Dataset.filter` AFTER every
+    *    columnar filter, so only rows that survived pushdown pay the
+    *    documented cliff: per-row deserialization outside codegen
+    *    (SURVEY §7.3). Both seams compose (AND) when set; `limit`
+    *    counts rows that pass BOTH (filters precede the limit,
+    *    Query.hs:63-64).
     */
   final case class RelationStep(
       relTypes: Seq[String] = Nil,
       direction: Direction = OUT,
       tgtTypes: Seq[String] = Nil,
       tgtFilter: Option[Column] = None,
+      tgtPredicate: Option[TargetNode => Boolean] = None,
       limit: Option[Int] = None)
 
   /** Expand from source nodes. `sources` must expose column `id`
@@ -95,6 +113,16 @@ object QueryStep {
       out = out.join(tgt, Seq("tgt_id"), "left")
 
       step.tgtFilter.foreach(p => out = out.filter(p))
+      // the arbitrary-closure seam runs LAST: every columnar filter
+      // already pruned, so only surviving rows pay deserialization
+      step.tgtPredicate.foreach { p =>
+        out = out.filter { (r: org.apache.spark.sql.Row) =>
+          p(TargetNode(
+            r.getLong(r.fieldIndex("tgt_id")),
+            r.getString(r.fieldIndex("tgt_label")),
+            graft.model.PropValues.propsFromRow(r, "tgt_props")))
+        }
+      }
       out.select("src_id", "rel_id", "direction", "rel_label", "rel_props",
         "tgt_id", "tgt_label", "tgt_props")
     }

@@ -79,4 +79,41 @@ class QueryStepSpec extends GraftSuite {
     assert(rows.length == 1)
     assert(rows.head.getAs[Long]("tgt_id") == fg && rows.head.getAs[Long]("rel_id") == e1)
   }
+
+  test("tgtPredicate: an arbitrary host closure (set lookup) == the Column path") {
+    val (g, th, fg, ss, _, _) = fixture
+    import QueryStep.TargetNode
+    // a host-side lookup table no Column expression can reference
+    val allowed: Set[String] = Set("Forrest Gump", "Apollo 13")
+    val byClosure = QueryStep.fromIds(g, Seq(th), RelationStep(
+      tgtPredicate = Some((n: TargetNode) => n.props.getOrElse("name", Nil).exists {
+        case PVText(s) => allowed.contains(s)
+        case _         => false
+      }))).collect()
+    val byColumn = QueryStep.fromIds(g, Seq(th), RelationStep(
+      tgtFilter = Some(graft.model.PropValues.hasValue(col("tgt_props"), "name",
+        PVText("Forrest Gump"))))).collect()
+    assert(byClosure.map(_.toSeq).toSet === byColumn.map(_.toSeq).toSet)
+    assert(byClosure.length == 1 && byClosure.head.getAs[Long]("tgt_id") == fg)
+
+    // the closure sees the FULL populated object: id, label, typed props
+    val all = QueryStep.fromIds(g, Seq(th), RelationStep(
+      tgtPredicate = Some((n: TargetNode) =>
+        n.label == "Movie" && n.id == ss &&
+          n.props("year").contains(PVInteger(1990))))).collect()
+    assert(all.length == 1 && all.head.getAs[Long]("tgt_id") == ss)
+  }
+
+  test("tgtPredicate composes with limit: filter before limit, newest kept") {
+    val (g, th, fg, _, e1, _) = fixture
+    import QueryStep.TargetNode
+    val rows = QueryStep.fromIds(g, Seq(th), RelationStep(
+      tgtPredicate = Some((n: TargetNode) => n.props.getOrElse("name", Nil).exists {
+        case PVText(s) => s.startsWith("Forrest")
+        case _         => false
+      }),
+      limit = Some(1))).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("tgt_id") == fg && rows.head.getAs[Long]("rel_id") == e1)
+  }
 }
