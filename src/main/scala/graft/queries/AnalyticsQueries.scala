@@ -17,6 +17,7 @@ object AnalyticsQueries extends QueryModule {
 
   private object State {
     @volatile var kcoreRounds: Option[Int] = None
+    @volatile var embedModel: Option[graft.analytics.GraphEmbed.EmbedModel] = None
   }
 
   /** The customer co-purchase edge CTEs (DuckDB): an edge joins two
@@ -339,6 +340,61 @@ object AnalyticsQueries extends QueryModule {
            |SELECT a.start, a.step, a.node AS center, b.node AS context
            |FROM wk a JOIN wk b ON a.start = b.start
            |WHERE b.step <> a.step AND abs(b.step - a.step) <= 2""".stripMargin
+      }
+    ),
+
+    // ---- deterministic spectral embedding of the walk corpus ----
+    // PPMI (micro-int) over the skip-gram pairs, eigendecomposed with
+    // canonical signs; the gate output is the distributed integer
+    // mat-vec `PPMI · V` (= eigenvalue-weighted spectral embedding).
+    // The oracle re-derives walks, pairs, and PPMI from scratch and
+    // multiplies by the TRAINED eigenvectors as literals (deferred
+    // render, the PCA/IVF contract) — so the whole distributed
+    // pipeline is checked end-to-end, not just replayed.
+    QueryDef(
+      "q_graph_embed",
+      "4-dim deterministic PPMI-spectral embedding over the walk corpus",
+      (s, dir) => {
+        val pairs = GraphAnalytics.skipGramPairs(
+          GraphAnalytics.deterministicWalks(sharedPartsEdges(s, dir), walkLen = 4),
+          window = 2)
+        val ppmi = graft.analytics.GraphEmbed.ppmiMicro(pairs).localCheckpoint()
+        val model = graft.analytics.GraphEmbed.train(ppmi, dim = 4)
+        State.embedModel = Some(model)
+        graft.analytics.GraphEmbed.embeddings(ppmi, model)
+      },
+      Oracle.deferred {
+        val model = State.embedModel.getOrElse(throw new IllegalStateException(
+          "embed model not recorded — run q_graph_embed before rendering its oracle"))
+        val vt = model.contexts.indices.map { i =>
+          s"(${model.contexts(i)}, [${model.vMicro(i).mkString(", ")}])"
+        }.mkString(",\n    ")
+        val steps = (1 to 4).map(walkStepSql).mkString(",\n")
+        val union = "SELECT id AS start, CAST(0 AS BIGINT) AS step, id AS node FROM nodes" +
+          (1 to 4).map(t => s" UNION ALL SELECT start, CAST($t AS BIGINT), cur FROM s$t").mkString
+        s"""WITH $sharedPartsCtes,
+           |s0 AS (SELECT id AS start, id AS cur FROM nodes),
+           |$steps,
+           |wk AS MATERIALIZED ($union),
+           |pr AS MATERIALIZED (
+           |  SELECT a.start, a.step, a.node AS center, b.node AS context
+           |  FROM wk a JOIN wk b ON a.start = b.start
+           |  WHERE b.step <> a.step AND abs(b.step - a.step) <= 2),
+           |tot AS (SELECT count(*) AS n FROM pr),
+           |cc AS (SELECT center, context, count(*) AS n_cc FROM pr GROUP BY 1, 2),
+           |nc AS (SELECT center, count(*) AS n_c FROM pr GROUP BY 1),
+           |nx AS (SELECT context, count(*) AS n_ctx FROM pr GROUP BY 1),
+           |pp AS (SELECT center, context,
+           |         CAST(round(greatest(round(ln((n_cc * tot.n)::DOUBLE / (n_c * n_ctx)::DOUBLE), 6), 0) * 1000000, 0) AS BIGINT) AS m
+           |       FROM cc JOIN nc USING (center) JOIN nx USING (context) CROSS JOIN tot),
+           |ppf AS (SELECT * FROM pp WHERE m > 0),
+           |vt(context, vs) AS (VALUES
+           |    $vt),
+           |vd AS (SELECT context, CAST(u.i AS BIGINT) AS dim, vs[CAST(u.i AS INT)] AS v
+           |       FROM vt, LATERAL unnest(generate_series(1, len(vs))) AS u(i))
+           |SELECT p.center AS id, vd.dim, CAST(sum(p.m * vd.v) AS BIGINT) AS emb_micro
+           |FROM ppf p JOIN vd USING (context)
+           |GROUP BY 1, 2""".stripMargin
       }
     )
   )
