@@ -37,6 +37,34 @@ object Sidecar {
     val (fs, p) = fsFor(path); fs.exists(p)
   }
 
+  /** Create `path` exclusively (no overwrite): true iff THIS caller
+    * created it — the claim primitive for id allocation (HDFS create
+    * without overwrite is atomic; local FS close enough for the
+    * single-machine test rig).
+    */
+  def createExclusive(path: String): Boolean = {
+    val (fs, p) = fsFor(path)
+    fs.mkdirs(p.getParent)
+    fs match {
+      // Hadoop's local create(overwrite=false) is exists-then-create —
+      // NOT atomic under contention; O_CREAT|O_EXCL via nio is
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      case _ => // HDFS-class stores: create-no-overwrite is atomic
+        try {
+          val out = fs.create(p, false)
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+  }
+
   def readString(path: String): Option[String] = {
     val (fs, p) = fsFor(path)
     if (!fs.exists(p)) None

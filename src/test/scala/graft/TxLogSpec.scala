@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Mvcc, TxLog}
+
+/** Persisted transaction manager (operators/TxLog): the LowLevelDB
+  * persisted committed-set conformance — a second session opening the
+  * store COLD resolves visibility purely from disk.
+  */
+class TxLogSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("session A commits, session B opens cold and sees exactly A's rows") {
+    val dir = graft.queries.SessionPublish.tempDir("txlog-cross")
+
+    // --- session A ---
+    val t1 = TxLog.begin(dir)
+    val base = Mvcc.init(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v"), t1)
+    val t2 = TxLog.begin(dir)
+    // t2 updates row 2 (copy-on-write) but NEVER commits
+    val withUncommitted = Mvcc.update(base, col("id") === 2L, t2,
+      df => df.withColumn("v", lit("beta-v2")))
+    withUncommitted.write.mode("overwrite").parquet(s"$dir/table")
+    TxLog.commit(dir, t1) // only t1 commits
+
+    // --- session B: state comes exclusively from disk ---
+    val t3 = TxLog.begin(dir)
+    assert(t3 > t2, "ids allocate monotonically across sessions")
+    val seen = spark.read.parquet(s"$dir/table")
+      .filter(TxLog.visibleStore(dir, t3))
+      .select(col("id"), col("v")).as[(Long, String)].collect().toSet
+    assert(seen === Set((1L, "alpha"), (2L, "beta")),
+      "t1's rows visible, t2's uncommitted update invisible (incl. its delete half)")
+
+    // t2 commits later -> the same cold read now sees the new version
+    TxLog.commit(dir, t2)
+    val after = spark.read.parquet(s"$dir/table")
+      .filter(TxLog.visibleStore(dir, TxLog.begin(dir)))
+      .select(col("id"), col("v")).as[(Long, String)].collect().toSet
+    assert(after === Set((1L, "alpha"), (2L, "beta-v2")))
+  }
+
+  test("concurrent begin() never shares ids") {
+    val dir = graft.queries.SessionPublish.tempDir("txlog-alloc")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 4).map(_ => new Thread(() =>
+      (0 until 10).foreach(_ => got.add(TxLog.begin(dir)))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val ids = scala.jdk.CollectionConverters.CollectionHasAsScala(got).asScala.toSeq
+    assert(ids.distinct.length === 40, s"duplicate tx ids allocated: $ids")
+  }
+
+  test("watermark compaction folds the contiguous prefix, never crosses a gap") {
+    val dir = graft.queries.SessionPublish.tempDir("txlog-compact")
+    val ids = (1 to 6).map(_ => TxLog.begin(dir))
+    Seq(1L, 2L, 3L, 5L).foreach(TxLog.commit(dir, _)) // 4 in-flight
+    TxLog.compact(dir)
+    assert(TxLog.watermark(dir) === 3L)
+    assert(TxLog.committedState(dir) === ((3L, Set(5L))))
+    Seq(1L, 2L, 3L).foreach(t => assert(TxLog.isCommitted(dir, t)))
+    assert(!TxLog.isCommitted(dir, 4L) && TxLog.isCommitted(dir, 5L) && !TxLog.isCommitted(dir, 6L))
+    // 4 commits -> the gap closes and the next compact folds through 5
+    TxLog.commit(dir, 4L)
+    TxLog.compact(dir)
+    assert(TxLog.watermark(dir) === 5L)
+    assert(TxLog.committedState(dir) === ((5L, Set.empty[Long])))
+    // allocation continues above everything ever claimed
+    assert(TxLog.begin(dir) === ids.max + 1)
+  }
+}
