@@ -138,7 +138,12 @@ object Bench {
     "q_graph_walks",
     // CDC chunk dedup: scan-speed integer boundary predicate + one
     // (chunk-hash) groupBy — sub-document sharing across the corpus
-    "q_dedup_cdc_shared")
+    "q_dedup_cdc_shared",
+    // round 10: the O(batch) CDC ingestion leg (warmup pays the
+    // chunk-index publish, memoized) and the offset-equi-join
+    // skip-gram pair mine over the walk corpus
+    "q_dedup_cdc_incremental",
+    "q_graph_walk_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
