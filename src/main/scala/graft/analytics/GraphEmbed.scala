@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   *     (windows are symmetric), so its eigendecomposition IS its SVD:
   *     collect the nnz triplets (loud `maxNodes` cap — at this size
   *     the d×d work is driver-trivial; vocabularies beyond the cap
-  *     need a distributed orthogonal-iteration variant, out of scope
-  *     while every caller is node-typed), `eigSym`, keep the top-dim
-  *     eigenvectors with canonical signs (largest-|component|
-  *     positive, ties to the lowest index — the [[graft.pipeline.Pca]]
+  *     take [[trainDistributed]], whose driver state is dim×dim),
+  *     `eigSym`, keep the top-dim eigenvectors BY MAGNITUDE (for
+  *     symmetric M the singular values are |λ| — the SVD ordering
+  *     Levy & Goldberg factorize by; PPMI spectra have large negative
+  *     tails) with canonical signs (largest-|component| positive,
+  *     ties to the lowest index — the [[graft.pipeline.Pca]]
   *     contract), rounded to micro-int literals.
   *  3. [[embeddings]] — `emb(node, k) = Σ_ctx ppmi(node, ctx) ·
   *     v_k(ctx)`, a pure INTEGER mat-vec: for an eigenvector this
@@ -48,7 +50,8 @@ object GraphEmbed {
 
   /** Trained projection: `contexts(i)` (sorted node ids) row-aligned
     * with `vMicro(i)(k)` = micro-scaled component of eigenvector k;
-    * eigenvalues descending, all of them (variance accounting).
+    * eigenvalues |·|-descending (SVD order), all of them (variance
+    * accounting).
     */
   final case class EmbedModel(contexts: Array[Long], vMicro: Array[Array[Long]],
       eigenvalues: Array[Double]) {
@@ -100,7 +103,11 @@ object GraphEmbed {
       require(m(i, j) == m(j, i),
         s"PPMI not symmetric at (${ids(i)}, ${ids(j)}): ${m(i, j)} vs ${m(j, i)}")
     val es = breeze.linalg.eigSym(m)
-    val order = ids.indices.sortBy(i => -es.eigenvalues(i))
+    // SVD semantics (Levy & Goldberg keep top SINGULAR values): order
+    // by |λ| — PPMI spectra have large negative tails, and for a
+    // symmetric matrix σ_k = |λ_k|. Ties: positive first, then index.
+    val order = ids.indices.sortBy(i =>
+      (-math.abs(es.eigenvalues(i)), -es.eigenvalues(i)))
     val rows = order.take(dim).map { e =>
       val row = Array.tabulate(ids.length)(c => es.eigenvectors(c, e))
       val jmax = row.indices.maxBy(j => (math.abs(row(j)), -j))
@@ -110,6 +117,87 @@ object GraphEmbed {
     EmbedModel(ids,
       Array.tabulate(ids.length)(c => Array.tabulate(dim)(k => rows(k)(c))),
       order.map(es.eigenvalues(_)).toArray)
+  }
+
+  /** Distributed eigenbasis past the [[train]] cap: block orthogonal
+    * iteration (Golub & Van Loan §8.2, public knowledge) where NOTHING
+    * driver-side exceeds dim×dim.
+    *
+    * Per round: `Y = M·Q` is one join + sum groupBy over nnz×dim
+    * rows; orthonormalization avoids any tall QR by the Gram trick —
+    * `G = YᵀY` (a dim×dim aggregation, the [[graft.pipeline.Pca]]
+    * moment pattern), Cholesky `G = L·Lᵀ` on the driver, and
+    * `Q ← Y·L⁻ᵀ` as a broadcast dim×dim matvec per row. The basis Q
+    * lives ONLY as a DataFrame — vocabulary size never touches the
+    * driver, so this is the 100 TB path (and why it exists: [[train]]
+    * fails loudly at `maxNodes`).
+    *
+    * Determinism caveat, by design: double sums through an exchange
+    * are partition-order dependent, so this path is spec-pinned
+    * (subspace-equal to [[train]] within tolerance — GraphEmbedSpec)
+    * rather than hash-gated; the micro-int [[train]]+[[embeddings]]
+    * pipeline remains the oracle surface. Returns the orthonormal
+    * basis `(id, q: array<double>)` plus Rayleigh eigenvalue
+    * estimates, descending.
+    */
+  def trainDistributed(ppmi: DataFrame, dim: Int, iters: Int = 15)
+      : (DataFrame, Array[Double]) = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val m = ppmi.select(col("center"), col("context"),
+      (col("ppmi_micro").cast("double") / 1e6).as("m")).localCheckpoint()
+
+    // deterministic pseudo-random init in [-1, 1): md5-derived, so
+    // restarts converge to the same basis up to float noise
+    val ids = m.select(col("center").as("id")).distinct()
+    var q = ids.select(col("id"), array((1 to dim).map { k =>
+      (graft.pipeline.TextOps.hash32(k, col("id").cast("string")).cast("double") /
+        lit(2147483648.0)).as(s"q$k")
+    }: _*).as("q")).localCheckpoint()
+
+    def orthonormalize(y: DataFrame): DataFrame = {
+      // G = YᵀY via upper-triangle products, dim(dim+1)/2 result rows
+      val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("xy")))))
+      val g = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      y.select(explode(pairs).as("p"))
+        .groupBy(col("p.i"), col("p.j")).agg(sum(col("p.xy")).as("s"))
+        .collect().foreach { r =>
+          g(r.getInt(0), r.getInt(1)) = r.getDouble(2)
+          g(r.getInt(1), r.getInt(0)) = r.getDouble(2)
+        }
+      val lInv = breeze.linalg.inv(breeze.linalg.cholesky(g)) // Q = Y·L⁻ᵀ
+      val qNext = array((0 until dim).map { k =>
+        (0 to k).map(j => element_at(col("q"), j + 1) * lit(lInv(k, j)))
+          .reduce(_ + _).as(s"q${k + 1}")
+      }: _*)
+      y.select(col("id"), qNext.as("q"))
+    }
+
+    def mulM(qDf: DataFrame): DataFrame = {
+      val qx = qDf.select(col("id").as("context"), posexplode(col("q")).as(Seq("k", "qv")))
+      m.join(qx, Seq("context"))
+        .groupBy(col("center"), col("k"))
+        .agg(sum(col("m") * col("qv")).as("yv"))
+        .groupBy(col("center"))
+        .agg(array_sort(collect_list(struct(col("k"), col("yv")))).as("kv"))
+        .select(col("center").as("id"),
+          transform(col("kv"), s => s.getField("yv")).as("q"))
+    }
+
+    q = orthonormalize(q)
+    for (_ <- 1 to iters)
+      q = orthonormalize(mulM(q)).localCheckpoint()
+
+    // Rayleigh estimates diag(Qᵀ M Q): one more multiply, one sum
+    val z = mulM(q)
+    val eigs = q.join(z.withColumnRenamed("q", "z"), Seq("id"))
+      .select(posexplode(zip_with(col("q"), col("z"), (a, b) => a * b)).as(Seq("k", "qz")))
+      .groupBy(col("k")).agg(sum(col("qz")).as("lam"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    (q, eigs)
   }
 
   /** Distributed spectral embedding: one broadcast of the V×dim

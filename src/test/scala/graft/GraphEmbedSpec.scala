@@ -80,6 +80,33 @@ class GraphEmbedSpec extends GraftSuite {
     }
   }
 
+  test("distributed orthogonal iteration recovers the driver eigenbasis") {
+    val dim = 3
+    val (ppmi, model) = pipeline(dim)
+    val (qDf, eigs) = GraphEmbed.trainDistributed(ppmi, dim, iters = 30)
+    val q = qDf.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(q.keySet === model.contexts.toSet, "same vocabulary")
+    // Rayleigh magnitudes match the top singular values (|λ|, the
+    // ordering both paths share)
+    val top = model.eigenvalues.take(dim).map(math.abs)
+    val gotAbs = eigs.map(math.abs).sorted.reverse
+    gotAbs.zip(top).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 0.05 * math.max(1.0, want),
+        s"|Rayleigh| $got vs |eigSym| $want")
+    }
+    // the absolute trace attains the top-dim singular sum — the
+    // maximal property, rotation-invariant inside the subspace
+    assert(gotAbs.sum >= 0.98 * top.sum, s"trace ${gotAbs.sum} vs ${top.sum}")
+    // columns are orthonormal
+    val cols = (0 until dim).map(k => model.contexts.map(id => q(id)(k)))
+    for (a <- 0 until dim; b <- a until dim) {
+      val dot = cols(a).zip(cols(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-6, s"cols $a,$b dot=$dot")
+    }
+  }
+
   test("asymmetric pair counts fail loudly") {
     val bad = Seq((1L, 2L, 5L), (2L, 1L, 7L)).toDF("center", "context", "ppmi_micro")
     val e = intercept[IllegalArgumentException] { GraphEmbed.train(bad, 1) }
