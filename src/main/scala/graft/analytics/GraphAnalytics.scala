@@ -468,9 +468,12 @@ object GraphAnalytics {
     */
   def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val deltas = ((-window to -1) ++ (1 to window)).map(_.toLong)
+    // explicit literal array, not typedlit(Seq): typedlit's TypeTag
+    // reflection can fall back to an unsupported raw Literal under
+    // exotic classloaders (REPL), and array(lit..) plans identically
+    val deltas = ((-window to -1) ++ (1 to window)).map(d => lit(d.toLong))
     val centers = walks.select(col("start"), col("step"), col("node").as("center"))
-      .withColumn("delta", explode(typedlit(deltas)))
+      .withColumn("delta", explode(array(deltas: _*)))
       .withColumn("step2", col("step") + col("delta"))
     val contexts = walks.select(col("start"), col("step").as("step2"),
       col("node").as("context"))
