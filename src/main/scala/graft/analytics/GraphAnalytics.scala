@@ -273,6 +273,35 @@ object GraphAnalytics {
       .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_triangles"))
   }
 
+  /** Per-vertex triangle participation and local clustering
+    * coefficient (Watts-Strogatz '98): `lcc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1))`, emitted as the engine's exact micro-int
+    * (`round(round(x, 6)·1e6)` — the cross-engine double hazard dies
+    * in the per-row rounding; counts stay BIGINT).
+    *
+    * Per-vertex attribution genuinely needs one row per
+    * (triangle, vertex), so this runs over the row-emitting
+    * [[triangles]] (wedge join) — the count-only tier stays
+    * [[triangleCount]]'s intersection form. Output:
+    * (id, deg, n_tri, lcc_micro), one row per vertex with >= 1 edge.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges).localCheckpoint()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val pt = triangles(e.select(col("u").as("src"), col("v").as("dst")))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg.join(pt, Seq("id"), "left")
+      .select(col("id"),
+        col("deg").cast("long").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).cast("long").as("n_tri"),
+        when(col("deg") >= 2,
+          round(round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6) * 1e6, 0).cast("long"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+  }
+
   /** k-core decomposition (Seidman 1983): iteratively peel vertices of
     * degree < k until fixpoint; returns the surviving vertices with
     * their WITHIN-CORE degree. Deterministic — the peel set of each

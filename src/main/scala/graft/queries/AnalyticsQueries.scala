@@ -197,6 +197,44 @@ object AnalyticsQueries extends QueryModule {
              |       (SELECT count(*) FROM e) AS n_edges, n_triangles FROM t""".stripMargin)
     ),
 
+    // ---- per-vertex triangles + local clustering coefficient ----
+    // Watts-Strogatz lcc over the same supplier co-shipment graph;
+    // counts stay BIGINT and the coefficient gates as a per-row
+    // micro-int, so the double division can never drift cross-engine.
+    QueryDef(
+      "q_tri_local",
+      "per-supplier triangle participation + local clustering coefficient",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        val edges = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .distinct()
+        GraphAnalytics.clusteringCoefficients(edges)
+      },
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+             |deg AS (SELECT id, count(*) AS deg
+             |        FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+             |tri AS MATERIALIZED (
+             |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+             |             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+             |pt AS (SELECT id, count(*) AS n_tri
+             |       FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+             |             UNION ALL SELECT c FROM tri) GROUP BY id)
+             |SELECT d.id, CAST(d.deg AS BIGINT) AS deg,
+             |       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+             |       CASE WHEN d.deg >= 2 THEN CAST(round(round(
+             |           2.0 * COALESCE(p.n_tri, 0) / (d.deg * (d.deg - 1)), 6) * 1000000, 0) AS BIGINT)
+             |            ELSE 0 END AS lcc_micro
+             |FROM deg d LEFT JOIN pt p USING (id)""".stripMargin)
+    ),
+
     // ---- k-core of the customer co-purchase graph ----
     // Iterative degree peeling to fixpoint (deterministic — no tie
     // breaks). The oracle unrolls EXACTLY the number of peel rounds

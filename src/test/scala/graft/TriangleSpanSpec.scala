@@ -54,6 +54,28 @@ class TriangleSpanSpec extends GraftSuite {
     }
   }
 
+  test("clustering coefficients: K4 all 1.0, star hub 0, participation sums to 3x") {
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val k4 = (for (i <- 1 to 4; j <- 1 to 4 if i != j) yield (i.toLong, j.toLong))
+      .toDF("src", "dst")
+    val ck4 = byId(GraphAnalytics.clusteringCoefficients(k4))
+    assert(ck4.values.forall { case (deg, tri, lcc) => deg == 3 && tri == 3 && lcc == 1000000L })
+    assert(ck4.values.map(_._2).sum === 3L * GraphAnalytics.triangles(k4).count())
+
+    val star = (2 to 10).map(i => (1L, i.toLong)).toDF("src", "dst")
+    val cs = byId(GraphAnalytics.clusteringCoefficients(star))
+    assert(cs(1L) === ((9L, 0L, 0L)), "hub: 9 neighbors, no closed wedge")
+    assert((2L to 10L).forall(cs(_) === ((1L, 0L, 0L))), "leaves: deg 1, lcc defined as 0")
+
+    // two triangles sharing an edge: shared-edge vertices see 2 of 3
+    // possible closed wedges -> lcc = 2/3
+    val shared = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val csh = byId(GraphAnalytics.clusteringCoefficients(shared))
+    assert(csh(2L) === ((3L, 2L, 666667L)) && csh(3L) === ((3L, 2L, 666667L)))
+    assert(csh(1L) === ((2L, 1L, 1000000L)) && csh(4L) === ((2L, 1L, 1000000L)))
+  }
+
   test("positionalSpans: every occurrence kept, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b a b"), // spans of 4: "a b a b" x2 (overlapping), "b a b a"
