@@ -106,6 +106,10 @@ object Bench {
     "q_dedup_spans",
     "q_dedup_spans_remove",
     "q_tri_count",
+    "q_tri_local",
+    "q_link_prediction",
+    "q_graph_assortativity",
+    "q_sssp",
     "q_kcore",
     "q_layout_zorder",
     "q_text_lm_backoff",

@@ -302,6 +302,139 @@ object GraphAnalytics {
           .otherwise(lit(0L)).as("lcc_micro"))
   }
 
+  /** Link-prediction scores (Liben-Nowell & Kleinberg '03) over an
+    * undirected graph: for every NON-adjacent pair (a < b) sharing at
+    * least one neighbor, the common-neighbor count, the Jaccard
+    * coefficient and the Adamic-Adar score — the two ratio scores as
+    * exact micro-ints (round to 6dp per term, scale to BIGINT; the
+    * Adamic-Adar 1/ln(deg w) terms round per WEDGE so the sum is an
+    * order-free integer sum — the engine's cross-engine exactness
+    * discipline).
+    *
+    * Candidates come from a wedge self-join on the center vertex, so
+    * shuffled volume is Σ deg(w)² — quadratic in hub degree. The
+    * `maxCenterDegree` cap bounds it BY CONSTRUCTION: centers above
+    * the cap contribute no wedges (at 100 TB a mega-hub's common-
+    * neighbor evidence is noise — 1/ln(deg) ≈ 0 — and the cap is the
+    * standard skew escape; it is part of the operator's semantics,
+    * applied identically in the oracle). Output is every scored pair;
+    * callers rank with an explicit total order (cn, aa, a, b).
+    */
+  def linkPrediction(edges: DataFrame, maxCenterDegree: Int): DataFrame = {
+    val e = canonicalEdges(edges).localCheckpoint()
+    val ed = e.select(col("u").as("w"), col("v").as("n"))
+      .unionAll(e.select(col("v").as("w"), col("u").as("n")))
+    val deg = ed.groupBy(col("w")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val ctr = ed.join(deg.filter(col("deg") <= maxCenterDegree).select(col("w")),
+      Seq("w"), "left_semi")
+    val wedges = ctr.as("x")
+      .join(ctr.as("y"), col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"), col("x.w").as("w"))
+    val agg = wedges.join(deg, Seq("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(round(lit(1.0) / log(col("deg")), 6) * 1e6, 0).cast("long"))
+          .as("aa_micro"))
+    agg.join(e, agg("a") === e("u") && agg("b") === e("v"), "left_anti")
+      .join(deg.select(col("w").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("w").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn").cast("long").as("cn"), col("aa_micro"),
+        round(round(col("cn") / (col("da") + col("db") - col("cn")), 6) * 1e6, 0)
+          .cast("long").as("jac_micro"))
+  }
+
+  /** Degree assortativity (Newman '02): the Pearson correlation of
+    * endpoint degrees over the DIRECTED expansion of the undirected
+    * edge set (each edge contributes both orderings, the standard
+    * symmetric form — which makes Σx = Σy and Σx² = Σy², so
+    * r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)).
+    *
+    * The five moments are exact BIGINT sums (order-free across
+    * partitions); only the final scalar formula runs in doubles, on
+    * identical integers — every IEEE op is exactly rounded, so both
+    * engines produce the same double before the micro rounding.
+    * Returns ONE row: (n_dir_edges, r_micro); r_micro = 0 for a
+    * degree-regular graph (zero variance).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges).localCheckpoint()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val ed = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val pr = ed.join(deg.select(col("id").as("u"), col("deg").as("x")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("y")), Seq("v"))
+    val m = pr.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val den = n * col("sxx").cast("double") - sx * sx
+    m.select(col("n").as("n_dir_edges"),
+      when(den === 0.0, lit(0L))
+        .otherwise(round(round((n * col("sxy").cast("double") - sx * sx) / den, 6) * 1e6, 0)
+          .cast("long")).as("r_micro"))
+  }
+
+  /** Single-source shortest paths over positive integer edge weights
+    * (Bellman-Ford, synchronous relaxation rounds to fixpoint) on the
+    * undirected expansion of `edges(src, dst, w)`. Deterministic: the
+    * per-round state is a min-aggregate, no tie-breaking anywhere.
+    *
+    * Each round is ONE job — the frontier relax join and min-groupBy,
+    * with the convergence check (row count + distance sum, both
+    * monotone) riding the eager `localCheckpoint` as observed metrics
+    * (the [[kCore]] pattern: no second action per round). Rounds are
+    * bounded LOUDLY by `maxIters`; weight positivity is enforced from
+    * an observed min on the same edge checkpoint (negative weights
+    * make the undirected fixpoint a lie, so they fail fast).
+    *
+    * Unreachable vertices are ABSENT from the result (no sentinel
+    * infinities to disagree about cross-engine). Returns
+    * (distances (id, dist), rounds) — rounds feeds the oracle's
+    * unrolled-relaxation SQL rendering.
+    */
+  def shortestPaths(edges: DataFrame, source: Long, maxIters: Int = 50): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val ew = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+    val eObs = org.apache.spark.sql.Observation()
+    val und = ew.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .unionAll(ew.select(col("dst").as("u"), col("src").as("v"), col("w")))
+      .observe(eObs, coalesce(min(col("w")), lit(1L)).as("minw"))
+      .localCheckpoint()
+    require(eObs.get("minw").asInstanceOf[Long] > 0,
+      "shortestPaths requires strictly positive weights")
+
+    def checkpointCounted(df: DataFrame): (DataFrame, Long, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("d")), lit(0L)).as("s")).localCheckpoint()
+      (cp, obs.get("n").asInstanceOf[Long], obs.get("s").asInstanceOf[Long])
+    }
+
+    var (dist, n, s) =
+      checkpointCounted(spark.range(1).select(lit(source).as("id"), lit(0L).as("d")))
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      require(rounds < maxIters,
+        s"shortest paths did not converge in $maxIters rounds ($n vertices reached)")
+      val relax = dist.join(und, dist("id") === und("u"))
+        .select(und("v").as("id"), (dist("d") + und("w")).as("d"))
+      val (next, nNext, sNext) = checkpointCounted(
+        dist.unionAll(relax).groupBy(col("id")).agg(min(col("d")).as("d")))
+      rounds += 1
+      // distances never increase and the reached set never shrinks,
+      // so (count, sum) unchanged <=> the whole state is unchanged
+      converged = nNext == n && sNext == s
+      dist = next; n = nNext; s = sNext
+    }
+    (dist.select(col("id"), col("d").cast("long").as("dist")), rounds)
+  }
+
   /** k-core decomposition (Seidman 1983): iteratively peel vertices of
     * degree < k until fixpoint; returns the surviving vertices with
     * their WITHIN-CORE degree. Deterministic — the peel set of each

@@ -18,6 +18,8 @@ object AnalyticsQueries extends QueryModule {
   private object State {
     @volatile var kcoreRounds: Option[Int] = None
     @volatile var embedModel: Option[graft.analytics.GraphEmbed.EmbedModel] = None
+    @volatile var ssspSource: Option[Long] = None
+    @volatile var ssspRounds: Option[Int] = None
   }
 
   /** The customer co-purchase edge CTEs (DuckDB): an edge joins two
@@ -51,6 +53,47 @@ object AnalyticsQueries extends QueryModule {
       |       ON a.p = b.p AND a.c < b.c GROUP BY a.c, b.c HAVING count(*) >= 4),
       |ed AS MATERIALIZED (SELECT u, v FROM te UNION ALL SELECT v AS u, u AS v FROM te),
       |nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM ed)""".stripMargin
+
+  /** [[sharedPartsEdges]] with an integer edge COST: strongly-shared
+    * links are cheap (`w = max(1, 11 − min(10, shared))` ∈ [1, 7]) —
+    * the inverse-tie-strength routing weight the SSSP gate traverses.
+    */
+  private def sharedPartsWeighted(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables(s, dir)
+    val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    cp.as("a")
+      .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 4)
+      .select(col("a.c").as("src"), col("b.c").as("dst"),
+        greatest(lit(1L), lit(11L) - least(lit(10L), col("shared"))).as("w"))
+      .localCheckpoint()
+  }
+
+  /** SQL twin of [[sharedPartsWeighted]]: `tew(u, v, w)` and its
+    * undirected expansion `edw`.
+    */
+  private val sharedPartsWeightedCtes =
+    """cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |tew AS MATERIALIZED (SELECT a.c AS u, b.c AS v,
+      |       GREATEST(1, 11 - LEAST(10, count(*))) AS w
+      |       FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      |       GROUP BY a.c, b.c HAVING count(*) >= 4),
+      |edw AS MATERIALIZED (SELECT u, v, w FROM tew
+      |       UNION ALL SELECT v AS u, u AS v, w FROM tew)""".stripMargin
+
+  /** One unrolled Bellman-Ford relaxation round: `d{i-1}` → `d{i}`.
+    * MATERIALIZED for the usual re-evaluation reason (each round
+    * references its predecessor twice).
+    */
+  private def relaxRoundSql(i: Int): String =
+    s"""d$i AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+       |    SELECT id, d FROM d${i - 1}
+       |    UNION ALL SELECT e.v AS id, p.d + e.w AS d
+       |    FROM d${i - 1} p JOIN edw e ON e.u = p.id) GROUP BY id)""".stripMargin
 
   private val coPurchaseCtes =
     """cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
@@ -233,6 +276,90 @@ object AnalyticsQueries extends QueryModule {
              |           2.0 * COALESCE(p.n_tri, 0) / (d.deg * (d.deg - 1)), 6) * 1000000, 0) AS BIGINT)
              |            ELSE 0 END AS lcc_micro
              |FROM deg d LEFT JOIN pt p USING (id)""".stripMargin)
+    ),
+
+    // ---- link prediction over the shared-parts graph ----
+    // Common neighbors / Jaccard / Adamic-Adar for non-adjacent
+    // pairs; the center-degree cap (100) is part of the operator's
+    // semantics and actually bites on this graph (max degree 179).
+    // Ratio scores gate as per-term micro-ints; the top-200 ranking
+    // is a total order (cn, aa, a, b), so LIMIT is deterministic.
+    QueryDef(
+      "q_link_prediction",
+      "top-200 predicted links (common-neighbor / Jaccard / Adamic-Adar scores)",
+      (s, dir) =>
+        GraphAnalytics.linkPrediction(sharedPartsEdges(s, dir), maxCenterDegree = 100)
+          .orderBy(col("cn").desc, col("aa_micro").desc, col("a"), col("b"))
+          .limit(200),
+      Some(s"""WITH $sharedPartsCtes,
+              |deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM ed GROUP BY u),
+              |wedge AS MATERIALIZED (
+              |  SELECT x.v AS a, y.v AS b, x.u AS w
+              |  FROM ed x JOIN ed y ON x.u = y.u AND x.v < y.v
+              |  WHERE x.u IN (SELECT id FROM deg WHERE deg <= 100)),
+              |agg AS MATERIALIZED (
+              |  SELECT a, b, count(*) AS cn,
+              |         CAST(SUM(CAST(round(round(1.0 / ln(dw.deg), 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS aa_micro
+              |  FROM wedge JOIN deg dw ON wedge.w = dw.id GROUP BY a, b),
+              |cand AS (SELECT agg.* FROM agg
+              |         WHERE NOT EXISTS (SELECT 1 FROM te WHERE te.u = agg.a AND te.v = agg.b))
+              |SELECT c.a, c.b, CAST(c.cn AS BIGINT) AS cn, c.aa_micro,
+              |       CAST(round(round(c.cn * 1.0 / (da.deg + db.deg - c.cn), 6) * 1000000, 0) AS BIGINT) AS jac_micro
+              |FROM cand c JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id
+              |ORDER BY c.cn DESC, c.aa_micro DESC, c.a, c.b LIMIT 200""".stripMargin)
+    ),
+
+    // ---- degree assortativity of the shared-parts graph ----
+    // Exact BIGINT moment sums; only the final Pearson formula runs
+    // in doubles on identical integers, so the single r_micro value
+    // can never drift cross-engine.
+    QueryDef(
+      "q_graph_assortativity",
+      "degree assortativity coefficient (Newman r) of the shared-parts graph",
+      (s, dir) => GraphAnalytics.assortativity(sharedPartsEdges(s, dir)),
+      Some(s"""WITH $sharedPartsCtes,
+              |deg AS (SELECT u AS id, count(*) AS deg FROM ed GROUP BY u),
+              |pr AS (SELECT da.deg AS x, db.deg AS y
+              |       FROM ed JOIN deg da ON ed.u = da.id JOIN deg db ON ed.v = db.id),
+              |s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              |             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx FROM pr)
+              |SELECT n AS n_dir_edges,
+              |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+              |            THEN CAST(0 AS BIGINT)
+              |            ELSE CAST(round(round(
+              |              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+              |              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)
+              |       END AS r_micro
+              |FROM s""".stripMargin)
+    ),
+
+    // ---- weighted single-source shortest paths ----
+    // Bellman-Ford over inverse-tie-strength costs, source = the
+    // smallest vertex id (derived from the data so the gate holds at
+    // every SF). The oracle unrolls EXACTLY the number of relaxation
+    // rounds the Spark loop ran (kCore's deferred pattern).
+    QueryDef(
+      "q_sssp",
+      "weighted single-source shortest paths on the shared-parts graph",
+      (s, dir) => {
+        val edges = sharedPartsWeighted(s, dir)
+        val source = edges.agg(min(least(col("src"), col("dst")))).first().getLong(0)
+        val (dist, rounds) = GraphAnalytics.shortestPaths(edges, source)
+        State.ssspSource = Some(source)
+        State.ssspRounds = Some(rounds)
+        dist
+      },
+      Oracle.deferred {
+        val source = State.ssspSource.getOrElse(throw new IllegalStateException(
+          "SSSP source not recorded — run q_sssp before rendering its oracle"))
+        val rounds = State.ssspRounds.getOrElse(throw new IllegalStateException(
+          "SSSP rounds not recorded — run q_sssp before rendering its oracle"))
+        val steps = (1 to rounds).map(relaxRoundSql).mkString(",\n")
+        s"""WITH $sharedPartsWeightedCtes,
+           |d0 AS MATERIALIZED (SELECT CAST($source AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+           |$steps
+           |SELECT id, CAST(d AS BIGINT) AS dist FROM d$rounds""".stripMargin
+      }
     ),
 
     // ---- k-core of the customer co-purchase graph ----
