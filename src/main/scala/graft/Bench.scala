@@ -110,6 +110,8 @@ object Bench {
     "q_link_prediction",
     "q_graph_assortativity",
     "q_sssp",
+    "q_centrality_harmonic",
+    "q_graph_feature_prop",
     "q_kcore",
     "q_layout_zorder",
     "q_text_lm_backoff",

@@ -396,7 +396,28 @@ object GraphAnalytics {
     * unrolled-relaxation SQL rendering.
     */
   def shortestPaths(edges: DataFrame, source: Long, maxIters: Int = 50): (DataFrame, Int) = {
+    val (d, rounds) = multiSourceDistances(edges, Seq(source), maxIters)
+    (d.select(col("id"), col("dist")), rounds)
+  }
+
+  /** Batched Bellman-Ford from a LANDMARK SET: one synchronous
+    * relaxation loop whose state is keyed by (src, id) — k sources
+    * cost k× the state, not k sequential traversals, and every round
+    * stays the [[shortestPaths]] single-job shape (relax join +
+    * min-groupBy, convergence riding the checkpoint as observed
+    * metrics). This is the scale path for centrality: exact
+    * all-pairs closeness is O(V·E), landmark approximation
+    * (Potamias et al., CIKM'09) is the standard 100 TB answer, and
+    * the landmark distances themselves are exact so the gate still
+    * hash-checks.
+    *
+    * Returns ((src, id, dist) for every reached pair, rounds).
+    */
+  def multiSourceDistances(edges: DataFrame, sources: Seq[Long],
+      maxIters: Int = 50): (DataFrame, Int) = {
     val spark = edges.sparkSession
+    import spark.implicits._
+    require(sources.nonEmpty, "multiSourceDistances requires at least one source")
     val ew = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst"))
@@ -415,24 +436,86 @@ object GraphAnalytics {
       (cp, obs.get("n").asInstanceOf[Long], obs.get("s").asInstanceOf[Long])
     }
 
-    var (dist, n, s) =
-      checkpointCounted(spark.range(1).select(lit(source).as("id"), lit(0L).as("d")))
+    var (dist, n, s) = checkpointCounted(sources.toDF("s")
+      .select(col("s").as("src"), col("s").as("id"), lit(0L).as("d")))
     var rounds = 0
     var converged = false
     while (!converged) {
       require(rounds < maxIters,
-        s"shortest paths did not converge in $maxIters rounds ($n vertices reached)")
+        s"shortest paths did not converge in $maxIters rounds ($n pairs reached)")
       val relax = dist.join(und, dist("id") === und("u"))
-        .select(und("v").as("id"), (dist("d") + und("w")).as("d"))
+        .select(dist("src"), und("v").as("id"), (dist("d") + und("w")).as("d"))
       val (next, nNext, sNext) = checkpointCounted(
-        dist.unionAll(relax).groupBy(col("id")).agg(min(col("d")).as("d")))
+        dist.unionAll(relax).groupBy(col("src"), col("id")).agg(min(col("d")).as("d")))
       rounds += 1
       // distances never increase and the reached set never shrinks,
       // so (count, sum) unchanged <=> the whole state is unchanged
       converged = nNext == n && sNext == s
       dist = next; n = nNext; s = sNext
     }
-    (dist.select(col("id"), col("d").cast("long").as("dist")), rounds)
+    (dist.select(col("src"), col("id"), col("d").cast("long").as("dist")), rounds)
+  }
+
+  /** Landmark harmonic centrality (Boldi & Vigna '14 form, over the
+    * landmark sample): hc(v) = Σ_{l ∈ landmarks, d(l,v) > 0}
+    * 1/d(l,v), each reciprocal rounded to 6 dp and scaled to an
+    * exact BIGINT micro term BEFORE the sum — order-free across
+    * partitions, hash-exact cross-engine. Harmonic (not classic
+    * closeness) because it needs no reachability normalization:
+    * unreached pairs contribute 0 naturally. Vertices no landmark
+    * reaches are ABSENT; a landmark reached by no other landmark is
+    * absent too (its only distance is the 0 self-distance).
+    *
+    * Returns ((id, n_reached, hc_micro), rounds).
+    */
+  def harmonicCentrality(edges: DataFrame, landmarks: Seq[Long],
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val (d, rounds) = multiSourceDistances(edges, landmarks, maxIters)
+    val hc = d.filter(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(round(round(lit(1.0) / col("dist"), 6) * 1e6, 0).cast("long"))
+          .as("hc_micro"))
+    (hc, rounds)
+  }
+
+  /** SGC-style feature propagation (Wu et al., ICML'19 "Simplifying
+    * Graph Convolutional Networks", un-normalized integer form): the
+    * hop-h feature of v is the sum of hop-(h-1) features over
+    * N(v) ∪ {v} (self-loop included, as in GCN's Â). Features stay
+    * exact BIGINTs so h rounds of neighborhood aggregation —
+    * the GNN-free graph embedding used as a training-data
+    * preprocessing step — gate hash-exact cross-engine. Degree
+    * normalization is the consumer's division; keeping raw sums is
+    * what makes the pipeline order-free.
+    *
+    * Each hop is one self-join-free aggregation over the (static)
+    * adjacency-plus-self-loop list — h shuffles total, and the
+    * adjacency is built once. Vertices absent from `feats` propagate
+    * 0 (left join); vertices absent from the GRAPH are dropped (no
+    * neighborhood to aggregate).
+    *
+    * Returns (id, f0, f1, …, f{hops}).
+    */
+  def featurePropagation(edges: DataFrame, feats: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1, "featurePropagation needs at least one hop")
+    val e = canonicalEdges(edges).localCheckpoint()
+    val ed = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val nodes = ed.select(col("u").as("id")).distinct()
+    val al = ed.unionAll(nodes.select(col("id").as("u"), col("id").as("v")))
+      .localCheckpoint()
+    val f0 = nodes.join(feats.select(col("id"), col("f").cast("long").as("f")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("f"), lit(0L)).as("f"))
+      .localCheckpoint()
+    val frames = Iterator.iterate(f0) { cur =>
+      al.join(cur, al("v") === cur("id"))
+        .groupBy(al("u").as("id")).agg(sum(cur("f")).as("f"))
+        .localCheckpoint()
+    }.take(hops + 1).toSeq
+    frames.zipWithIndex.map { case (df, h) =>
+      df.select(col("id"), col("f").as(s"f$h"))
+    }.reduce((a, b) => a.join(b, Seq("id")))
   }
 
   /** k-core decomposition (Seidman 1983): iteratively peel vertices of

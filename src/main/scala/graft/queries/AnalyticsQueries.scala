@@ -20,6 +20,8 @@ object AnalyticsQueries extends QueryModule {
     @volatile var embedModel: Option[graft.analytics.GraphEmbed.EmbedModel] = None
     @volatile var ssspSource: Option[Long] = None
     @volatile var ssspRounds: Option[Int] = None
+    @volatile var harmonicLandmarks: Option[Seq[Long]] = None
+    @volatile var harmonicRounds: Option[Int] = None
   }
 
   /** The customer co-purchase edge CTEs (DuckDB): an edge joins two
@@ -94,6 +96,13 @@ object AnalyticsQueries extends QueryModule {
        |    SELECT id, d FROM d${i - 1}
        |    UNION ALL SELECT e.v AS id, p.d + e.w AS d
        |    FROM d${i - 1} p JOIN edw e ON e.u = p.id) GROUP BY id)""".stripMargin
+
+  /** Multi-source twin of [[relaxRoundSql]]: state keyed (src, id). */
+  private def relaxRoundMultiSql(i: Int): String =
+    s"""d$i AS MATERIALIZED (SELECT src, id, min(d) AS d FROM (
+       |    SELECT src, id, d FROM d${i - 1}
+       |    UNION ALL SELECT p.src, e.v AS id, p.d + e.w AS d
+       |    FROM d${i - 1} p JOIN edw e ON e.u = p.id) GROUP BY src, id)""".stripMargin
 
   private val coPurchaseCtes =
     """cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
@@ -360,6 +369,69 @@ object AnalyticsQueries extends QueryModule {
            |$steps
            |SELECT id, CAST(d AS BIGINT) AS dist FROM d$rounds""".stripMargin
       }
+    ),
+
+    // ---- landmark harmonic centrality ----
+    // Batched Bellman-Ford from the 8 smallest vertex ids (one loop,
+    // state keyed (src, id) — k landmarks cost k× state, not k
+    // traversals; the Potamias CIKM'09 scale path for closeness).
+    // Per-landmark reciprocals round to micro-ints BEFORE the sum.
+    QueryDef(
+      "q_centrality_harmonic",
+      "landmark harmonic centrality over the weighted shared-parts graph",
+      (s, dir) => {
+        val edges = sharedPartsWeighted(s, dir)
+        val landmarks = edges
+          .select(explode(array(col("src"), col("dst"))).as("id"))
+          .distinct().orderBy(col("id")).limit(8)
+          .collect().map(_.getLong(0)).toSeq
+        val (hc, rounds) = GraphAnalytics.harmonicCentrality(edges, landmarks)
+        State.harmonicLandmarks = Some(landmarks)
+        State.harmonicRounds = Some(rounds)
+        hc
+      },
+      Oracle.deferred {
+        val landmarks = State.harmonicLandmarks.getOrElse(throw new IllegalStateException(
+          "harmonic landmarks not recorded — run q_centrality_harmonic first"))
+        val rounds = State.harmonicRounds.getOrElse(throw new IllegalStateException(
+          "harmonic rounds not recorded — run q_centrality_harmonic first"))
+        val init = landmarks.map(l =>
+          s"(CAST($l AS BIGINT), CAST($l AS BIGINT), CAST(0 AS BIGINT))").mkString(", ")
+        val steps = (1 to rounds).map(relaxRoundMultiSql).mkString(",\n")
+        s"""WITH $sharedPartsWeightedCtes,
+           |d0 AS MATERIALIZED (SELECT * FROM (VALUES $init) t(src, id, d)),
+           |$steps
+           |SELECT id, count(*) AS n_reached,
+           |       CAST(SUM(CAST(round(round(1.0 / d, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS hc_micro
+           |FROM d$rounds WHERE d > 0 GROUP BY id""".stripMargin
+      }
+    ),
+
+    // ---- SGC feature propagation over the shared-parts graph ----
+    // Two hops of neighborhood feature sums (self-loop included, the
+    // GCN Â convention) over exact integer features (account balance
+    // in cents) — the GNN-free node-embedding preprocessing step.
+    // Raw BIGINT sums, no normalization: order-free cross-engine.
+    QueryDef(
+      "q_graph_feature_prop",
+      "2-hop SGC feature propagation (integer neighborhood sums, self-loops)",
+      (s, dir) => {
+        val feats = Tables(s, dir).customer.select(col("c_custkey").as("id"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("f"))
+        GraphAnalytics.featurePropagation(sharedPartsEdges(s, dir), feats, hops = 2)
+      },
+      Some(s"""WITH $sharedPartsCtes,
+              |al AS MATERIALIZED (SELECT u, v FROM ed
+              |       UNION ALL SELECT id AS u, id AS v FROM nodes),
+              |f0 AS MATERIALIZED (SELECT n.id,
+              |       COALESCE(CAST(round(c.c_acctbal * 100, 0) AS BIGINT), 0) AS f
+              |       FROM nodes n LEFT JOIN customer c ON n.id = c.c_custkey),
+              |f1 AS MATERIALIZED (SELECT al.u AS id, CAST(sum(p.f) AS BIGINT) AS f
+              |       FROM al JOIN f0 p ON al.v = p.id GROUP BY al.u),
+              |f2 AS MATERIALIZED (SELECT al.u AS id, CAST(sum(p.f) AS BIGINT) AS f
+              |       FROM al JOIN f1 p ON al.v = p.id GROUP BY al.u)
+              |SELECT f0.id, f0.f AS f0, f1.f AS f1, f2.f AS f2
+              |FROM f0 JOIN f1 ON f0.id = f1.id JOIN f2 ON f0.id = f2.id""".stripMargin)
     ),
 
     // ---- k-core of the customer co-purchase graph ----
