@@ -279,19 +279,37 @@ object GraphAnalytics {
     * (`round(round(x, 6)·1e6)` — the cross-engine double hazard dies
     * in the per-row rounding; counts stay BIGINT).
     *
-    * Per-vertex attribution genuinely needs one row per
-    * (triangle, vertex), so this runs over the row-emitting
-    * [[triangles]] (wedge join) — the count-only tier stays
-    * [[triangleCount]]'s intersection form. Output:
-    * (id, deg, n_tri, lcc_micro), one row per vertex with >= 1 edge.
+    * Attribution runs on [[triangleCount]]'s sorted-adjacency form,
+    * never materializing a triangle ROW through a join: each oriented
+    * closing edge (u, v) computes its apex set `adj(u) ∩ adj(v)` once
+    * (codegen'd two-pointer merge), credits u and v with its SIZE
+    * from the edge row itself, and explodes only the apex ids — bare
+    * longs that collapse in map-side partial aggregation, not
+    * 3-column triangle rows through a shuffle join (which is exactly
+    * what made the first version of this the largest bench line).
+    * Output: (id, deg, n_tri, lcc_micro), one row per vertex with
+    * >= 1 edge.
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    graft.functions.SortedIntersect.register(edges.sparkSession)
     val e = canonicalEdges(edges).localCheckpoint()
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val pt = triangles(e.select(col("u").as("src"), col("v").as("dst")))
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val o = degreeOrient(e).localCheckpoint()
+    val adj = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // apex sets per closing edge, materialized ONCE (two consumers)
+    val ix = o.join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        when(col("nv").isNull, array().cast("array<bigint>"))
+          .otherwise(graft.functions.SortedIntersect.col(col("nu"), col("nv"))).as("ws"))
+      .localCheckpoint()
+    val endpoints = ix.select(
+      explode(array(col("src"), col("dst"))).as("id"), size(col("ws")).cast("long").as("t"))
+    val apexes = ix.select(explode(col("ws")).as("id"), lit(1L).as("t"))
+    val pt = endpoints.unionAll(apexes)
+      .groupBy(col("id")).agg(sum(col("t")).as("n_tri"))
+      .filter(col("n_tri") > 0)
     deg.join(pt, Seq("id"), "left")
       .select(col("id"),
         col("deg").cast("long").as("deg"),

@@ -52,6 +52,7 @@ object Graft {
     graft.functions.DotFloat.register(spark)
     graft.functions.NearestCell.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.SortedIntersect.register(spark)
     graft.functions.CdcBoundaries.register(spark)
   }
 }
