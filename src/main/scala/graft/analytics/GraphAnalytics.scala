@@ -280,13 +280,17 @@ object GraphAnalytics {
     * in the per-row rounding; counts stay BIGINT).
     *
     * Attribution runs on [[triangleCount]]'s sorted-adjacency form,
-    * never materializing a triangle ROW through a join: each oriented
-    * closing edge (u, v) computes its apex set `adj(u) ∩ adj(v)` once
-    * (codegen'd two-pointer merge), credits u and v with its SIZE
-    * from the edge row itself, and explodes only the apex ids — bare
-    * longs that collapse in map-side partial aggregation, not
-    * 3-column triangle rows through a shuffle join (which is exactly
-    * what made the first version of this the largest bench line).
+    * never materializing a triangle ROW through a join OR a
+    * checkpoint: the endpoint pass credits each closing edge's u and
+    * v with the apex-set SIZE (codegen'd two-pointer count, no array
+    * built), and the apex pass explodes `adj(u) ∩ adj(v)` STREAMING
+    * into a map-side-combining aggregation — the adjacency join is
+    * evaluated twice (cheap: o is checkpointed, adj broadcasts when
+    * small) precisely so that the per-triangle apex ids exist only
+    * inside one generate-then-aggregate pipeline. A checkpointed
+    * apex-array frame would hold #triangles longs at once — the 10×
+    * probe's superlinearly-denser graph OOMs exactly there, while
+    * this form's memory is bounded by the hash-agg's distinct ids.
     * Output: (id, deg, n_tri, lcc_micro), one row per vertex with
     * >= 1 edge.
     */
@@ -297,16 +301,15 @@ object GraphAnalytics {
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val o = degreeOrient(e).localCheckpoint()
     val adj = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    // apex sets per closing edge, materialized ONCE (two consumers)
-    val ix = o.join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+    val joined = o.join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
-      .select(col("src"), col("dst"),
-        when(col("nv").isNull, array().cast("array<bigint>"))
-          .otherwise(graft.functions.SortedIntersect.col(col("nu"), col("nv"))).as("ws"))
-      .localCheckpoint()
-    val endpoints = ix.select(
-      explode(array(col("src"), col("dst"))).as("id"), size(col("ws")).cast("long").as("t"))
-    val apexes = ix.select(explode(col("ws")).as("id"), lit(1L).as("t"))
+    val endpoints = joined.select(
+      explode(array(col("src"), col("dst"))).as("id"),
+      when(col("nv").isNull, lit(0L))
+        .otherwise(graft.functions.SortedIntersectCount.col(col("nu"), col("nv"))).as("t"))
+    val apexes = joined.filter(col("nv").isNotNull)
+      .select(explode(graft.functions.SortedIntersect.col(col("nu"), col("nv"))).as("id"),
+        lit(1L).as("t"))
     val pt = endpoints.unionAll(apexes)
       .groupBy(col("id")).agg(sum(col("t")).as("n_tri"))
       .filter(col("n_tri") > 0)
