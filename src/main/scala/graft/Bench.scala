@@ -34,6 +34,7 @@ object Bench {
     "q_stream_window",    // windowed aggregation
     // round 3 additions (new keys; previous keys stay diffable)
     "q_dedup_cluster",    // LSH pairs -> components -> canonical
+    "q_split_leakage_safe", // cluster-aware train/test routing
     "q_decontaminate",    // benchmark n-gram overlap (broadcast)
     "q_sketch_hll",       // HLL registers over the shingle stream
     "q_text_redact",      // regex PII scrub at scan speed

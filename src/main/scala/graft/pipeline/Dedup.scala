@@ -623,4 +623,36 @@ object Dedup {
     winners.toDF("h", "n_docs", "n_occ").join(broadcast(texts), "h")
       .select(col("span"), col("n_docs"), col("n_occ"))
   }
+
+  /** Leakage-safe train/test split (group-aware holdout): the split
+    * unit is the NEAR-DUP CLUSTER, not the document. A document-level
+    * random split lets near-duplicate pairs straddle the boundary, so
+    * held-out content effectively appears in training (the
+    * eval-inflation mode of Lee et al., ACL'22) — here every doc maps
+    * to its cluster canonical (itself when unpaired) and the WHOLE
+    * group routes to one side by a deterministic cross-engine hash of
+    * the canonical id. Reproducible from the corpus alone; no straddle
+    * is possible by construction.
+    *
+    * Scale shape: the mining is the banded [[nearDuplicates]] (never
+    * all-pairs), the clustering is [[clusterPairs]] (driver union-find
+    * under the cap, distributed HashMin above), and the split itself
+    * is one hash per doc — the routing adds nothing to the dedup
+    * pipeline the corpus already runs.
+    *
+    * Returns (idCol, grp, split) for every input doc,
+    * split ∈ {train, test} with P(train) = trainPermille/1000 per
+    * GROUP (uniform via the md5-based [[TextOps.hash32]]).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, text: Column,
+      threshold: Double, trainPermille: Int): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, text, threshold)
+    val clusters = clusterPairs(pairs).withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("canonical"), col(idCol)).as("grp"))
+      .select(col(idCol), col("grp"),
+        when(TextOps.hash32(1, col("grp").cast("string")) % 1000 < trainPermille,
+          lit("train")).otherwise(lit("test")).as("split"))
+  }
 }

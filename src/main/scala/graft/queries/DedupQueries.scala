@@ -235,6 +235,33 @@ object DedupQueries extends QueryModule {
               |SELECT id AS doc_id, min(comp) AS canonical FROM reach GROUP BY id""".stripMargin)
     ),
 
+    // ---- leakage-safe train/test split ----
+    // The split unit is the near-dup CLUSTER: a whole group routes by
+    // one deterministic hash of its canonical id, so near-duplicates
+    // can never straddle the train/test boundary (doc-level random
+    // splits leak held-out content into training).
+    QueryDef(
+      "q_split_leakage_safe",
+      "cluster-aware 90/10 split: near-dup groups route whole by canonical-id hash",
+      (s, dir) =>
+        Dedup.leakageSafeSplit(Tables(s, dir).documents, "doc_id", col("text"),
+          threshold = 0.7, trainPermille = 900),
+      Some(s"""WITH RECURSIVE ${lshPairsCtes(0.7)},
+              |und AS (SELECT da AS u, db AS v FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(id, comp) AS (
+              |  SELECT u, u FROM (SELECT DISTINCT u FROM und) s
+              |  UNION
+              |  SELECT und.v, reach.comp FROM reach JOIN und ON und.u = reach.id),
+              |canon AS (SELECT id, min(comp) AS canonical FROM reach GROUP BY id),
+              |grps AS (SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS grp
+              |         FROM documents d LEFT JOIN canon c ON d.doc_id = c.id)
+              |SELECT doc_id, grp,
+              |       CASE WHEN CAST(('0x' || substr(md5('1|' || CAST(grp AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 900
+              |            THEN 'train' ELSE 'test' END AS split
+              |FROM grps""".stripMargin)
+    ),
+
     // ---- benchmark decontamination: train docs sharing a 3-gram
     // with the (deterministic) benchmark subset ----
     QueryDef(
