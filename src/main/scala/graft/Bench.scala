@@ -114,6 +114,7 @@ object Bench {
     "q_centrality_harmonic",
     "q_graph_feature_prop",
     "q_kcore",
+    "q_graph_mis",
     "q_layout_zorder",
     "q_text_lm_backoff",
     "q_text_lm_incremental",

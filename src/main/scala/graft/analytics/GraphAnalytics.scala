@@ -539,6 +539,73 @@ object GraphAnalytics {
     }.reduce((a, b) => a.join(b, Seq("id")))
   }
 
+  /** Maximal independent set — deterministic Luby ('86): each round
+    * every ACTIVE vertex draws a priority and joins the MIS iff it
+    * strictly precedes every active neighbor; winners and their
+    * neighbors deactivate. The priority is
+    * `hash32(round, id) · 2³¹ + id` — a collision-FREE total order
+    * (the hash varies per round for Luby's O(log n) expected rounds,
+    * the id low bits break hash ties exactly, so "strict local
+    * minimum" never deadlocks and plain integer `min` expresses the
+    * neighborhood comparison in BOTH engines). The max value is
+    * (2³²−1)·2³¹ + (2³¹−1) = 2⁶³−1 — exactly the BIGINT ceiling, no
+    * overflow in either engine. Requires ids in [0, 2³¹) — enforced
+    * from an observed max.
+    *
+    * Each round is one priority projection + one neighbor-min
+    * aggregation + two anti-joins over a monotonically SHRINKING
+    * active set (every round kills at least the globally minimal
+    * active vertex); the active count rides each round's checkpoint
+    * as an observed metric ([[kCore]] pattern, no second action).
+    *
+    * Vertex set = edge endpoints (isolated vertices are trivially
+    * independent and not represented in an edge list). Returns
+    * (MIS member ids, rounds).
+    */
+  def maximalIndependentSet(edges: DataFrame, maxIters: Int = 40): (DataFrame, Int) = {
+    val e = canonicalEdges(edges).localCheckpoint()
+    val ed = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, count(lit(1)).as("n"),
+        coalesce(max(col("id")), lit(0L)).as("mx")).localCheckpoint()
+      val mx = obs.get("mx").asInstanceOf[Long]
+      require(mx < (1L << 31), s"MIS priorities need ids < 2^31, saw $mx")
+      (cp, obs.get("n").asInstanceOf[Long])
+    }
+
+    var (active, n) = checkpointCounted(
+      ed.select(col("u").cast("long").as("id")).distinct())
+    var misParts = List.empty[DataFrame]
+    var rounds = 0
+    while (n > 0) {
+      require(rounds < maxIters, s"MIS did not converge in $maxIters rounds ($n active)")
+      val pri = active.select(col("id"),
+        (graft.pipeline.TextOps.hash32(rounds, col("id").cast("string")) * lit(2147483648L)
+          + col("id")).as("p"))
+      val nmin = ed
+        .join(pri.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(pri.select(col("id").as("v"), col("p").as("pv")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("pv")).as("mp"))
+      val cand = pri.join(nmin, Seq("id"), "left")
+        .filter(col("mp").isNull || col("p") < col("mp"))
+        .select(col("id")).localCheckpoint()
+      misParts ::= cand
+      val kill = cand.unionAll(
+        ed.join(cand.select(col("id").as("u")), Seq("u"), "left_semi")
+          .select(col("v").as("id"))).distinct()
+      val (next, nNext) = checkpointCounted(active.join(kill, Seq("id"), "left_anti"))
+      rounds += 1
+      active = next; n = nNext
+    }
+    val mis = misParts.reverse match {
+      case Nil => active.limit(0)
+      case h :: t => t.foldLeft(h)(_ unionAll _)
+    }
+    (mis, rounds)
+  }
+
   /** k-core decomposition (Seidman 1983): iteratively peel vertices of
     * degree < k until fixpoint; returns the surviving vertices with
     * their WITHIN-CORE degree. Deterministic — the peel set of each

@@ -22,6 +22,7 @@ object AnalyticsQueries extends QueryModule {
     @volatile var ssspRounds: Option[Int] = None
     @volatile var harmonicLandmarks: Option[Seq[Long]] = None
     @volatile var harmonicRounds: Option[Int] = None
+    @volatile var misRounds: Option[Int] = None
   }
 
   /** The customer co-purchase edge CTEs (DuckDB): an edge joins two
@@ -368,6 +369,46 @@ object AnalyticsQueries extends QueryModule {
            |d0 AS MATERIALIZED (SELECT CAST($source AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
            |$steps
            |SELECT id, CAST(d AS BIGINT) AS dist FROM d$rounds""".stripMargin
+      }
+    ),
+
+    // ---- maximal independent set (deterministic Luby) ----
+    // Priorities are hash32(round, id)·2^32 + id — collision-free, so
+    // plain integer min expresses "strict local minimum" in both
+    // engines; the oracle unrolls EXACTLY the rounds the Spark loop
+    // ran (seeded identically).
+    QueryDef(
+      "q_graph_mis",
+      "maximal independent set of the shared-parts graph (Luby, per-round hash priorities)",
+      (s, dir) => {
+        val (mis, rounds) = GraphAnalytics.maximalIndependentSet(sharedPartsEdges(s, dir))
+        State.misRounds = Some(rounds)
+        mis
+      },
+      Oracle.deferred {
+        val rounds = State.misRounds.getOrElse(throw new IllegalStateException(
+          "MIS rounds not recorded — run q_graph_mis first"))
+        val steps = (1 to rounds).map { i =>
+          s"""p$i AS MATERIALIZED (SELECT id,
+             |  CAST(('0x' || substr(md5('${i - 1}|' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) * 2147483648 + id AS p
+             |  FROM a${i - 1}),
+             |nm$i AS MATERIALIZED (SELECT e.u AS id, min(p2.p) AS mp
+             |  FROM ed e JOIN p$i p2 ON e.v = p2.id JOIN p$i p1 ON e.u = p1.id
+             |  GROUP BY e.u),
+             |c$i AS MATERIALIZED (SELECT p.id FROM p$i p LEFT JOIN nm$i nm ON p.id = nm.id
+             |  WHERE nm.mp IS NULL OR p.p < nm.mp),
+             |k$i AS (SELECT id FROM c$i
+             |  UNION SELECT e.v AS id FROM ed e JOIN c$i c ON e.u = c.id),
+             |a$i AS MATERIALIZED (SELECT id FROM a${i - 1}
+             |  WHERE id NOT IN (SELECT id FROM k$i))""".stripMargin
+        }.mkString(",\n")
+        val finalSel =
+          if (rounds == 0) "SELECT id FROM nodes WHERE 1 = 0"
+          else (1 to rounds).map(i => s"SELECT id FROM c$i").mkString(" UNION ALL ")
+        val stepsBlock = if (rounds == 0) "" else s",\n$steps"
+        s"""WITH $sharedPartsCtes,
+           |a0 AS MATERIALIZED (SELECT id FROM nodes)$stepsBlock
+           |$finalSel""".stripMargin
       }
     ),
 
