@@ -143,6 +143,7 @@ object Bench {
     "q_text_bm25_compacted",
     "q_label_prop",
     "q_pagerank_personalized",
+    "q_pagerank_weighted",
     "q_graph_walks",
     // CDC chunk dedup: scan-speed integer boundary predicate + one
     // (chunk-hash) groupBy — sub-document sharing across the corpus

@@ -748,6 +748,50 @@ object GraphAnalytics {
     r.filter(col("ppr") > 0).select(col("id"), col("ppr").as("ppr_micro"))
   }
 
+  /** WEIGHTED personalized PageRank — [[personalizedPageRank]] with
+    * transition mass proportional to edge weight: vertex u's damped
+    * score splits across neighbors as `floor(ppr·d·w(u,v) /
+    * (1000·W(u)))` with `W(u) = Σ w(u,·)` (strength replaces degree;
+    * everything else — micro-int scores, frontier-only joins,
+    * deterministic floor leak — is the unweighted contract verbatim).
+    * Weights must be POSITIVE integers (enforced from an observed
+    * min) and small enough that `ppr·d·w` stays in BIGINT — ppr is
+    * ≤ 1e6 micro-units and d < 1000, so any w < 9e9 is safe.
+    */
+  def personalizedPageRankWeighted(edges: DataFrame, seed: Long, rounds: Int,
+      dampingPermille: Int = 850): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(dampingPermille > 0 && dampingPermille < 1000,
+      s"dampingPermille must be in (0, 1000), got $dampingPermille")
+    val wObs = org.apache.spark.sql.Observation()
+    val und = edges.select(col("src").as("u"), col("dst").as("v"), col("w").cast("long").as("w"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v"), col("w").cast("long").as("w")))
+      .filter(col("u") =!= col("v"))
+      .observe(wObs, coalesce(min(col("w")), lit(1L)).as("minw"))
+      .localCheckpoint()
+    require(wObs.get("minw").asInstanceOf[Long] > 0,
+      "weighted PPR requires strictly positive weights")
+    val nodes = und.select(col("u").as("id")).distinct().localCheckpoint()
+    val strength = und.groupBy("u").agg(sum(col("w")).as("ws"))
+    val restart = (1000L - dampingPermille) * 1000L
+    var r = nodes.withColumn("ppr",
+      when(col("id") === seed, lit(1000000L)).otherwise(lit(0L))).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = und
+        .join(r.filter(col("ppr") > 0).toDF("u", "ppr"), Seq("u"))
+        .join(strength, Seq("u"))
+        .select(col("v").as("id"),
+          floor(col("ppr") * dampingPermille * col("w") / (col("ws") * 1000)).cast("long").as("m"))
+        .groupBy(col("id")).agg(sum(col("m")).as("m"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") === seed, lit(restart)).otherwise(lit(0L))
+            + coalesce(col("m"), lit(0L))).as("ppr"))
+        .localCheckpoint()
+    }
+    r.filter(col("ppr") > 0).select(col("id"), col("ppr").as("ppr_micro"))
+  }
+
   /** DeepWalk-style walk corpus (Perozzi et al., KDD'14 — public
     * knowledge), DETERMINISTIC: one walk per node, and each step
     * moves to the neighbor minimizing a seeded md5 hash of

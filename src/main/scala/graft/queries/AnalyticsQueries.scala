@@ -576,6 +576,41 @@ object AnalyticsQueries extends QueryModule {
       }
     ),
 
+    // ---- WEIGHTED personalized PageRank ----
+    // Transition mass proportional to edge weight (strength replaces
+    // degree): floor(ppr·d·w / (1000·W(u))). Same integer-exact
+    // discipline, over the inverse-tie-strength weighted graph.
+    QueryDef(
+      "q_pagerank_weighted",
+      "3-round integer-exact WEIGHTED personalized PageRank from the min-id seed",
+      (s, dir) => {
+        val edges = sharedPartsWeighted(s, dir)
+        val seed = edges.agg(least(min(col("src")), min(col("dst")))).head().getLong(0)
+        GraphAnalytics.personalizedPageRankWeighted(edges, seed, rounds = 3)
+      },
+      Some {
+        val d = 850
+        val rounds = (1 to 3).map { t =>
+          s"""pr$t AS MATERIALIZED (
+             |  SELECT n.id, (CASE WHEN n.id = (SELECT s FROM sd) THEN ${(1000 - d) * 1000} ELSE 0 END)
+             |               + COALESCE(c.m, 0) AS ppr
+             |  FROM wnodes n LEFT JOIN (
+             |    SELECT e.v AS id, CAST(sum((p.ppr * $d * e.w) // (1000 * st.ws)) AS BIGINT) AS m
+             |    FROM edw e JOIN pr${t - 1} p ON p.id = e.u JOIN st ON st.id = e.u
+             |    WHERE p.ppr > 0
+             |    GROUP BY e.v) c ON c.id = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $sharedPartsWeightedCtes,
+           |wnodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM edw),
+           |sd AS (SELECT min(id) AS s FROM wnodes),
+           |st AS MATERIALIZED (SELECT u AS id, CAST(sum(w) AS BIGINT) AS ws FROM edw GROUP BY u),
+           |pr0 AS MATERIALIZED (SELECT id,
+           |       CASE WHEN id = (SELECT s FROM sd) THEN 1000000 ELSE 0 END AS ppr FROM wnodes),
+           |$rounds
+           |SELECT id, CAST(ppr AS BIGINT) AS ppr_micro FROM pr3 WHERE ppr > 0""".stripMargin
+      }
+    ),
+
     // ---- deterministic walk corpus (DeepWalk sentences) ----
     // One 4-step walk per node; each hop argmins a seeded md5 hash
     // over the neighbors, so both engines reproduce the identical

@@ -42,4 +42,31 @@ class PprSpec extends GraftSuite {
     val got = ppr(Seq((1L, 2L)), 99L, 2)
     assert(got.isEmpty, "no node ever gains mass from an absent seed")
   }
+
+  private def wppr(edges: Seq[(Long, Long, Long)], seed: Long, rounds: Int): Map[Long, Long] =
+    GraphAnalytics.personalizedPageRankWeighted(edges.toDF("src", "dst", "w"), seed, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("weighted: mass splits by strength, hand-computed") {
+    // seed 1, edges 1-2 (w=3), 1-3 (w=1): W(1) = 4
+    // node2: floor(1000000*850*3 / (1000*4)) = 637500
+    // node3: floor(1000000*850*1 / (1000*4)) = 212500
+    assert(wppr(Seq((1L, 2L, 3L), (1L, 3L, 1L)), 1L, 1) ===
+      Map(1L -> 150000L, 2L -> 637500L, 3L -> 212500L))
+  }
+
+  test("weighted with all-equal weights equals unweighted") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val ew = e.map { case (a, b) => (a, b, 5L) }
+    (1 to 3).foreach { r =>
+      assert(wppr(ew, 1L, r) === ppr(e, 1L, r), s"round $r diverged")
+    }
+  }
+
+  test("weighted: non-positive weights fail loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      wppr(Seq((1L, 2L, 0L)), 1L, 1)
+    }
+    assert(ex.getMessage.contains("positive"))
+  }
 }
