@@ -296,6 +296,7 @@ object GraphAnalytics {
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
     graft.functions.SortedIntersect.register(edges.sparkSession)
+    graft.functions.SortedIntersectCount.register(edges.sparkSession)
     val e = canonicalEdges(edges).localCheckpoint()
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))

@@ -164,4 +164,27 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay an equi-join:\n${p.take(2000)}")
   }
+
+  test("round-10 graph operators plan equi-joins only (no cartesian anywhere)") {
+    Seq("q_link_prediction", "q_graph_assortativity", "q_graph_feature_prop",
+      "q_tri_local").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must plan keyed joins only:\n${p.take(2000)}")
+    }
+  }
+
+  test("q_tri_local: both attribution passes use the codegen'd sorted merges") {
+    val p = plan("q_tri_local")
+    assert(p.contains("sorted_intersect"),
+      s"apex pass must use the two-pointer expression, not array_intersect:\n${p.take(2000)}")
+    assert(!p.contains("array_intersect"),
+      s"no hash-set array_intersect may survive in the hot path:\n${p.take(2000)}")
+  }
+
+  test("q_link_prediction: wedge aggregation combines map-side before the exchange") {
+    val p = plan("q_link_prediction")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"CN/AA sums must partial-aggregate before shuffling:\n${p.take(2000)}")
+  }
 }
