@@ -501,6 +501,26 @@ object GraphAnalytics {
     (hc, rounds)
   }
 
+  /** Per-landmark eccentricity and the graph's diameter LOWER BOUND
+    * (the iFUB/BoundingDiameters observation — Takes & Kosters '11:
+    * max_l ecc(l) over any landmark set bounds the true diameter from
+    * below, and landmark eccentricities are what the exact
+    * all-pairs sweep can never afford at 100 TB). Pure aggregation
+    * over [[multiSourceDistances]]: ecc(l) = max over reached
+    * vertices of d(l, ·) — weighted, exact integers. Returns one row
+    * per landmark (src, ecc, n_reached); n_reached INCLUDES the
+    * landmark's own d=0 row (it is the reachable-set size, i.e. the
+    * component size for a connected landmark). The diameter bound is
+    * `max(ecc)`, left to the caller/oracle aggregation.
+    */
+  def eccentricities(edges: DataFrame, landmarks: Seq[Long],
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val (d, rounds) = multiSourceDistances(edges, landmarks, maxIters)
+    val ecc = d.groupBy(col("src"))
+      .agg(max(col("dist")).as("ecc"), count(lit(1)).as("n_reached"))
+    (ecc, rounds)
+  }
+
   /** SGC-style feature propagation (Wu et al., ICML'19 "Simplifying
     * Graph Convolutional Networks", un-normalized integer form): the
     * hop-h feature of v is the sum of hop-(h-1) features over

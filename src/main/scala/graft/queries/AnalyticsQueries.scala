@@ -23,6 +23,8 @@ object AnalyticsQueries extends QueryModule {
     @volatile var harmonicLandmarks: Option[Seq[Long]] = None
     @volatile var harmonicRounds: Option[Int] = None
     @volatile var misRounds: Option[Int] = None
+    @volatile var eccLandmarks: Option[Seq[Long]] = None
+    @volatile var eccRounds: Option[Int] = None
   }
 
   /** The customer co-purchase edge CTEs (DuckDB): an edge joins two
@@ -445,6 +447,40 @@ object AnalyticsQueries extends QueryModule {
            |SELECT id, count(*) AS n_reached,
            |       CAST(SUM(CAST(round(round(1.0 / d, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS hc_micro
            |FROM d$rounds WHERE d > 0 GROUP BY id""".stripMargin
+      }
+    ),
+
+    // ---- landmark eccentricities + diameter lower bound ----
+    // ecc(l) = max weighted distance from landmark l (iFUB bound:
+    // max over landmarks <= true diameter). Shares the batched
+    // multi-source loop; landmarks = 8 smallest vertex ids.
+    QueryDef(
+      "q_graph_eccentricity",
+      "per-landmark weighted eccentricity over the shared-parts graph",
+      (s, dir) => {
+        val edges = sharedPartsWeighted(s, dir)
+        val landmarks = edges
+          .select(explode(array(col("src"), col("dst"))).as("id"))
+          .distinct().orderBy(col("id")).limit(8)
+          .collect().map(_.getLong(0)).toSeq
+        val (ecc, rounds) = GraphAnalytics.eccentricities(edges, landmarks)
+        State.eccLandmarks = Some(landmarks)
+        State.eccRounds = Some(rounds)
+        ecc
+      },
+      Oracle.deferred {
+        val landmarks = State.eccLandmarks.getOrElse(throw new IllegalStateException(
+          "ecc landmarks not recorded — run q_graph_eccentricity first"))
+        val rounds = State.eccRounds.getOrElse(throw new IllegalStateException(
+          "ecc rounds not recorded — run q_graph_eccentricity first"))
+        val init = landmarks.map(l =>
+          s"(CAST($l AS BIGINT), CAST($l AS BIGINT), CAST(0 AS BIGINT))").mkString(", ")
+        val steps = (1 to rounds).map(relaxRoundMultiSql).mkString(",\n")
+        s"""WITH $sharedPartsWeightedCtes,
+           |d0 AS MATERIALIZED (SELECT * FROM (VALUES $init) t(src, id, d)),
+           |$steps
+           |SELECT src, CAST(max(d) AS BIGINT) AS ecc, count(*) AS n_reached
+           |FROM d$rounds GROUP BY src""".stripMargin
       }
     ),
 

@@ -48,6 +48,16 @@ class CentralitySpec extends GraftSuite {
     assert(m == Map(2L -> micro(1.0)))
   }
 
+  test("eccentricities: path-graph hand values; bound <= true diameter") {
+    val e = (1 to 4).map(i => (i.toLong, i.toLong + 1, 1L)).toDF("src", "dst", "w")
+    val (ecc, _) = GraphAnalytics.eccentricities(e, Seq(1L, 3L, 5L))
+    val m = ecc.as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // n_reached counts the landmark's own d=0 row too
+    assert(m == Map(1L -> ((4L, 5L)), 3L -> ((2L, 5L)), 5L -> ((4L, 5L))))
+    // landmark max is a LOWER bound on the diameter, tight here
+    assert(m.values.map(_._1).max == 4L)
+  }
+
   test("featurePropagation: triangle plus pendant, 2 hops by hand") {
     // triangle {1,2,3} + pendant 4 on 3; f = id as the feature
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
