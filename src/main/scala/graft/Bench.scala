@@ -112,6 +112,7 @@ object Bench {
     "q_graph_assortativity",
     "q_sssp",
     "q_centrality_harmonic",
+    "q_graph_eccentricity",
     "q_graph_feature_prop",
     "q_kcore",
     "q_graph_mis",
@@ -152,7 +153,11 @@ object Bench {
     // chunk-index publish, memoized) and the offset-equi-join
     // skip-gram pair mine over the walk corpus
     "q_dedup_cdc_incremental",
-    "q_graph_walk_pairs")
+    "q_graph_walk_pairs",
+    // CCNet perplexity bucketing: LM scoring + the two-phase global
+    // rank + broadcast cutoffs — prices the full filter, not just
+    // the LM join
+    "q_text_perplexity_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -420,6 +420,48 @@ object TextOps {
       text: Column): org.apache.spark.sql.DataFrame =
     stupidBackoffLogProb(docs, docs, idCol, text)
 
+  /** CCNet-style perplexity filtering (Wenzek et al., LREC'20): score
+    * candidate docs through the clean-corpus LM, reduce to per-token
+    * negative log-prob (micro-nats — monotone in perplexity, no
+    * exp() on the compare path), and bucket head/middle/tail at the
+    * pHead/pMid permille cutoffs of the corpus NLL distribution.
+    *
+    * Exactness: the cutoff is the VALUE at the k-th order statistic
+    * (k = (p·N + 999) DIV 1000, pure integer arithmetic — never
+    * ceil(0.3·N), whose double product is off-by-one at exact
+    * multiples), and docs bucket by value comparison against it, so
+    * ties at the cutoff route deterministically in both engines.
+    *
+    * Scale: ranking uses [[graft.operators.Skew.globalRank]]
+    * (range-partitioned two-phase rank — no SinglePartition window),
+    * and only the two cutoff VALUES flow back, broadcast. The final
+    * bucket pass reuses the rank stage's checkpointed frame, so the
+    * LM scoring runs once.
+    */
+  def perplexityFilter(train: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String, text: Column,
+      pHeadPermille: Int = 300, pMidPermille: Int = 700): org.apache.spark.sql.DataFrame = {
+    require(pHeadPermille >= 0 && pHeadPermille <= pMidPermille && pMidPermille <= 1000,
+      s"permille cutoffs out of order: $pHeadPermille, $pMidPermille")
+    val scored = stupidBackoffLogProb(train, score, idCol, text)
+    val per = scored.select(col(idCol), col("n_tokens"),
+      floor((-col("sum_lp_micro")).cast("double") / col("n_tokens").cast("double"))
+        .cast("long").as("nll_micro_per_tok"))
+    val ranked = graft.operators.Skew.globalRank(per,
+      Seq(col("nll_micro_per_tok"), col(idCol)), "__rnk")
+    val nDf = per.agg(count(lit(1)).as("__n"))
+    val cuts = ranked.crossJoin(broadcast(nDf))
+      .filter(col("__rnk") === expr(s"($pHeadPermille * __n + 999) DIV 1000") ||
+        col("__rnk") === expr(s"($pMidPermille * __n + 999) DIV 1000"))
+      .agg(min(col("nll_micro_per_tok")).as("__c_head"),
+        max(col("nll_micro_per_tok")).as("__c_mid"))
+    ranked.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_tokens"), col("nll_micro_per_tok"),
+        when(col("nll_micro_per_tok") <= col("__c_head"), lit("head"))
+          .when(col("nll_micro_per_tok") <= col("__c_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Quality features: exact integer counts (cross-engine safe) plus
     * a rounded composite. Assumes single-space-separated text.
     */

@@ -418,6 +418,44 @@ object TextQueries extends QueryModule {
       Some(lmBackoffOracle)
     ),
 
+    // ---- CCNet perplexity filter: head / middle / tail buckets ----
+    // The step after LM scoring in the CCNet pipeline (Wenzek et al.
+    // LREC'20): rank candidate docs by per-token NLL under the
+    // clean-corpus LM and keep buckets by distribution position —
+    // head (lowest perplexity) feeds training as-is, middle is
+    // sampled, tail is dropped. Cutoffs are the exact 300/700
+    // permille ORDER STATISTICS (integer rank arithmetic — see
+    // TextOps.perplexityFilter's off-by-one note on ceil(0.3·N));
+    // ranking is the two-phase range-partitioned globalRank, never a
+    // SinglePartition window; only the two cutoff values broadcast
+    // back. Value-threshold bucketing makes cutoff ties route
+    // identically in both engines.
+    QueryDef(
+      "q_text_perplexity_filter",
+      "CCNet head/middle/tail perplexity buckets: even-doc LM filters odd docs",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        TextOps.perplexityFilter(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"))
+      },
+      Some(s"""WITH base AS ($lmBackoffOracle),
+           |per AS (SELECT doc_id, n_tokens,
+           |  CAST(floor(CAST(-sum_lp_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS nll
+           |  FROM base),
+           |ranked AS (SELECT per.*, row_number() OVER (ORDER BY nll, doc_id) AS r FROM per),
+           |nn AS (SELECT count(*) AS n FROM per),
+           |cuts AS (SELECT
+           |   max(CASE WHEN r = (300*n + 999)//1000 THEN nll END) AS c_head,
+           |   max(CASE WHEN r = (700*n + 999)//1000 THEN nll END) AS c_mid
+           | FROM ranked, nn)
+           |SELECT doc_id, n_tokens, nll AS nll_micro_per_tok,
+           |  CASE WHEN nll <= c_head THEN 'head'
+           |       WHEN nll <= c_mid THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM per, cuts""".stripMargin)
+    ),
+
     // ---- trained quality classifier (logistic regression) ----
     // The model-based filtering step in its distillation shape (CCNet
     // trains fasttext against Wikipedia labels; LLM-judge pipelines
