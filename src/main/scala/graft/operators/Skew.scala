@@ -47,6 +47,52 @@ object Skew {
     * equal keys could straddle a range boundary, and only strictness
     * makes rank placement-independent.
     */
+  /** Exact per-group running (inclusive prefix) sum of `value` in
+    * `ord` order — WITHOUT the per-group window that
+    * `sum() OVER (PARTITION BY group ORDER BY …)` plans. A
+    * partitioned window puts each group on ONE task, so with few
+    * large groups (the training-mix shape: a handful of sources over
+    * a 100 TB corpus) the whole corpus funnels through #groups tasks.
+    *
+    * Same two-phase shape as [[globalRank]]: range-partition by
+    * (group, ord) — a group larger than one range splits across
+    * consecutive partitions — pin placement with an eager
+    * localCheckpoint, aggregate one (partition, group) subtotal row
+    * each (driver-tiny: ≤ partitions × groups-per-partition-boundary
+    * rows in the worst case, ~partitions + groups in practice since
+    * ranges respect group prefix order), scan-prefix the offsets per
+    * group on the driver, broadcast them back, and window by
+    * (partition, group) — never by group alone.
+    *
+    * `ord` must be strict within each group (include a unique
+    * tiebreaker). The group column must be string-typed (its values
+    * round-trip through the driver).
+    */
+  def perGroupPrefixSum(df: DataFrame, group: Column, ord: Seq[Column],
+      value: Column, cumCol: String = "cum"): DataFrame = {
+    val pinned = df
+      .withColumn("__grp", group).withColumn("__val", value.cast("long"))
+      .repartitionByRange((col("__grp") +: ord): _*)
+      .sortWithinPartitions((col("__grp") +: ord): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = pinned.groupBy(col("__pid"), col("__grp"))
+      .agg(sum(col("__val")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = sums.groupBy(_._2).iterator.flatMap { case (grp, rows) =>
+      val byPid = rows.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (pid, grp, off) }
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__pid", "__grp", "__off")
+    val w = Window.partitionBy(col("__pid"), col("__grp")).orderBy(ord: _*)
+    pinned.join(broadcast(offDf), Seq("__pid", "__grp"))
+      .withColumn(cumCol, (sum(col("__val")).over(w) + col("__off")).cast("long"))
+      .drop("__pid", "__grp", "__off", "__val")
+  }
+
   def globalRank(df: DataFrame, key: Seq[Column], rankCol: String = "rnk"): DataFrame = {
     val pinned = df
       .repartitionByRange(key: _*)

@@ -281,6 +281,41 @@ object TextOps {
       .filter(hash32(0, text) % 1000 < col("__permille"))
   }
 
+  /** Exact token-budget mixture construction: for each source, take
+    * documents in deterministic md5-hash order until the NEXT doc
+    * would exceed the source's token budget — the hard-cap
+    * counterpart of [[mixSources]] (which hits budgets only in
+    * expectation). The selection is the standard training-mix build
+    * for small high-quality sources: never exceed the budget, fill
+    * it as far as the hash order allows, reproducible across runs,
+    * engines, and repartitioning.
+    *
+    * Scale: the per-source running totals come from
+    * [[graft.operators.Skew.perGroupPrefixSum]] — range-partitioned
+    * two-phase prefix sums, so a 100 TB source never funnels through
+    * one task the way `sum() OVER (PARTITION BY source)` would.
+    *
+    * Returns the kept rows as (idCol, sourceCol, n_toks, cum_before)
+    * where cum_before is the exact token total of earlier-hash picks
+    * from the same source.
+    */
+  def takeToTokenBudget(docs: org.apache.spark.sql.DataFrame, sourceCol: String,
+      idCol: String, text: Column,
+      budgets: Seq[(String, Long)]): org.apache.spark.sql.DataFrame = {
+    val nToks = size(tokens(text)).cast("long")
+    val ord = Seq(hash32(0, col(idCol).cast("string")), col(idCol))
+    val withCum = graft.operators.Skew.perGroupPrefixSum(
+      docs.select(col(idCol), col(sourceCol), nToks.as("n_toks")),
+      col(sourceCol), ord, col("n_toks"), "__cum")
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    withCum
+      .withColumn("cum_before", col("__cum") - col("n_toks"))
+      .filter(col("__cum") <= budgetCol)
+      .select(col(idCol), col(sourceCol), col("n_toks"), col("cum_before"))
+  }
+
   /** Per-document average unigram log-probability under the corpus'
     * own unigram distribution — the cheap language-model quality
     * score (KenLM-style filtering approximated at scan speed).

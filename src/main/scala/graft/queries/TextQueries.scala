@@ -134,6 +134,33 @@ object TextQueries extends QueryModule {
              |FROM sm GROUP BY source""".stripMargin)
     ),
 
+    // ---- exact token-budget selection (hard-cap mixture) ----
+    // The hard-cap counterpart of q_mix_sources: per source, take
+    // docs in deterministic md5-hash order while the running token
+    // total stays inside the budget — budgets are never exceeded
+    // (the rate sampler only hits them in expectation). Running
+    // totals are the two-phase perGroupPrefixSum, so one huge source
+    // never lands on one task. Per-doc rows gate (id, source,
+    // n_toks, cum_before) hash-exact.
+    QueryDef(
+      "q_mix_token_budget",
+      "hard token budgets per source: hash-ordered exact prefix take",
+      (s, dir) =>
+        TextOps.takeToTokenBudget(Tables(s, dir).documents, "source", "doc_id",
+          col("text"), Seq("src0" -> 1000L, "src1" -> 600L, "src2" -> 300L)),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+             |        CAST(('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+             |      FROM documents),
+             |c AS (SELECT doc_id, source, n_toks,
+             |        CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+             |             ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS cum_before
+             |      FROM t)
+             |SELECT doc_id, source, n_toks, cum_before FROM c
+             |WHERE cum_before + n_toks <= (CASE source WHEN 'src0' THEN 1000
+             |      WHEN 'src1' THEN 600 WHEN 'src2' THEN 300 ELSE 0 END)""".stripMargin)
+    ),
+
     // ---- curation composite: quality filter -> dedup -> stats ----
     // The end-to-end shape of a training-data prep job: drop
     // too-short documents, keep the first copy of each exact text,
