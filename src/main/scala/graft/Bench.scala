@@ -157,7 +157,11 @@ object Bench {
     // CCNet perplexity bucketing: LM scoring + the two-phase global
     // rank + broadcast cutoffs — prices the full filter, not just
     // the LM join
-    "q_text_perplexity_filter")
+    "q_text_perplexity_filter",
+    // integer-exact HITS over the directed customer->supplier graph
+    "q_graph_hits",
+    // hard token budgets via two-phase per-group prefix sums
+    "q_mix_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -813,6 +813,60 @@ object GraphAnalytics {
     r.filter(col("ppr") > 0).select(col("id"), col("ppr").as("ppr_micro"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM '99 — public
+    * knowledge) over a DIRECTED edge set (src, dst), integer-exact:
+    * scores live in micro-units, every round renormalizes each side
+    * to (almost) 1e6 total via `(raw * 1000000) DIV total` — BIGINT
+    * multiply-then-integer-divide, identical in both engines, with
+    * the floor leak deterministic. Fixed `rounds` of the power pair
+    * (authorities from hubs, then hubs from the NEW authorities —
+    * the standard in-place order), so the oracle unrolls rounds
+    * verbatim rather than chasing a float fixpoint.
+    *
+    * Per round: two frontier joins + two map-side-combinable
+    * aggregations; each side's total rides the checkpointed raw
+    * frame as a broadcast scalar — no extra pass over the edges.
+    * Overflow is enforced, not assumed: `raw ≤ in-deg · 1e6`, and
+    * `raw * 1e6` must stay under 2^63, so the observed max raw is
+    * required ≤ 9.2e12 (in-degree ≲ 9.2e6; beyond that, rescale
+    * scores before multiplying).
+    *
+    * Returns every node with (id, hub_micro, auth_micro); nodes
+    * without out-edges have hub 0, without in-edges authority 0.
+    */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = raw.observe(obs, coalesce(max(col("raw")), lit(0L)).as("maxraw"))
+        .localCheckpoint(true)
+      require(obs.get("maxraw").asInstanceOf[Long] <= 9200000000000L,
+        "HITS raw score too large to renormalize in BIGINT — rescale first")
+      val tot = pinned.agg(sum(col("raw")).as("__tot"))
+      pinned.crossJoin(broadcast(tot))
+        .select(col("id"), expr("(raw * 1000000) DIV __tot").as(out))
+    }
+
+    var h = nodes.withColumn("h", lit(1000000L))
+    var a = nodes.limit(0).withColumn("a", lit(0L))
+    for (_ <- 1 to rounds) {
+      a = normalized(
+        e.join(h.select(col("id").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw")), "a")
+      h = normalized(
+        e.join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw")), "h")
+    }
+    nodes.join(h, Seq("id"), "left").join(a, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_micro"),
+        coalesce(col("a"), lit(0L)).as("auth_micro"))
+  }
+
   /** DeepWalk-style walk corpus (Perozzi et al., KDD'14 — public
     * knowledge), DETERMINISTIC: one walk per node, and each step
     * moves to the neighbor minimizing a seeded md5 hash of

@@ -745,8 +745,52 @@ object AnalyticsQueries extends QueryModule {
            |FROM ppf p JOIN vd USING (context)
            |GROUP BY 1, 2""".stripMargin
       }
+    ),
+
+    // ---- HITS hubs & authorities (Kleinberg '99) ----
+    // Directed customer -> supplier graph (a lineitem links the
+    // buyer to the supplying vendor): hubs are broad buyers,
+    // authorities widely-bought suppliers. Micro-int scores with an
+    // exact (raw·1e6) DIV total renormalization every round, so the
+    // 2-round power pair unrolls verbatim in SQL — no float
+    // fixpoint, no cross-engine drift, floor leak deterministic.
+    QueryDef(
+      "q_graph_hits",
+      "2-round integer-exact HITS over the customer->supplier graph",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val edges = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        GraphAnalytics.hits(edges, rounds = 2)
+      },
+      Some {
+        val rounds = (1 to 2).map(hitsRoundSql).mkString(",\n")
+        s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |hnodes AS MATERIALIZED (SELECT DISTINCT id FROM
+           |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM hnodes),
+           |$rounds
+           |SELECT hnodes.id, coalesce(h2.h, 0) AS hub_micro,
+           |       coalesce(a2.a, 0) AS auth_micro
+           |FROM hnodes LEFT JOIN h2 USING (id) LEFT JOIN a2 USING (id)""".stripMargin
+      }
     )
   )
+
+  /** One HITS round as SQL: authorities from `h{t-1}`, hubs from the
+    * new `a{t}`, each side renormalized `(raw*1e6) // tot`.
+    */
+  private def hitsRoundSql(t: Int): String =
+    s"""ar$t AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h) AS BIGINT) AS raw
+       |  FROM e JOIN h${t - 1} ON e.src = h${t - 1}.id GROUP BY e.dst),
+       |at$t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$t),
+       |a$t AS MATERIALIZED (SELECT id, (raw * 1000000) // tot AS a FROM ar$t, at$t),
+       |hr$t AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a) AS BIGINT) AS raw
+       |  FROM e JOIN a$t ON e.dst = a$t.id GROUP BY e.src),
+       |ht$t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$t),
+       |h$t AS MATERIALIZED (SELECT id, (raw * 1000000) // tot AS h FROM hr$t, ht$t)""".stripMargin
 
   /** One deterministic-walk hop as SQL: `s{t-1}` → `c{t}`/`s{t}`. */
   private def walkStepSql(t: Int): String =
