@@ -161,7 +161,9 @@ object Bench {
     // integer-exact HITS over the directed customer->supplier graph
     "q_graph_hits",
     // hard token budgets via two-phase per-group prefix sums
-    "q_mix_token_budget")
+    "q_mix_token_budget",
+    // HyperANF: 3 rounds of per-vertex HLL ball registers
+    "q_graph_anf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -813,6 +813,68 @@ object GraphAnalytics {
     r.filter(col("ppr") > 0).select(col("id"), col("ppr").as("ppr_micro"))
   }
 
+  /** HyperANF (Boldi, Rosa & Vigna, WWW'11 — public knowledge):
+    * per-vertex HyperLogLog registers of the t-hop ball, advanced by
+    * `regs_t(v) = bucketwise-max(regs_{t-1}(v), regs_{t-1}(u) ∀ u~v)`
+    * — the neighborhood function / effective-diameter estimator
+    * that replaces per-vertex BFS (V balls, each up to the whole
+    * graph) with ≤ 2^b integers per vertex. THE graph-distance
+    * primitive that survives 100 TB: each round is one frontier
+    * join + one (id, bucket) max-aggregation, register rows are
+    * bounded by V·2^b forever, and merges are order-free maxes.
+    *
+    * Determinism: registers are md5-derived integers (the
+    * [[graft.pipeline.Sketch.hllRegisters]] discipline, keyed by
+    * vertex), so register states are hash-exact cross-engine; the
+    * per-vertex ball estimate applies the standard two-regime
+    * estimator (linear counting below 2.5m — the raw HLL estimate
+    * is ~10x high on tiny balls — raw harmonic form above) and
+    * micro-rounds BEFORE anything sums it, keeping every output
+    * value engine-exact.
+    *
+    * Returns (id, t, ball_est_micro) for t in 0..rounds over the
+    * UNDIRECTED expansion of (src, dst).
+    */
+  def hyperANF(edges: DataFrame, rounds: Int, b: Int = 4): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(b >= 4 && b <= 16, s"HLL precision b=$b outside [4,16]")
+    val rest = 32 - b
+    val m = 1 << b
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val nodes = und.select(col("u").as("id")).distinct()
+    val h = graft.pipeline.TextOps.hash32(0, col("id").cast("string"))
+    val w = h % (1L << rest)
+    val rank = (lit(rest + 1) - length(ltrim(bin(w), "0"))).cast("long")
+    var regs = nodes.select(col("id"),
+      shiftright(h, rest).cast("long").as("bucket"), rank.as("max_rank"))
+      .localCheckpoint()
+
+    def est(r: DataFrame, t: Int): DataFrame = {
+      val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m)) * m * m /
+        (col("z") + (lit(m) - col("nz")))
+      r.groupBy(col("id"))
+        .agg(sum(pow(lit(2.0), -col("max_rank"))).as("z"), count(lit(1)).as("nz"))
+        .select(col("id"), lit(t.toLong).as("t"),
+          round(round(
+            when(raw <= lit(2.5 * m) && col("nz") < m,
+              lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("nz"))))
+              .otherwise(raw), 6) * 1000000, 0).cast("long").as("ball_est_micro"))
+    }
+
+    var out = est(regs, 0)
+    for (t <- 1 to rounds) {
+      regs = regs.unionAll(
+          und.join(regs.select(col("id").as("u"), col("bucket"), col("max_rank")), Seq("u"))
+            .select(col("v").as("id"), col("bucket"), col("max_rank")))
+        .groupBy(col("id"), col("bucket")).agg(max(col("max_rank")).as("max_rank"))
+        .localCheckpoint()
+      out = out.unionAll(est(regs, t))
+    }
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM '99 — public
     * knowledge) over a DIRECTED edge set (src, dst), integer-exact:
     * scores live in micro-units, every round renormalizes each side

@@ -747,6 +747,33 @@ object AnalyticsQueries extends QueryModule {
       }
     ),
 
+    // ---- HyperANF neighborhood function (Boldi-Rosa-Vigna '11) ----
+    // Per-vertex HLL registers of the t-hop ball over the shared-
+    // parts graph, 3 rounds, b=4: register states are md5-exact, so
+    // the per-vertex ball estimates (two-regime, micro-rounded
+    // before any sum) gate hash-exact. The scale story IS the
+    // operator: V·16 register rows replace V BFS frontiers, and the
+    // sum over vertices of ball_est(t) is the neighborhood function
+    // N(t) whose saturation point estimates the effective diameter.
+    QueryDef(
+      "q_graph_anf",
+      "HyperANF: per-vertex 0..3-hop ball estimates, b=4 registers",
+      (s, dir) => GraphAnalytics.hyperANF(sharedPartsEdges(s, dir), rounds = 3),
+      Some {
+        val rounds = (1 to 3).map(anfRoundSql).mkString(",\n")
+        val ests = (0 to 3).map(anfEstSql).mkString(",\n")
+        val union = (0 to 3).map(t => s"SELECT * FROM anfe$t").mkString(" UNION ALL ")
+        s"""WITH $sharedPartsCtes,
+           |anfr0 AS MATERIALIZED (SELECT id, h // 268435456 AS bucket,
+           |  CAST(29 - length(ltrim(bin(h % 268435456),'0')) AS BIGINT) AS max_rank
+           |  FROM (SELECT id, CAST(('0x'||substr(md5('0|'||CAST(id AS VARCHAR)),1,8)) AS BIGINT) AS h
+           |        FROM nodes)),
+           |$rounds,
+           |$ests
+           |$union""".stripMargin
+      }
+    ),
+
     // ---- HITS hubs & authorities (Kleinberg '99) ----
     // Directed customer -> supplier graph (a lineitem links the
     // buyer to the supplying vendor): hubs are broad buyers,
@@ -778,6 +805,29 @@ object AnalyticsQueries extends QueryModule {
       }
     )
   )
+
+  /** One HyperANF round as SQL: bucketwise max of own + neighbor
+    * registers.
+    */
+  private def anfRoundSql(t: Int): String =
+    s"""anfr$t AS MATERIALIZED (SELECT id, bucket, max(max_rank) AS max_rank FROM (
+       |    SELECT id, bucket, max_rank FROM anfr${t - 1}
+       |    UNION ALL SELECT e.v AS id, r.bucket, r.max_rank
+       |    FROM ed e JOIN anfr${t - 1} r ON r.id = e.u
+       |  ) GROUP BY id, bucket)""".stripMargin
+
+  /** Per-vertex two-regime HLL estimate of round `t`'s registers,
+    * micro-rounded (mirrors hyperANF's est() step-for-step).
+    */
+  private def anfEstSql(t: Int): String =
+    s"""anfe$t AS (SELECT id, CAST($t AS BIGINT) AS t,
+       |   CAST(round(round(CASE
+       |     WHEN 0.7213/(1.0+1.079/16)*16*16/(z + (16 - nz)) <= 40.0 AND nz < 16
+       |     THEN 16.0 * ln(16.0 / (16 - nz))
+       |     ELSE 0.7213/(1.0+1.079/16)*16*16/(z + (16 - nz)) END, 6)*1000000, 0) AS BIGINT)
+       |     AS ball_est_micro
+       |   FROM (SELECT id, sum(power(CAST(2.0 AS DOUBLE), -max_rank)) AS z, count(*) AS nz
+       |         FROM anfr$t GROUP BY id))""".stripMargin
 
   /** One HITS round as SQL: authorities from `h{t-1}`, hubs from the
     * new `a{t}`, each side renormalized `(raw*1e6) // tot`.
