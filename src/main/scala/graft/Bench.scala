@@ -163,7 +163,9 @@ object Bench {
     // hard token budgets via two-phase per-group prefix sums
     "q_mix_token_budget",
     // HyperANF: 3 rounds of per-vertex HLL ball registers
-    "q_graph_anf")
+    "q_graph_anf",
+    // greedy k-center core-set over the embedding corpus
+    "q_embed_kcenter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

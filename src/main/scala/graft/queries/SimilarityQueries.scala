@@ -785,6 +785,46 @@ object SimilarityQueries extends QueryModule {
         s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
            |SELECT ($bits) AS bucket, count(*) AS n FROM v GROUP BY 1""".stripMargin
       })
+    ),
+
+    // ---- greedy k-center diverse core-set (Gonzalez '85) ----
+    // Farthest-first traversal from the min-id seed: 4 centers over
+    // the embedding corpus, micro-int cosine distances, argmax ties
+    // to the smaller id. The full selection trace gates hash-exact:
+    // every point's final min distance plus each center's selection
+    // order. One narrow (id, vec, mind) state frame, one scan + one
+    // TakeOrdered(1) per round — never an N x N distance matrix.
+    QueryDef(
+      "q_embed_kcenter",
+      "4-center farthest-first core-set: selection orders + final min dists",
+      (s, dir) => graft.pipeline.Diversity.kCenter(
+        s, Tables(s, dir).embeddings, "vec_id", "embedding", k = 4),
+      Some {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        def dist(a: String, b: String) =
+          s"1000000 - CAST(round(${cos(a, b)} * 1000000, 0) AS BIGINT)"
+        val rounds = (2 to 4).map { r =>
+          s"""kc$r AS MATERIALIZED (SELECT vec_id, embedding FROM km${r - 1}
+             |  ORDER BY mind DESC, vec_id ASC LIMIT 1),
+             |km$r AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+             |  least(e.mind, ${dist("e.embedding", "c.embedding")}) AS mind
+             |  FROM km${r - 1} e, kc$r c)""".stripMargin
+        }.mkString(",\n")
+        val sel = (1 to 4).map(r =>
+          s"SELECT vec_id, CAST($r AS BIGINT) AS sel_order FROM kc$r").mkString(" UNION ALL ")
+        s"""WITH kc1 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+           |km1 AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+           |  ${dist("e.embedding", "c.embedding")} AS mind
+           |  FROM embeddings e, kc1 c),
+           |$rounds,
+           |ksel AS ($sel)
+           |SELECT m.vec_id, coalesce(s.sel_order, 0) AS sel_order, m.mind AS mind_micro
+           |FROM km4 m LEFT JOIN ksel s USING (vec_id)""".stripMargin
+      }
     )
   )
 }
