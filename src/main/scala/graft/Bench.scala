@@ -165,7 +165,12 @@ object Bench {
     // HyperANF: 3 rounds of per-vertex HLL ball registers
     "q_graph_anf",
     // greedy k-center core-set over the embedding corpus
-    "q_embed_kcenter")
+    "q_embed_kcenter",
+    // data selection: hashed-ngram importance resampling (64-bucket
+    // broadcast weight table + one doc-keyed integer dot product)
+    // and the two-LM Moore-Lewis cross-entropy difference
+    "q_select_dsir",
+    "q_select_moore_lewis")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

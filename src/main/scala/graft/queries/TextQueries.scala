@@ -63,6 +63,124 @@ object TextQueries extends QueryModule {
            |  CAST(sum(CAST(round(round(lp, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
            |FROM scored GROUP BY doc_id""".stripMargin
 
+  /** One namespaced stupid-backoff scoring chain (train slice →
+    * counts → per-token lp over the shared `toks` CTE → per-doc
+    * micro-nat sums as `<p>base(doc_id, n_tokens, sum_lp_micro)`).
+    * The body is [[lmBackoffOracle]]'s chain with prefixed CTE names
+    * and a parameterized training WHERE — two chains compose into one
+    * statement for contrastive (two-LM) oracles.
+    */
+  private def backoffChainSql(p: String, trainWhere: String): String =
+    s"""$p${"tokt"} AS (
+       |  SELECT doc_id, p - 1 AS pos, ts[p] AS w,
+       |         CASE WHEN p >= 2 THEN ts[p-1] END AS w1,
+       |         CASE WHEN p >= 3 THEN ts[p-2] END AS w2
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |        WHERE $trainWhere),
+       |       LATERAL unnest(generate_series(1, len(ts))) AS u(p)),
+       |${p}uni AS (SELECT w, count(*) AS c1 FROM ${p}tokt GROUP BY w),
+       |${p}bi  AS (SELECT w1, w, count(*) AS c2 FROM ${p}tokt WHERE pos >= 1 GROUP BY w1, w),
+       |${p}tri AS (SELECT w2, w1, w, count(*) AS c3 FROM ${p}tokt WHERE pos >= 2 GROUP BY w2, w1, w),
+       |${p}tot AS (SELECT count(*) AS n FROM ${p}tokt),
+       |${p}j AS (
+       |  SELECT t.doc_id, t.pos, u.c1, uc.c1 AS c1ctx, b.c2, bc.c2 AS c2ctx,
+       |         tr.c3,
+       |         CASE WHEN u.c1 IS NOT NULL
+       |              THEN CAST(u.c1 AS DOUBLE) / CAST(${p}tot.n AS DOUBLE)
+       |              ELSE 0.4 / CAST(${p}tot.n AS DOUBLE) END AS s1
+       |  FROM toks t
+       |  LEFT JOIN ${p}uni u ON t.w = u.w
+       |  LEFT JOIN ${p}uni uc ON t.w1 = uc.w
+       |  LEFT JOIN ${p}bi b ON t.w1 = b.w1 AND t.w = b.w
+       |  LEFT JOIN ${p}bi bc ON t.w2 = bc.w1 AND t.w1 = bc.w
+       |  LEFT JOIN ${p}tri tr ON t.w2 = tr.w2 AND t.w1 = tr.w1 AND t.w = tr.w, ${p}tot),
+       |${p}scored AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN pos = 0 THEN ln(s1)
+       |      WHEN pos = 1 THEN CASE WHEN c2 IS NOT NULL
+       |        THEN ln(CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE))
+       |        ELSE ln(0.4 * s1) END
+       |      ELSE CASE
+       |        WHEN c3 IS NOT NULL THEN ln(CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+       |        WHEN c2 IS NOT NULL THEN ln(0.4 * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE)))
+       |        ELSE ln(0.16 * s1) END
+       |    END AS lp
+       |  FROM ${p}j),
+       |${p}base AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CAST(round(round(lp, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
+       |  FROM ${p}scored GROUP BY doc_id)""".stripMargin
+
+  /** Two-LM contrastive oracle: in-domain = even 'en' docs, general =
+    * all even docs, candidates = odd docs. `toks` is MATERIALIZED —
+    * DuckDB inlines CTEs by default and both chains reference it.
+    */
+  private def mooreLewisOracle: String = {
+    val nllIn  = "CAST(floor(CAST(-a.sum_lp_micro AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)) AS BIGINT)"
+    val nllGen = "CAST(floor(CAST(-b.sum_lp_micro AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)) AS BIGINT)"
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, p - 1 AS pos, ts[p] AS w,
+       |         CASE WHEN p >= 2 THEN ts[p-1] END AS w1,
+       |         CASE WHEN p >= 3 THEN ts[p-2] END AS w2
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |        WHERE doc_id % 2 = 1),
+       |       LATERAL unnest(generate_series(1, len(ts))) AS u(p)),
+       |${backoffChainSql("ml_a_", "doc_id % 2 = 0 AND lang = 'en'")},
+       |${backoffChainSql("ml_b_", "doc_id % 2 = 0")}
+       |SELECT a.doc_id, a.n_tokens,
+       |  $nllIn AS nll_in_micro,
+       |  $nllGen AS nll_gen_micro,
+       |  $nllIn - $nllGen AS ml_micro,
+       |  CAST(CASE WHEN $nllIn - $nllGen <= 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM ml_a_base a JOIN ml_b_base b ON a.doc_id = b.doc_id""".stripMargin
+  }
+
+  /** DSIR oracle: hashed unigram+bigram buckets (md5 first word mod
+    * 64 — the dedup family's keying), add-one log ratios micro-rounded
+    * PER BUCKET, integer per-doc sums, rank cut at the integer order
+    * statistic. Mirrors [[graft.pipeline.Select.dsir]]'s arithmetic
+    * exactly: (ct+1)·(nr+B) and (cr+1)·(nt+B) are exact BIGINTs, one
+    * double rounding at the division, ln 6dp-rounded before scaling.
+    */
+  private def dsirOracle: String =
+    """WITH tsrc AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+      |              WHERE doc_id % 2 = 0 AND lang = 'en'),
+      |rsrc AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents WHERE doc_id % 2 = 0),
+      |csrc AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents WHERE doc_id % 2 = 1),
+      |tg AS (
+      |  SELECT CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) % 64 AS bucket FROM (
+      |    SELECT ts[p] AS g FROM tsrc, LATERAL unnest(generate_series(1, len(ts))) AS u(p)
+      |    UNION ALL
+      |    SELECT ts[p-1] || ' ' || ts[p] FROM tsrc, LATERAL unnest(generate_series(2, len(ts))) AS u(p))),
+      |rg AS (
+      |  SELECT CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) % 64 AS bucket FROM (
+      |    SELECT ts[p] AS g FROM rsrc, LATERAL unnest(generate_series(1, len(ts))) AS u(p)
+      |    UNION ALL
+      |    SELECT ts[p-1] || ' ' || ts[p] FROM rsrc, LATERAL unnest(generate_series(2, len(ts))) AS u(p))),
+      |tc AS (SELECT bucket, count(*) AS ct FROM tg GROUP BY bucket),
+      |rc AS (SELECT bucket, count(*) AS cr FROM rg GROUP BY bucket),
+      |tots AS (SELECT (SELECT count(*) FROM tg) AS nt, (SELECT count(*) FROM rg) AS nr),
+      |dom AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(64)),
+      |w AS (SELECT dom.bucket,
+      |        CAST(round(round(ln(CAST((coalesce(ct,0)+1) * (nr+64) AS DOUBLE) /
+      |                            CAST((coalesce(cr,0)+1) * (nt+64) AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) AS w_micro
+      |      FROM dom LEFT JOIN tc ON dom.bucket = tc.bucket
+      |               LEFT JOIN rc ON dom.bucket = rc.bucket, tots),
+      |cg AS (SELECT doc_id, bucket, count(*) AS cnt FROM (
+      |    SELECT doc_id, CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) % 64 AS bucket FROM (
+      |      SELECT doc_id, ts[p] AS g FROM csrc, LATERAL unnest(generate_series(1, len(ts))) AS u(p)
+      |      UNION ALL
+      |      SELECT doc_id, ts[p-1] || ' ' || ts[p] FROM csrc, LATERAL unnest(generate_series(2, len(ts))) AS u(p)))
+      |    GROUP BY doc_id, bucket),
+      |sc AS (SELECT doc_id, sum(cnt) AS n_grams, sum(cnt * w_micro) AS dsir_micro
+      |       FROM cg JOIN w USING (bucket) GROUP BY doc_id),
+      |rk AS (SELECT sc.*, CAST(row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS BIGINT) AS rnk FROM sc),
+      |nn AS (SELECT count(*) AS n FROM sc)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(dsir_micro AS BIGINT) AS dsir_micro, rnk,
+      |  CAST(CASE WHEN rnk <= (250*n + 999)//1000 THEN 1 ELSE 0 END AS BIGINT) AS selected
+      |FROM rk, nn""".stripMargin
+
   private object State {
     @volatile var clf: Option[graft.pipeline.Classifier.Model] = None
   }
@@ -481,6 +599,50 @@ object TextQueries extends QueryModule {
            |       WHEN nll <= c_mid THEN 'middle'
            |       ELSE 'tail' END AS bucket
            |FROM per, cuts""".stripMargin)
+    ),
+
+    // ---- Moore-Lewis cross-entropy difference selection ----
+    // The classic in-domain data selector (Moore & Lewis, ACL'10):
+    // score candidates under an in-domain LM (even 'en' docs) and a
+    // general LM (all even docs); keep docs the in-domain model
+    // assigns LOWER per-token NLL. Both NLLs are the backoff family's
+    // micro-nat integers and the per-token reduction is the CCNet
+    // filter's floor expression, so the difference — and therefore
+    // the selection itself — is pure BIGINT arithmetic cross-engine.
+    QueryDef(
+      "q_select_moore_lewis",
+      "Moore-Lewis selection: NLL(in-domain LM) - NLL(general LM) per token, keep <= 0",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        graft.pipeline.Select.mooreLewis(
+          docs.filter(col("doc_id") % 2 === 0 && col("lang") === "en"),
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"))
+      },
+      Some(mooreLewisOracle)
+    ),
+
+    // ---- DSIR: importance resampling by hashed n-gram buckets ----
+    // Data Selection via Importance Resampling (Xie et al.,
+    // NeurIPS'23): unigram+bigram features hash into 64 buckets (the
+    // md5 keying of the dedup family); per-bucket add-one-smoothed
+    // log target/raw ratios round to micro-nats PER BUCKET, so each
+    // candidate's score is a pure integer dot product of its bucket
+    // counts with a 64-row broadcast weight table. Selection = global
+    // top-250-permille by (score desc, id) through the two-phase
+    // rank, cut at the integer order statistic.
+    QueryDef(
+      "q_select_dsir",
+      "DSIR importance scores over hashed n-gram buckets; top-250-permille selected",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        graft.pipeline.Select.dsir(
+          docs.filter(col("doc_id") % 2 === 0 && col("lang") === "en"),
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"),
+          buckets = 64, keepPermille = 250)
+      },
+      Some(dsirOracle)
     ),
 
     // ---- trained quality classifier (logistic regression) ----
