@@ -170,7 +170,9 @@ object Bench {
     // broadcast weight table + one doc-keyed integer dot product)
     // and the two-LM Moore-Lewis cross-entropy difference
     "q_select_dsir",
-    "q_select_moore_lewis")
+    "q_select_moore_lewis",
+    // SemDeDup: k-means train + cell-blocked pair join + anti-join
+    "q_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -151,6 +151,41 @@ object Similarity {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication blocked by
+    * trained k-means cells instead of hash buckets. Every embedding
+    * assigns to its nearest [[Ivf.IvfIndex]] centroid; within each
+    * cell, a document is a semantic duplicate when some SMALLER-id
+    * cell-mate sits at cosine >= `minCos` (keep-lowest-id, the same
+    * canonical rule as [[graft.pipeline.Dedup]]'s exact groups).
+    * Returns the KEPT rows as (idCol, cell).
+    *
+    * This is the paper's own approximation: only within-cluster pairs
+    * are ever compared, so a near-dup pair straddling a cell boundary
+    * is deliberately out of scope — that is what makes the operator
+    * scale. Pair volume is Σ|cell|², bounded by training nlist
+    * corpus-sized ([[Ivf.autoNlist]], nlist ≈ √N ⇒ expected cell size
+    * ≈ √N and the pair join ≈ N^1.5 worst-case, vs N² unblocked); at
+    * 100 TB the corpus is published cell-partitioned
+    * ([[Ivf.writePartitioned]]) so the self-join co-locates without a
+    * shuffle. Assignment is one codegen'd expression
+    * ([[graft.functions.NearestCell]]) whose exact double arithmetic
+    * renders verbatim into the DuckDB oracle (AnnOracleSql.argminSql).
+    */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      index: Ivf.IvfIndex, minCos: Double,
+      cosFn: (Column, Column) => Column = cosine): DataFrame = {
+    val cells = embeddings.select(col(idCol), col(vecCol),
+      Ivf.assign(col(vecCol), index).as("cell"))
+    val a = cells.select(col(idCol).as("__sa"), col(vecCol).as("__ea"),
+      col("cell").as("__ca"))
+    val b = cells.select(col(idCol).as("__sb"), col(vecCol).as("__eb"),
+      col("cell").as("__cb"))
+    val dups = a.join(b, col("__ca") === col("__cb") && col("__sa") < col("__sb"))
+      .filter(round(cosFn(col("__ea"), col("__eb")), 6) >= minCos)
+      .select(col("__sb").as(idCol)).distinct()
+    cells.join(dups, Seq(idCol), "left_anti").select(col(idCol), col("cell"))
+  }
+
   /** The publishable half of [[lshBlockedPairs]]: each vector's
     * hyperplane bucket as a standing (id, bucket) index. Bucket ids
     * depend only on the vector itself (hash-derived plane signs, no

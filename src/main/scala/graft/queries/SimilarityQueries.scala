@@ -30,6 +30,14 @@ object SimilarityQueries extends QueryModule {
     * their DEFERRED oracles: the count is corpus-sized
     * ([[Similarity.autoPlanes]]), so the exact SQL depends on the run.
     */
+  /** Trained SemDeDup centroids for the deferred oracle. */
+  private object SemState {
+    @volatile private var c: Option[Array[Array[Float]]] = None
+    def record(cents: Array[Array[Float]]): Unit = { c = Some(cents) }
+    def cents: Array[Array[Float]] = c.getOrElse(throw new IllegalStateException(
+      "semdedup centroids not recorded — run q_dedup_semantic first"))
+  }
+
   private object EmbedOracleState {
     @volatile var planes: Map[String, Int] = Map.empty
     def record(q: String, p: Int): Unit = synchronized { planes += q -> p }
@@ -300,6 +308,41 @@ object SimilarityQueries extends QueryModule {
            |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
            |WHERE round(list_dot_product(a.e, c.e) /
            |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25""".stripMargin
+      }
+    ),
+
+    // ---- SemDeDup: k-means-cell-blocked semantic dedup ----
+    // The cluster-blocked form of embedding dedup (Abbas et al. '23):
+    // train 8 coarse cells (the IVF trainer), compare pairs only
+    // WITHIN a cell, drop every doc with a smaller-id cell-mate at
+    // cosine >= 0.40, emit the kept (vec_id, cell) rows. The deferred
+    // oracle re-derives the assignment from the trained centroids as
+    // literals (NearestCell's exact double arithmetic, the PQ-codes
+    // discipline) and replays the keep rule in SQL — the TRAINED cell
+    // ids themselves are gated, not just the survivor set. Threshold
+    // 0.40 because this synthetic corpus has no true near-dups (max
+    // pairwise cosine ≈ 0.45) — mechanics identical at any cut.
+    QueryDef(
+      "q_dedup_semantic",
+      "SemDeDup survivors: within-k-means-cell cosine >= 0.40 drops the larger id",
+      (s, dir) => {
+        graft.functions.CosineSim.register(s)
+        val emb = Tables(s, dir).embeddings
+        val idx = graft.pipeline.Ivf.train(s, emb, "vec_id", "embedding", nlist = 8)
+        SemState.record(idx.centroids)
+        graft.pipeline.Similarity.semDedup(emb, "vec_id", "embedding", idx,
+          minCos = 0.40, cosFn = graft.functions.CosineSim.col)
+      },
+      Oracle.deferred {
+        val cents = SemState.cents
+        s"""WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |c AS MATERIALIZED (SELECT vec_id, e, ${AnnOracleSql.argminSql(cents, "e")} AS cell FROM c0),
+           |d AS (SELECT DISTINCT b.vec_id FROM c a JOIN c b
+           |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |      WHERE round(list_dot_product(a.e, b.e) /
+           |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.40)
+           |SELECT c.vec_id, c.cell FROM c LEFT JOIN d ON c.vec_id = d.vec_id
+           |WHERE d.vec_id IS NULL""".stripMargin
       }
     ),
 
