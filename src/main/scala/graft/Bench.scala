@@ -172,7 +172,9 @@ object Bench {
     "q_select_dsir",
     "q_select_moore_lewis",
     // SemDeDup: k-means train + cell-blocked pair join + anti-join
-    "q_dedup_semantic")
+    "q_dedup_semantic",
+    // alpha-sampling mixture quotas via two-phase per-source ranks
+    "q_mix_alpha")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -316,6 +316,41 @@ object TextOps {
       .select(col(idCol), col(sourceCol), col("n_toks"), col("cum_before"))
   }
 
+  /** Temperature-flattened mixture sampling (α = 0.5): per-source
+    * keep quotas proportional to n_i^α instead of n_i — the
+    * multilingual up-weighting of low-resource sources (XLM, mT5's
+    * α-sampling) realized deterministically. Source weights are
+    * `s_i = floor(sqrt(n_i))` (exact cross-engine: sqrt is correctly
+    * rounded and s_i < 2^26 keeps the floor unambiguous), the global
+    * keep target is the integer order-statistic
+    * `K = (keepPermille·N + 999) DIV 1000`, and each source's quota
+    * is `min((K·s_i) DIV S, n_i)` — pure BIGINT arithmetic whose one
+    * product stays under 2^63 for any corpus below ~4·10^12 docs.
+    * Docs fill a quota in md5-hash order of their id (the
+    * reproducible shuffle), ranked per source by the two-phase
+    * [[graft.operators.Skew.perGroupPrefixSum]] — never a per-source
+    * SinglePartition window. Σ quotas ≤ K (floor loses at most one
+    * doc per source).
+    */
+  def alphaMixture(docs: org.apache.spark.sql.DataFrame, sourceCol: String,
+      idCol: String, keepPermille: Int = 400): org.apache.spark.sql.DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000, s"bad permille $keepPermille")
+    val n = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__cnt"))
+    val s = n.select(col(sourceCol), col("__cnt"),
+      floor(sqrt(col("__cnt").cast("double"))).cast("long").as("__w"))
+    val tot = s.agg(sum(col("__cnt")).as("__ntot"), sum(col("__w")).as("__wtot"))
+    val quota = s.crossJoin(broadcast(tot)).select(col(sourceCol),
+      least(expr(s"((($keepPermille * __ntot + 999) DIV 1000) * __w) DIV __wtot"),
+        col("__cnt")).as("quota"))
+    val ranked = graft.operators.Skew.perGroupPrefixSum(
+      docs.select(col(idCol), col(sourceCol),
+        hash32(0, col(idCol).cast("string")).as("__h")),
+      col(sourceCol), Seq(col("__h"), col(idCol)), lit(1L), "rnk")
+    ranked.join(broadcast(quota), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("rnk"), col("quota"),
+        when(col("rnk") <= col("quota"), 1L).otherwise(0L).as("selected"))
+  }
+
   /** Per-document average unigram log-probability under the corpus'
     * own unigram distribution — the cheap language-model quality
     * score (KenLM-style filtering approximated at scan speed).

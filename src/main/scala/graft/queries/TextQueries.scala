@@ -279,6 +279,34 @@ object TextQueries extends QueryModule {
              |      WHEN 'src1' THEN 600 WHEN 'src2' THEN 300 ELSE 0 END)""".stripMargin)
     ),
 
+    // ---- α-sampling mixture: temperature-flattened source quotas ----
+    // The multilingual mixture step (XLM / mT5 α-sampling, α = 0.5):
+    // per-source quotas ∝ floor(sqrt(n_i)) up-weight low-resource
+    // sources; quota arithmetic is pure BIGINT (integer sqrt floors,
+    // order-statistic K, one bounded product), docs fill quotas in
+    // md5-hash order ranked by the two-phase per-group prefix sum.
+    QueryDef(
+      "q_mix_alpha",
+      "alpha=0.5 mixture quotas: per-source sqrt-proportional keep, hash-ordered",
+      (s, dir) =>
+        TextOps.alphaMixture(Tables(s, dir).documents, "source", "doc_id",
+          keepPermille = 400),
+      Some("""WITH n AS (SELECT source, count(*) AS nn FROM documents GROUP BY source),
+             |s AS (SELECT source, nn, CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS BIGINT) AS ss FROM n),
+             |tot AS (SELECT CAST(sum(nn) AS BIGINT) AS N, CAST(sum(ss) AS BIGINT) AS S FROM s),
+             |q AS (SELECT source, CAST(least((((400 * N + 999)//1000) * ss)//S, nn) AS BIGINT) AS quota
+             |      FROM s, tot),
+             |t AS (SELECT doc_id, source,
+             |        CAST(('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+             |      FROM documents),
+             |c AS (SELECT doc_id, source,
+             |        CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk
+             |      FROM t)
+             |SELECT c.doc_id, c.source, c.rnk, q.quota,
+             |  CAST(CASE WHEN c.rnk <= q.quota THEN 1 ELSE 0 END AS BIGINT) AS selected
+             |FROM c JOIN q USING (source)""".stripMargin)
+    ),
+
     // ---- curation composite: quality filter -> dedup -> stats ----
     // The end-to-end shape of a training-data prep job: drop
     // too-short documents, keep the first copy of each exact text,

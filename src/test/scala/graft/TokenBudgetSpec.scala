@@ -78,4 +78,57 @@ class TokenBudgetSpec extends GraftSuite {
       col("text"), budgets).collect().toSet
     assert(a === b)
   }
+
+  // ---- α-sampling mixture ----
+
+  private def skewedCorpus = {
+    val big   = (1L to 100L).map(i => (i, "big", s"doc $i"))
+    val small = (200L to 203L).map(i => (i, "small", s"doc $i"))
+    (big ++ small).toDF("doc_id", "source", "text")
+  }
+
+  test("alphaMixture quotas are sqrt-proportional and never exceed the source") {
+    val out = TextOps.alphaMixture(skewedCorpus, "source", "doc_id", keepPermille = 500)
+    val quotas = out.groupBy(col("source"))
+      .agg(max(col("quota")).as("q"), sum(col("selected")).as("sel"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // N=104, K=(500·104+999)/1000=52; weights: sqrt(100)=10, sqrt(4)=2, S=12
+    // big: (52·10)/12 = 43; small: (52·2)/12 = 8 capped at n=4
+    assert(quotas("big") === ((43L, 43L, 100L)))
+    assert(quotas("small") === ((4L, 4L, 4L)))
+    // flattening: the small source keeps 100%, the big one 43%
+  }
+
+  test("alphaMixture fills quotas in hash order of ids") {
+    val out = TextOps.alphaMixture(skewedCorpus, "source", "doc_id", keepPermille = 200)
+      .filter(col("source") === "big")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    val byHash = out.map(_._1).sortBy(id =>
+      (graft.TokenBudgetSpecHash.h(id), id))
+    val selected = out.filter(_._3 == 1L).map(_._1).toSet
+    // K=(200·104+999)/1000=21; big quota (21·10)/12=17
+    assert(selected.size == 17)
+    assert(byHash.take(17).toSet === selected)
+  }
+
+  test("alphaMixture keepPermille=1000 keeps every doc of every source") {
+    val out = TextOps.alphaMixture(skewedCorpus, "source", "doc_id", keepPermille = 1000)
+    // K=N=104: big quota (104·10)/12=86 < 100 — even "keep all" honors
+    // the sqrt flattening on the BIG source (quota is a mixture, not a
+    // cap-free take); the small source keeps all 4
+    val sel = out.groupBy(col("source")).agg(sum(col("selected")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sel("small") == 4L && sel("big") == 86L)
+  }
+}
+
+/** Driver-side mirror of TextOps.hash32(0, id) for test replay. */
+object TokenBudgetSpecHash {
+  def h(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"0|$id".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
 }
