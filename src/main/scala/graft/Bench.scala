@@ -174,7 +174,9 @@ object Bench {
     // SemDeDup: k-means train + cell-blocked pair join + anti-join
     "q_dedup_semantic",
     // alpha-sampling mixture quotas via two-phase per-source ranks
-    "q_mix_alpha")
+    "q_mix_alpha",
+    // fuzzy decontamination: cross-set banding + integer Jaccard verify
+    "q_decontaminate_fuzzy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -413,6 +413,51 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** MinHash-LSH fuzzy decontamination: corpus documents NEAR-duplicating
+    * a benchmark document (true Jaccard >= minJaccardPermille/1000 over
+    * word shingles), not just sharing one n-gram like [[decontaminate]].
+    * This is the reported decontamination mode of modern model cards —
+    * a paraphrased or lightly-edited benchmark copy shares most
+    * shingles but [[decontaminate]]'s any-overlap rule is too blunt to
+    * rank it, while an exact-only rule misses it entirely.
+    *
+    * Shape: band both sides ([[bandTable]] — signatures depend only on
+    * the document text, so split-then-band ≡ band-then-split), join
+    * corpus bands against the BROADCAST benchmark bands (the benchmark
+    * is the small side by construction), verify only candidate pairs
+    * with exact shingle-set intersections. Per corpus doc:
+    * (id, n_bench_docs, max_j_permille). The Jaccard compare is pure
+    * integers — `1000·|A∩B| >= p·|A∪B|` and the reported permille is
+    * BIGINT floor division — so the gate is hash-exact with no double
+    * division anywhere.
+    */
+  def decontaminateFuzzy(docs: DataFrame, idCol: String, text: Column,
+      isBenchmark: Column, minJaccardPermille: Int = 500,
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val corpus = docs.filter(!isBenchmark)
+    val bench = docs.filter(isBenchmark)
+    val cb = bandTable(corpus, idCol, text, numHashes, bands, shingleN)
+    val bb = broadcast(bandTable(bench, idCol, text, numHashes, bands, shingleN)
+      .select(col("band"), col("id").as("bench_id")))
+    val cand = cb.join(bb, Seq("band")).select(col("id"), col("bench_id")).distinct()
+    val cs = corpus
+      .select(col(idCol).as("id"), explode(TextOps.shingles(text, shingleN)).as("s"))
+      .join(cand.select(col("id")).distinct(), Seq("id"), "left_semi")
+    val bs = broadcast(bench
+      .select(col(idCol).as("bench_id"), explode(TextOps.shingles(text, shingleN)).as("s")))
+    val na = cs.groupBy(col("id")).agg(count(lit(1)).as("sa"))
+    val nb = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("sb"))
+    val inter = cs.join(bs, Seq("s"))
+      .join(cand, Seq("id", "bench_id"), "left_semi")
+      .groupBy(col("id"), col("bench_id")).agg(count(lit(1)).as("i"))
+    inter.join(na, Seq("id")).join(broadcast(nb), Seq("bench_id"))
+      .withColumn("u", col("sa") + col("sb") - col("i"))
+      .filter(lit(1000L) * col("i") >= lit(minJaccardPermille.toLong) * col("u"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+        max(expr("(1000 * i) DIV u")).as("max_j_permille"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the 100 TB shape when
     * the benchmark side outgrows the broadcast budget. The exact
     * variant ships the full distinct benchmark shingle SET to every

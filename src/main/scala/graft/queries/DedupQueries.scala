@@ -48,6 +48,39 @@ object DedupQueries extends QueryModule {
        |          WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold)""".stripMargin
   }
 
+  /** Cross-set banded near-dup oracle for fuzzy decontamination:
+    * signatures over ALL docs (banding depends only on the text, so
+    * band-then-split ≡ split-then-band), candidates = corpus×bench
+    * band collisions, integer Jaccard verify at 500 permille.
+    */
+  private def fuzzyDecontOracle: String = {
+    val sigCols = (0 until 16).map(j => s"min((a + $j * b) % 4294967296) AS h$j").mkString(", ")
+    val bandKeys = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"md5('$b' || ',' || $parts)"
+    }.mkString(", ")
+    s"""WITH $shinglesCtes,
+       |hw AS (SELECT doc_id, s, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS a,
+       |               CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS b FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hw GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([$bandKeys]) AS band FROM sig),
+       |cand AS (SELECT DISTINCT c.doc_id AS id, b.doc_id AS bench_id
+       |         FROM bands c JOIN bands b ON c.band = b.band
+       |         WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id, c.bench_id, count(*) AS i
+       |          FROM cand c JOIN sh x ON x.doc_id = c.id
+       |                      JOIN sh y ON y.doc_id = c.bench_id AND x.s = y.s
+       |          GROUP BY c.id, c.bench_id),
+       |pairs AS (SELECT id, bench_id, i, sa.n + sb.n - i AS u
+       |          FROM inter JOIN sizes sa ON id = sa.doc_id
+       |                     JOIN sizes sb ON bench_id = sb.doc_id
+       |          WHERE 1000 * i >= 500 * (sa.n + sb.n - i))
+       |SELECT id AS doc_id, count(DISTINCT bench_id) AS n_bench_docs,
+       |       CAST(max((1000 * i) // u) AS BIGINT) AS max_j_permille
+       |FROM pairs GROUP BY id""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     // ---- exact dedup by content hash ----
     QueryDef(
@@ -301,6 +334,22 @@ object DedupQueries extends QueryModule {
               |       count(DISTINCT b.bench_id) AS n_bench_docs
               |FROM train t JOIN bench b ON t.s = b.s
               |GROUP BY t.doc_id""".stripMargin)
+    ),
+
+    // ---- FUZZY decontamination: benchmark near-dups, not any-overlap ----
+    // The model-card mode: a corpus doc is contaminated when it
+    // NEAR-duplicates a benchmark doc (true Jaccard >= 0.5 over word
+    // shingles among LSH candidates) — q_decontaminate's any-shared-
+    // shingle rule flags light touch, this ranks real copies. The
+    // Jaccard compare and the reported permille are pure integers.
+    QueryDef(
+      "q_decontaminate_fuzzy",
+      "corpus docs near-duplicating a benchmark doc (banded, Jaccard >= 0.5)",
+      (s, dir) =>
+        Dedup.decontaminateFuzzy(Tables(s, dir).documents, "doc_id", col("text"),
+          col("doc_id") % 50 === 0)
+          .select(col("id").as("doc_id"), col("n_bench_docs"), col("max_j_permille")),
+      Some(fuzzyDecontOracle)
     ),
 
     // ---- SimHash fingerprints (one md5 per token, batch path) ----
