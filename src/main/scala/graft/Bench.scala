@@ -176,7 +176,9 @@ object Bench {
     // alpha-sampling mixture quotas via two-phase per-source ranks
     "q_mix_alpha",
     // fuzzy decontamination: cross-set banding + integer Jaccard verify
-    "q_decontaminate_fuzzy")
+    "q_decontaminate_fuzzy",
+    // global concat-packing: one two-phase prefix sum over the corpus
+    "q_text_pack_global")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

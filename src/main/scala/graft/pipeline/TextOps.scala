@@ -316,6 +316,36 @@ object TextOps {
       .select(col(idCol), col(sourceCol), col("n_toks"), col("cum_before"))
   }
 
+  /** GPT-style sequence packing (concat-then-split): documents are
+    * laid end-to-end in the reproducible md5-hash order (+`sepTokens`
+    * separator tokens each, the EOS between documents), and the token
+    * stream is cut into fixed `ctxLen` windows. Per document:
+    * (id, n_toks, bin_first, bin_last, off_in_bin) — everything a
+    * loader needs to materialize any window, and a doc spanning a cut
+    * shows bin_first < bin_last (the attention-mask seam).
+    *
+    * This is the packing pre-training actually uses (no bin-packing
+    * solver: first-fit/best-fit are inherently sequential, while the
+    * concat layout is ONE prefix sum). The global running total uses
+    * the two-phase [[graft.operators.Skew.perGroupPrefixSum]] under a
+    * constant group: range-partitioned by the hash key, so the corpus
+    * never funnels through one task — only per-partition subtotals
+    * reach the driver.
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, ctxLen: Int, sepTokens: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive: $ctxLen")
+    val nToks = (size(tokens(text)) + sepTokens).cast("long")
+    val withCum = graft.operators.Skew.perGroupPrefixSum(
+      docs.select(col(idCol), nToks.as("n_toks"),
+        hash32(0, col(idCol).cast("string")).as("__h")),
+      lit("_"), Seq(col("__h"), col(idCol)), col("n_toks"), "__cum")
+    withCum.select(col(idCol), col("n_toks"),
+      expr(s"(__cum - n_toks) DIV $ctxLen").as("bin_first"),
+      expr(s"(__cum - 1) DIV $ctxLen").as("bin_last"),
+      ((col("__cum") - col("n_toks")) % ctxLen).as("off_in_bin"))
+  }
+
   /** Temperature-flattened mixture sampling (α = 0.5): per-source
     * keep quotas proportional to n_i^α instead of n_i — the
     * multilingual up-weighting of low-resource sources (XLM, mT5's

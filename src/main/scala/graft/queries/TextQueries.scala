@@ -279,6 +279,29 @@ object TextQueries extends QueryModule {
              |      WHEN 'src1' THEN 600 WHEN 'src2' THEN 300 ELSE 0 END)""".stripMargin)
     ),
 
+    // ---- sequence packing: concat-then-split into context windows ----
+    // The pre-training layout step: docs concatenate in md5-hash
+    // order (+1 EOS each) and the stream cuts into 128-token windows.
+    // One two-phase prefix sum — never a bin-packing solver (those
+    // are sequential) and never a SinglePartition window.
+    QueryDef(
+      "q_text_pack_global",
+      "concat-packing into 128-token context windows, hash-ordered",
+      (s, dir) =>
+        TextOps.packSequences(Tables(s, dir).documents, "doc_id", col("text"),
+          ctxLen = 128, sepTokens = 1),
+      Some("""WITH t AS (SELECT doc_id,
+             |        CAST(len(string_split(text,' ')) + 1 AS BIGINT) AS n_toks,
+             |        CAST(('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+             |      FROM documents),
+             |c AS (SELECT doc_id, n_toks,
+             |        CAST(sum(n_toks) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |      FROM t)
+             |SELECT doc_id, n_toks, (cum - n_toks)//128 AS bin_first,
+             |       (cum - 1)//128 AS bin_last, (cum - n_toks) % 128 AS off_in_bin
+             |FROM c""".stripMargin)
+    ),
+
     // ---- α-sampling mixture: temperature-flattened source quotas ----
     // The multilingual mixture step (XLM / mT5 α-sampling, α = 0.5):
     // per-source quotas ∝ floor(sqrt(n_i)) up-weight low-resource
