@@ -178,7 +178,10 @@ object Bench {
     // fuzzy decontamination: cross-set banding + integer Jaccard verify
     "q_decontaminate_fuzzy",
     // global concat-packing: one two-phase prefix sum over the corpus
-    "q_text_pack_global")
+    "q_text_pack_global",
+    // O(batch) SemDeDup: frozen-index assignment + batch-hit-cell join
+    // (warmup pays corpus train + cell publish, memoized)
+    "q_dedup_semantic_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

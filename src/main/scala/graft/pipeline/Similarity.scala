@@ -186,6 +186,53 @@ object Similarity {
     cells.join(dups, Seq(idCol), "left_anti").select(col(idCol), col("cell"))
   }
 
+  /** O(batch) SemDeDup ingestion: dedup-status of a NEW batch against
+    * the standing corpus, via the PUBLISHED (id, cell) assignment
+    * table and the FROZEN trained index — the corpus embeddings are
+    * touched only in the cells the batch actually hits.
+    *
+    * Semantics ≡ [[semDedup]] over corpus ∪ batch restricted to batch
+    * rows: a batch doc is dropped iff ANY same-cell doc (corpus or
+    * batch) with a smaller id sits at cosine >= minCos. The rule is
+    * existential over all docs — not just survivors — so the
+    * batch-restricted equivalence is exact and the full-mine SQL is
+    * the oracle. Returns kept batch rows as (idCol, cell).
+    *
+    * 100 TB shape: batch assignment is one codegen'd expression; the
+    * corpus side prunes to batch-hit cells BEFORE its vectors join
+    * (with the cell-partitioned layout of [[Ivf.writePartitioned]]
+    * that's partition pruning, not a scan); the pair join is
+    * batch × (cell contents), never corpus².
+    */
+  def semDedupIncremental(corpus: DataFrame, corpusCells: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String,
+      index: Ivf.IvfIndex, minCos: Double,
+      cosFn: (Column, Column) => Column = cosine): DataFrame = {
+    val clash = corpusCells.select(col("id"))
+      .join(broadcast(batch.select(col(idCol).as("id")).distinct()), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(clash.isEmpty,
+      s"batch ids already present in the corpus cell index (sample: ${clash.mkString(", ")}) — " +
+        "incremental dedup requires disjoint ids")
+    // batch assignment is one codegen'd expression over the (small)
+    // batch — cheap enough to recompute in each branch of the plan,
+    // so no persist/lifecycle management is needed
+    val bc = batch.select(col(idCol).as("__bid"), col(vecCol).as("__be"),
+      Ivf.assign(col(vecCol), index).as("cell"))
+    val hitCells = bc.select(col("cell")).distinct()
+    // corpus pool: only batch-hit cells, vectors joined back by id
+    val pool = corpusCells.join(broadcast(hitCells), Seq("cell"))
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("__oe")), Seq("id"))
+      .select(col("id").as("__oid"), col("__oe"), col("cell"))
+      .unionAll(bc.select(col("__bid").as("__oid"), col("__be").as("__oe"), col("cell")))
+    val dropped = bc.join(pool, Seq("cell"))
+      .filter(col("__oid") < col("__bid"))
+      .filter(round(cosFn(col("__oe"), col("__be")), 6) >= minCos)
+      .select(col("__bid")).distinct()
+    bc.join(dropped, Seq("__bid"), "left_anti")
+      .select(col("__bid").as(idCol), col("cell"))
+  }
+
   /** The publishable half of [[lshBlockedPairs]]: each vector's
     * hyperplane bucket as a standing (id, bucket) index. Bucket ids
     * depend only on the vector itself (hash-derived plane signs, no

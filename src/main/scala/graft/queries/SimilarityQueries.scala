@@ -26,18 +26,23 @@ object SimilarityQueries extends QueryModule {
       s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
 
+  /** Trained SemDeDup centroids for the deferred oracles, keyed per
+    * gate (the full-corpus and incremental gates train on different
+    * slices).
+    */
+  private object SemState {
+    @volatile private var m: Map[String, Array[Array[Float]]] = Map.empty
+    def record(q: String, cents: Array[Array[Float]]): Unit =
+      synchronized { m += q -> cents }
+    def cents(q: String): Array[Array[Float]] = m.getOrElse(q,
+      throw new IllegalStateException(
+        s"semdedup centroids for $q not recorded — run the query first"))
+  }
+
   /** Plane counts the embed-mining builds actually used, recorded for
     * their DEFERRED oracles: the count is corpus-sized
     * ([[Similarity.autoPlanes]]), so the exact SQL depends on the run.
     */
-  /** Trained SemDeDup centroids for the deferred oracle. */
-  private object SemState {
-    @volatile private var c: Option[Array[Array[Float]]] = None
-    def record(cents: Array[Array[Float]]): Unit = { c = Some(cents) }
-    def cents: Array[Array[Float]] = c.getOrElse(throw new IllegalStateException(
-      "semdedup centroids not recorded — run q_dedup_semantic first"))
-  }
-
   private object EmbedOracleState {
     @volatile var planes: Map[String, Int] = Map.empty
     def record(q: String, p: Int): Unit = synchronized { planes += q -> p }
@@ -329,12 +334,12 @@ object SimilarityQueries extends QueryModule {
         graft.functions.CosineSim.register(s)
         val emb = Tables(s, dir).embeddings
         val idx = graft.pipeline.Ivf.train(s, emb, "vec_id", "embedding", nlist = 8)
-        SemState.record(idx.centroids)
+        SemState.record("q_dedup_semantic", idx.centroids)
         graft.pipeline.Similarity.semDedup(emb, "vec_id", "embedding", idx,
           minCos = 0.40, cosFn = graft.functions.CosineSim.col)
       },
       Oracle.deferred {
-        val cents = SemState.cents
+        val cents = SemState.cents("q_dedup_semantic")
         s"""WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
            |c AS MATERIALIZED (SELECT vec_id, e, ${AnnOracleSql.argminSql(cents, "e")} AS cell FROM c0),
            |d AS (SELECT DISTINCT b.vec_id FROM c a JOIN c b
@@ -343,6 +348,49 @@ object SimilarityQueries extends QueryModule {
            |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.40)
            |SELECT c.vec_id, c.cell FROM c LEFT JOIN d ON c.vec_id = d.vec_id
            |WHERE d.vec_id IS NULL""".stripMargin
+      }
+    ),
+
+    // ---- incremental SemDeDup: batch status via the published cell
+    // index — the semantic leg of the O(batch) ingestion story (text
+    // bands, embed buckets, ANN cells, CDC chunks all have one). The
+    // warmup rep pays the corpus train + cell publish (memoized);
+    // timed reps measure batch assignment (one codegen expression) +
+    // a pair join against ONLY the batch-hit cells. The keep rule is
+    // existential over ALL docs, so the oracle is the full mine over
+    // corpus ∪ batch (same frozen centroids) restricted to batch ids
+    // — the equivalence the incremental path must preserve exactly.
+    QueryDef(
+      "q_dedup_semantic_incremental",
+      "kept batch rows (vec_id%7=3) via the published cell index == full SemDeDup restricted to the batch",
+      (s, dir) => {
+        graft.functions.CosineSim.register(s)
+        val emb = Tables(s, dir).embeddings
+        val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+        val batch = emb.filter(col("vec_id") % 7 === 3)
+        val (idx, cellsPath) = SessionPublish.once(s, s"semdedup_cells|$dir") {
+          val i = graft.pipeline.Ivf.train(s, corpus, "vec_id", "embedding", nlist = 8)
+          val p = SessionPublish.tempDir("graft-semdedup") + "/cells"
+          corpus.select(col("vec_id").as("id"),
+            graft.pipeline.Ivf.assign(col("embedding"), i).as("cell"))
+            .write.mode("overwrite").parquet(p)
+          (i, p)
+        }
+        SemState.record("q_dedup_semantic_incremental", idx.centroids)
+        graft.pipeline.Similarity.semDedupIncremental(corpus,
+          s.read.parquet(cellsPath), batch, "vec_id", "embedding", idx,
+          minCos = 0.40, cosFn = graft.functions.CosineSim.col)
+      },
+      Oracle.deferred {
+        val cents = SemState.cents("q_dedup_semantic_incremental")
+        s"""WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |c AS MATERIALIZED (SELECT vec_id, e, ${AnnOracleSql.argminSql(cents, "e")} AS cell FROM c0),
+           |d AS (SELECT DISTINCT b.vec_id FROM c a JOIN c b
+           |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |      WHERE round(list_dot_product(a.e, b.e) /
+           |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.40)
+           |SELECT c.vec_id, c.cell FROM c LEFT JOIN d ON c.vec_id = d.vec_id
+           |WHERE d.vec_id IS NULL AND c.vec_id % 7 = 3""".stripMargin
       }
     ),
 

@@ -58,6 +58,39 @@ class SemDedupSpec extends GraftSuite {
     assert(out(1L) != out(2L))
   }
 
+  test("incremental == full mine restricted to the batch") {
+    val idx = Ivf.IvfIndex(Array(
+      Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 1.0f)))
+    graft.functions.NearestCell.register(spark)
+    val isBatch = col("vec_id") % 2 === 1
+    val corpus = this.corpus.filter(!isBatch)
+    val batch = this.corpus.filter(isBatch)
+    val cells = corpus.select(col("vec_id").as("id"),
+      Ivf.assign(col("embedding"), idx).as("cell"))
+    val inc = Similarity.semDedupIncremental(corpus, cells, batch,
+      "vec_id", "embedding", idx, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = Similarity.semDedup(this.corpus, "vec_id", "embedding", idx, minCos = 0.99)
+      .filter(col("vec_id") % 2 === 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(inc === full)
+    // 1 survives (corpus won't drop it); 3 drops (1 is a smaller-id
+    // cell-mate); 11 drops (10 in corpus)
+    assert(inc.keySet === Set(1L))
+  }
+
+  test("incremental refuses batch ids already in the corpus index") {
+    val idx = Ivf.IvfIndex(Array(Array(1.0f, 0.0f, 0.0f)))
+    graft.functions.NearestCell.register(spark)
+    val cells = corpus.select(col("vec_id").as("id"),
+      Ivf.assign(col("embedding"), idx).as("cell"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupIncremental(corpus, cells, corpus.limit(2),
+        "vec_id", "embedding", idx, minCos = 0.99)
+    }
+    assert(e.getMessage.contains("already present"))
+  }
+
   test("output schema is (idCol, cell) and cells match assignment") {
     val idx = Ivf.train(spark, corpus, "vec_id", "embedding", nlist = 2)
     val out = Similarity.semDedup(corpus, "vec_id", "embedding", idx, minCos = 2.0) // nothing dups
