@@ -181,7 +181,10 @@ object Bench {
     "q_text_pack_global",
     // O(batch) SemDeDup: frozen-index assignment + batch-hit-cell join
     // (warmup pays corpus train + cell publish, memoized)
-    "q_dedup_semantic_incremental")
+    "q_dedup_semantic_incremental",
+    // the full curation recipe as one plan: quality -> exact dedup ->
+    // near-dup -> decontaminate -> alpha-mixture
+    "q_pipeline_pretrain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

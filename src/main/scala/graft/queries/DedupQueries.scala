@@ -352,6 +352,72 @@ object DedupQueries extends QueryModule {
       Some(fuzzyDecontOracle)
     ),
 
+    // ---- end-to-end pretraining curation (the FineWeb/Dolma recipe
+    // shape) as ONE declarative plan ----
+    // quality filter (>=10 tokens) → exact keep-first dedup →
+    // MinHash-LSH near-dup removal (keep-smallest-id at Jaccard>=0.7)
+    // → decontamination (drop docs sharing any shingle with the
+    // doc_id%50=0 benchmark) → α-mixture quotas (600 permille) over
+    // the survivors. Each stage is the already-gated operator; the
+    // composite gates their INTERACTION (set algebra between stages,
+    // stage order) and that the whole chain stays one Catalyst plan —
+    // no driver materialization between stages. Signatures/bands
+    // depend only on the text, so the oracle reuses the global pair
+    // chain filtered to both-endpoints-surviving (band-then-filter ≡
+    // filter-then-band).
+    QueryDef(
+      "q_pipeline_pretrain",
+      "quality -> exact dedup -> near-dup -> decontaminate -> alpha-mixture, one plan",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        val q = corpus.filter(size(graft.pipeline.TextOps.tokens(col("text"))) >= 10)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("text")).orderBy(col("doc_id"))
+        val exact = q.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val pairs = Dedup.nearDuplicates(exact, "doc_id", col("text"), 0.7)
+        val nd = exact.join(
+          pairs.select(col("db").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        val benchSh = broadcast(bench
+          .select(explode(graft.pipeline.TextOps.shingles(col("text"), 3)).as("s"))
+          .distinct())
+        val contaminated = nd
+          .select(col("doc_id"), explode(graft.pipeline.TextOps.shingles(col("text"), 3)).as("s"))
+          .join(benchSh, Seq("s")).select(col("doc_id")).distinct()
+        val clean = nd.join(contaminated, Seq("doc_id"), "left_anti")
+        graft.pipeline.TextOps.alphaMixture(clean, "source", "doc_id", keepPermille = 600)
+          .filter(col("selected") === 1L)
+          .select(col("doc_id"), col("source"), col("rnk"), col("quota"))
+      },
+      Some(s"""WITH ${lshPairsCtes(0.7)},
+              |q AS (SELECT doc_id, text, source FROM documents
+              |      WHERE doc_id % 50 <> 0 AND len(string_split(text,' ')) >= 10),
+              |ex AS (SELECT doc_id, text, source FROM
+              |        (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q)
+              |       WHERE rn = 1),
+              |ndrop AS (SELECT DISTINCT p.db AS doc_id FROM pairs p
+              |          JOIN ex a ON p.da = a.doc_id JOIN ex b ON p.db = b.doc_id),
+              |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+              |cont AS (SELECT DISTINCT x.doc_id FROM sh x JOIN sh y ON x.s = y.s AND y.doc_id % 50 = 0
+              |         WHERE x.doc_id IN (SELECT doc_id FROM nd)),
+              |clean AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+              |n AS (SELECT source, count(*) AS nn FROM clean GROUP BY source),
+              |s2 AS (SELECT source, nn, CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS BIGINT) AS ss FROM n),
+              |tot AS (SELECT CAST(sum(nn) AS BIGINT) AS N, CAST(sum(ss) AS BIGINT) AS S FROM s2),
+              |qta AS (SELECT source, CAST(least((((600 * N + 999)//1000) * ss)//S, nn) AS BIGINT) AS quota
+              |        FROM s2, tot),
+              |t2 AS (SELECT doc_id, source,
+              |        CAST(('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+              |       FROM clean),
+              |c2 AS (SELECT doc_id, source,
+              |        CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk
+              |       FROM t2)
+              |SELECT c2.doc_id, c2.source, c2.rnk, qta.quota
+              |FROM c2 JOIN qta USING (source) WHERE c2.rnk <= qta.quota""".stripMargin)
+    ),
+
     // ---- SimHash fingerprints (one md5 per token, batch path) ----
     QueryDef(
       "q_dedup_simhash",

@@ -96,4 +96,36 @@ class PipelineSpec extends GraftSuite {
     assert(f.byteLen == 43L)
     assert(f.f1 == ('t'.toInt / 255.0))
   }
+
+  test("curation composite: each stage drops exactly its own casualties") {
+    // 100 = benchmark (id % 50 == 0); 7 too short (quality);
+    // 12 exact-dups 11; 13 near-dups 11; 14 shares a shingle with the
+    // benchmark; 15 is clean and unique.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (100L, "bench mark text with its own distinct shingle stream here ok"),
+      (7L, "too short"),
+      (11L, base),
+      (12L, base),
+      (13L, base.replace("kappa", "lambda")),
+      (14L, "bench mark text with completely different unrelated suffix words here"),
+      (15L, "a fully clean unique document with enough tokens to survive easily")
+    ).toDF("doc_id", "text").withColumn("source", lit("s0"))
+    val bench = corpus.filter(col("doc_id") % 50 === 0)
+    val rest = corpus.filter(col("doc_id") % 50 =!= 0)
+    val q = rest.filter(size(TextOps.tokens(col("text"))) >= 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col("doc_id"))
+    val exact = q.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val pairs = Dedup.nearDuplicates(exact, "doc_id", col("text"), 0.7)
+    val nd = exact.join(pairs.select(col("db").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val benchSh = broadcast(bench.select(explode(TextOps.shingles(col("text"), 3)).as("s")).distinct())
+    val cont = nd.select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("s"))
+      .join(benchSh, Seq("s")).select(col("doc_id")).distinct()
+    val clean = nd.join(cont, Seq("doc_id"), "left_anti")
+    assert(q.collect().map(_.getLong(0)).toSet === Set(11L, 12L, 13L, 14L, 15L))
+    assert(exact.collect().map(_.getLong(0)).toSet === Set(11L, 13L, 14L, 15L))
+    assert(nd.collect().map(_.getLong(0)).toSet === Set(11L, 14L, 15L))
+    assert(clean.collect().map(_.getLong(0)).toSet === Set(11L, 15L))
+  }
 }
