@@ -378,15 +378,23 @@ object DedupQueries extends QueryModule {
         val exact = q.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
         val pairs = Dedup.nearDuplicates(exact, "doc_id", col("text"), 0.7)
+        // nd feeds both the contamination derivation and the final
+        // anti-join — checkpoint once (same rationale as `clean`)
         val nd = exact.join(
           pairs.select(col("db").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
         val benchSh = broadcast(bench
           .select(explode(graft.pipeline.TextOps.shingles(col("text"), 3)).as("s"))
           .distinct())
         val contaminated = nd
           .select(col("doc_id"), explode(graft.pipeline.TextOps.shingles(col("text"), 3)).as("s"))
           .join(benchSh, Seq("s")).select(col("doc_id")).distinct()
+        // the mixture consumes the survivor set several times (counts,
+        // quota, rank) and Spark re-plans common subtrees per branch —
+        // checkpoint the (small) survivor frame once so the heavy
+        // dedup/decontamination chain executes exactly once
         val clean = nd.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source")).localCheckpoint(true)
         graft.pipeline.TextOps.alphaMixture(clean, "source", "doc_id", keepPermille = 600)
           .filter(col("selected") === 1L)
           .select(col("doc_id"), col("source"), col("rnk"), col("quota"))
