@@ -184,7 +184,9 @@ object Bench {
     "q_dedup_semantic_incremental",
     // the full curation recipe as one plan: quality -> exact dedup ->
     // near-dup -> decontaminate -> alpha-mixture
-    "q_pipeline_pretrain")
+    "q_pipeline_pretrain",
+    // multimodal resize: one hex pass, uniform byte subsampling
+    "q_multimodal_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

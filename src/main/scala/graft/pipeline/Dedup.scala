@@ -112,6 +112,24 @@ object Dedup {
     * it bucketed by `band` so the candidate self-join is
     * exchange-free, exactly like the graph snapshot's bucketed edges.
     */
+  /** (bands, rows) whose LSH S-curve midpoint best matches the target
+    * Jaccard threshold: candidate-pair probability at similarity s is
+    * `1 - (1 - s^r)^b`, and its 50% point sits at `(1/b)^(1/r)` — pick
+    * the divisor pair of `numHashes` minimizing the gap (ties to more
+    * bands = higher recall). A hand-picked (bands, rows) tuned for 0.7
+    * silently under-recalls at 0.9 and over-verifies at 0.5; this
+    * makes the knob the THRESHOLD, which is what users actually have.
+    */
+  def autoBands(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1,
+      s"bad autoBands params: numHashes=$numHashes threshold=$threshold")
+    val options = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    options.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+    }
+  }
+
   def bandTable(df: DataFrame, idCol: String, text: Column,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0,

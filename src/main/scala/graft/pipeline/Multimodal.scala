@@ -46,6 +46,30 @@ object Multimodal {
           .as("frame_md5"))
   }
 
+  /** Resize over an opaque payload: uniform subsampling of the byte
+    * stream to exactly `outBytes` samples (index i reads byte
+    * `floor(i·len/outBytes)` — the nearest-neighbor downscale
+    * schedule every image/audio resampler starts from), fingerprinted.
+    * Pure expressions over ONE hex pass, zero shuffles; a codec-aware
+    * variant swaps byte positions for pixel/sample positions inside
+    * the same plumbing. Payloads shorter than `outBytes` keep their
+    * natural length (no upsampling — the floor schedule would
+    * duplicate bytes, which a stub should not invent).
+    */
+  def resize(df: DataFrame, idCol: String, bin: Column, outBytes: Int = 32): DataFrame = {
+    require(outBytes > 0, s"outBytes must be positive: $outBytes")
+    val len = length(bin).cast("long")
+    df.select(col(idCol), lower(hex(bin)).as("__h"), len.as("__len"))
+      .filter(col("__len") > 0)
+      .select(col(idCol), col("__len"),
+        least(col("__len"), lit(outBytes.toLong)).as("__out"), col("__h"))
+      .select(col(idCol), col("__len").as("byte_len"), col("__out").as("out_bytes"),
+        md5(concat_ws("", expr(
+          s"transform(sequence(0L, __out - 1), i -> " +
+            s"substring(__h, CAST((i * __len DIV __out) * 2 + 1 AS INT), 2))")))
+          .as("resized_md5"))
+  }
+
   final case class MediaFeature(id: Long, byteLen: Long, f0: Double, f1: Double, f2: Double)
 
   /** STUB decode: a real implementation would decode the codec frame

@@ -47,6 +47,29 @@ object MultimodalQueries extends QueryModule {
              |FROM x""".stripMargin)
     ),
 
+    // ---- resize: uniform byte-stream subsampling (decode stub) ----
+    // The nearest-neighbor downscale schedule over the opaque payload
+    // (index i reads byte floor(i·len/out)): the missing verb between
+    // frame-sampling and feature extraction. One hex pass, zero
+    // shuffles; a codec-aware variant swaps byte positions for
+    // pixel/sample positions in the same plumbing.
+    QueryDef(
+      "q_multimodal_resize",
+      "resize payloads to 32 uniform byte samples, fingerprinted",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.resize(docs, "doc_id", col("payload"), outBytes = 32)
+      },
+      Some("""WITH f AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+             |        CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents),
+             |g AS (SELECT doc_id, len, least(len, 32) AS outb, h FROM f WHERE len > 0)
+             |SELECT doc_id, len AS byte_len, outb AS out_bytes,
+             |  md5(array_to_string(list_transform(range(0, outb),
+             |    i -> substring(h, CAST(((i * len) // outb) * 2 + 1 AS BIGINT), 2)), '')) AS resized_md5
+             |FROM g""".stripMargin)
+    ),
+
     // ---- batched per-partition feature extraction (decode stub) ----
     QueryDef(
       "q_multimodal_features",

@@ -38,6 +38,22 @@ class FuzzyDecontSpec extends GraftSuite {
     assert(blunt.contains(4L))
   }
 
+  test("autoBands puts the S-curve midpoint at the threshold") {
+    // midpoint of (b, r) is (1/b)^(1/r)
+    def mid(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+    val (b1, r1) = Dedup.autoBands(16, 0.7)
+    assert(b1 * r1 == 16)
+    // no other divisor pair sits closer to 0.7
+    val best = (1 to 16).filter(16 % _ == 0)
+      .map(b => math.abs(mid(b, 16 / b) - 0.7)).min
+    assert(math.abs(mid(b1, r1) - 0.7) == best)
+    // a high threshold wants fewer bands x more rows, a low one the reverse
+    val (bHi, _) = Dedup.autoBands(16, 0.95)
+    val (bLo, _) = Dedup.autoBands(16, 0.3)
+    assert(bHi < b1 || bHi == 1)
+    assert(bLo > b1)
+  }
+
   test("permille threshold is an exact integer cut") {
     // identical 12-token docs share all shingles: u = i → 1000·i >= p·i
     // for any p <= 1000, and max_j_permille = 1000 exactly

@@ -97,6 +97,26 @@ class PipelineSpec extends GraftSuite {
     assert(f.f1 == ('t'.toInt / 255.0))
   }
 
+  test("multimodal resize: uniform byte subsampling matches a driver replay") {
+    val media = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"), // 44 bytes > 32
+      (2L, "short")                                          // 5 bytes < 32
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.resize(media, "doc_id", col("payload"), outBytes = 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def replay(s: String, outB: Int): String = {
+      val b = s.getBytes("UTF-8")
+      val n = math.min(b.length, outB)
+      val sampled = (0 until n).map(i => b((i.toLong * b.length / n).toInt))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(sampled.map(x => f"${x & 0xff}%02x").mkString.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+    }
+    assert(out(1L) === ((44L, 32L, replay("abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH", 32))))
+    assert(out(2L) === ((5L, 5L, replay("short", 32)))) // no upsampling
+  }
+
   test("curation composite: each stage drops exactly its own casualties") {
     // 100 = benchmark (id % 50 == 0); 7 too short (quality);
     // 12 exact-dups 11; 13 near-dups 11; 14 shares a shingle with the
