@@ -186,7 +186,9 @@ object Bench {
     // near-dup -> decontaminate -> alpha-mixture
     "q_pipeline_pretrain",
     // multimodal resize: one hex pass, uniform byte subsampling
-    "q_multimodal_resize")
+    "q_multimodal_resize",
+    // winnowing fingerprints: one per-doc window function + distinct
+    "q_text_winnow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -316,6 +316,43 @@ object TextOps {
       .select(col(idCol), col(sourceCol), col("n_toks"), col("cum_before"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    * the MOSS algorithm): positioned k-gram hashes, and from every
+    * window of `w` consecutive hashes the minimum is selected
+    * (leftmost-min tie rule via the sortable `md5 || '|' || pos` key;
+    * md5 ties only occur for identical k-grams, and the position
+    * suffix resolves them identically in both engines). Guarantees:
+    * any shared substring of length >= w + k - 1 tokens yields at
+    * least one shared fingerprint, and selection density is ~2/(w+1)
+    * — the position-robust partial-overlap detector that bag-of-words
+    * fingerprints and exact content hashes both miss.
+    *
+    * Shape: one posexplode + ONE per-doc window function (docs bound
+    * the partition, so no skew) + a distinct. Texts shorter than k
+    * tokens hash as one whole-text gram ([[shingles]]' rule).
+    */
+  def winnow(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && w > 0, s"bad winnow params: k=$k w=$w")
+    val n = size(tokens(text))
+    val np = greatest(n - (k - 1), lit(1))
+    val g = docs
+      .select(col(idCol), tokens(text).as("__ts"), np.as("__np"))
+      .select(col(idCol), col("__np"),
+        explode(sequence(lit(1), col("__np"))).as("__i"), col("__ts"))
+      .select(col(idCol), col("__np"), col("__i"),
+        concat(md5(array_join(slice(col("__ts"), col("__i"), lit(k)), " ")),
+          lit("|"), lpad(col("__i").cast("string"), 8, "0")).as("__key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    g.withColumn("__mk", min(col("__key")).over(win))
+      .filter(col("__i") <= greatest(col("__np") - (w - 1), lit(1)))
+      .select(col(idCol), substring(col("__mk"), 34, 8).cast("long").as("pos"),
+        substring(col("__mk"), 1, 32).as("fp"))
+      .distinct()
+  }
+
   /** GPT-style sequence packing (concat-then-split): documents are
     * laid end-to-end in the reproducible md5-hash order (+`sepTokens`
     * separator tokens each, the EOS between documents), and the token

@@ -948,6 +948,30 @@ object TextQueries extends QueryModule {
              |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin)
     ),
 
+    // ---- winnowing fingerprints (MOSS) ----
+    // Positioned k-gram hashes, window-minimum selection: any shared
+    // run of >= w+k-1 tokens yields a shared fingerprint at ~2/(w+1)
+    // density — the partial-overlap detector bag-of-words hashes
+    // miss. Ties route identically via the md5||pos sortable key.
+    QueryDef(
+      "q_text_winnow",
+      "winnowing fingerprints: 3-gram hashes, window-of-4 minima",
+      (s, dir) =>
+        TextOps.winnow(Tables(s, dir).documents, "doc_id", col("text"), k = 3, w = 4),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+             |g AS (SELECT doc_id, i,
+             |        md5(array_to_string(ts[i:i+2], ' ')) || '|' || lpad(CAST(i AS VARCHAR), 8, '0') AS key,
+             |        greatest(len(ts) - 2, 1) AS np
+             |      FROM tok, LATERAL unnest(range(1, greatest(len(ts) - 1, 2))) AS u(i)),
+             |m AS (SELECT doc_id, i, np,
+             |        min(key) OVER (PARTITION BY doc_id ORDER BY i
+             |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+             |      FROM g)
+             |SELECT DISTINCT doc_id, CAST(substr(mk, 34, 8) AS BIGINT) AS pos,
+             |       substr(mk, 1, 32) AS fp
+             |FROM m WHERE i <= greatest(np - 3, 1)""".stripMargin)
+    ),
+
     // ---- document fingerprinting ----
     QueryDef(
       "q_text_fingerprint",

@@ -87,6 +87,38 @@ class SelectSpec extends GraftSuite {
     assert(mlOut > 0L && selOut == 0L, s"out-of-domain candidate ml=$mlOut should be > 0")
   }
 
+  // ---- winnowing fingerprints ----
+
+  test("winnow: every full hash window contains a selected position") {
+    val (k, w) = (3, 4)
+    val doc = docs(1L -> (1 to 40).map(i => s"t${i * 7 % 13}").mkString(" "))
+    val sel = graft.pipeline.TextOps.winnow(doc, "id", col("text"), k, w)
+      .collect().map(_.getLong(1)).toSet
+    val np = 40 - k + 1
+    (1 to np - w + 1).foreach { j =>
+      assert((j until j + w).exists(sel.contains(_)),
+        s"window starting at $j has no selected fingerprint")
+    }
+  }
+
+  test("winnow: a shared run of >= w+k-1 tokens yields a shared fingerprint") {
+    val run = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val two = docs(
+      1L -> s"one two three $run four five six",
+      2L -> s"nine eight $run seven")
+    val out = graft.pipeline.TextOps.winnow(two, "id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val f1 = out.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = out.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "winnowing guarantee violated: no shared fingerprint")
+  }
+
+  test("winnow: short texts fingerprint the whole text once") {
+    val out = graft.pipeline.TextOps.winnow(docs(1L -> "just two"), "id", col("text"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L)
+  }
+
   test("mooreLewis: per-token NLLs match the backoff scorer's floors") {
     val inDomain = docs(1L -> "a b a b a")
     val general  = docs(2L -> "c d c d")
