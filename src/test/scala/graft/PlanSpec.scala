@@ -187,4 +187,46 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"CN/AA sums must partial-aggregate before shuffling:\n${p.take(2000)}")
   }
+
+  test("q_select_dsir: the weight table broadcasts, candidates never collect") {
+    val p = plan("q_select_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row weight table must ride a broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the scoring path")
+  }
+
+  test("q_decontaminate_fuzzy: benchmark bands broadcast, no cartesian") {
+    val p = plan("q_decontaminate_fuzzy")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark band/shingle sides must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "candidates come from band equi-joins only")
+  }
+
+  test("selection/mixture/packing never plan an unpartitioned window") {
+    // the two-phase rank/prefix machinery must keep every window
+    // partitioned — a partition-less Window over the corpus is the
+    // 100 TB single-task funnel
+    Seq("q_select_dsir", "q_mix_alpha", "q_text_pack_global").foreach { q =>
+      val exec = Catalog.byName(q).build(spark, sf001).queryExecution.executedPlan
+      val bad = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q plans an unpartitioned window:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("q_dedup_semantic: assignment is the codegen'd nearest_cell, pairs equi-join on cell") {
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("nearest_cell"),
+      s"cell assignment must be the codegen expression:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "the pair join must be a cell equi-join")
+  }
+
+  test("q_text_winnow: selection is one per-doc window, no self-join") {
+    val p = plan("q_text_winnow")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"winnowing must not join at all — one window function + distinct:\n${p.take(2000)}")
+  }
 }
