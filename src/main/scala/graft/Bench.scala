@@ -188,7 +188,9 @@ object Bench {
     // multimodal resize: one hex pass, uniform byte subsampling
     "q_multimodal_resize",
     // winnowing fingerprints: one per-doc window function + distinct
-    "q_text_winnow")
+    "q_text_winnow",
+    // BPE fertility: segmentation through the trained vocab + ratio
+    "q_quality_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -131,6 +131,43 @@ object BpeQueries extends QueryModule {
            |FROM seg, LATERAL unnest(range(1, len(syms)+1)) AS u(j)""".stripMargin)
     ),
 
+    // ---- tokenizer fertility: the compression-ratio quality signal ----
+    // BPE tokens per whitespace word (permille): text the tokenizer
+    // compresses poorly (gibberish, wrong-script, binary-ish) shows
+    // high fertility — the practical post-tokenizer quality filter
+    // model teams run besides the perplexity one. Counts are exact
+    // integers and the ratio is BIGINT floor division, so the gate is
+    // hash-exact; the oracle re-derives segmentation under the SAME
+    // replayed 8-round vocab the segment gate pins.
+    QueryDef(
+      "q_quality_fertility",
+      "BPE fertility per doc: segmented tokens per whitespace word (permille)",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val m = model(s, dir)
+        val bpe = BpeTrain.segment(docs, "doc_id", col("text"), m.vocab)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("bpe_tokens"))
+        docs.select(col("doc_id"),
+            size(graft.pipeline.TextOps.tokens(col("text"))).cast("long").as("n_words"))
+          .join(bpe, Seq("doc_id"))
+          .select(col("doc_id"), col("n_words"), col("bpe_tokens"),
+            expr("(1000 * bpe_tokens) DIV n_words").as("fertility_permille"))
+      },
+      Some(
+        s"""$trainCtes,
+           |wd AS (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS widx
+           |       FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+           |j AS (SELECT wd.doc_id, len(w.syms) AS k
+           |      FROM wd JOIN w$Rounds w ON w.word = wd.ts[wd.widx]
+           |      WHERE length(wd.ts[wd.widx]) > 0),
+           |agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS bpe_tokens FROM j GROUP BY doc_id),
+           |ws AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           |       FROM documents)
+           |SELECT ws.doc_id, ws.n_words, agg.bpe_tokens,
+           |       (1000 * agg.bpe_tokens) // ws.n_words AS fertility_permille
+           |FROM ws JOIN agg ON ws.doc_id = agg.doc_id""".stripMargin)
+    ),
+
     // ---- incremental training: extend a trained vocab O(batch) ----
     // Base = even docs (8 rounds), extension = odd docs (2 rounds):
     // the extension replays the 8 published merges over the odd vocab

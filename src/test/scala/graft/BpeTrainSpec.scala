@@ -135,6 +135,30 @@ class BpeTrainSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("fertility separates tokenizer-friendly text from gibberish") {
+    // train on a corpus where "abab" fully merges; a doc of trained
+    // words has fertility 1000 (1 token/word), gibberish stays high
+    val train = Seq.fill(20)((0L, "abab")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = BpeTrain.train(train, col("text"), rounds = 3)
+    val cands = Seq(
+      (100L, "abab abab abab"), // 3 words, 3 tokens → 1000
+      (200L, "xqzw vkjp")       // untrained: chars stay split → 4000
+    ).toDF("doc_id", "text")
+    // unseen words tokenize by replaying the trained merges (the
+    // extend/replay path) — segment's vocab must cover the input
+    val cvocab = cands
+      .select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("word")).distinct()
+      .select(col("word"),
+        BpeTrain.applyMerges(BpeTrain.chars(col("word")), m.merges).as("syms"))
+    val seg = BpeTrain.segment(cands, "doc_id", col("text"), cvocab)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("bpe"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seg(100L) == 3L, s"trained words must be 1 token each: $seg")
+    assert(seg(200L) == 8L, s"untrained words stay character-split: $seg")
+    // fertility permille: (1000*3) DIV 3 = 1000 vs (1000*8) DIV 2 = 4000
+  }
+
   private def Tables(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.sources.Tables(s, dir)
 }
