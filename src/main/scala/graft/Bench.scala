@@ -190,7 +190,9 @@ object Bench {
     // winnowing fingerprints: one per-doc window function + distinct
     "q_text_winnow",
     // BPE fertility: segmentation through the trained vocab + ratio
-    "q_quality_fertility")
+    "q_quality_fertility",
+    // SimHash Hamming<=3 pairs: 4 block equi-joins + bit_count verify
+    "q_dedup_simhash_hamming")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -535,6 +535,44 @@ object Dedup {
     sums.select(col("id"), hash.as("simhash"))
   }
 
+  /** SimHash near-dup pairs at Hamming distance <= maxHamming via the
+    * Manku-Jarvelin-Sarma block-permutation trick (WWW'07): split the
+    * fingerprint into `maxHamming + 1` blocks — by pigeonhole, any
+    * pair within the distance bound agrees EXACTLY on at least one
+    * block — so candidates come from `blocks` cheap equi-joins on
+    * (block, block-bits) keys, never an all-pairs XOR scan, and only
+    * candidates pay the exact `bit_count(xor)` verify. Collision
+    * groups ([[simhashByDoc]] + groupBy) catch distance 0 only; this
+    * is the production form that catches the near-misses.
+    *
+    * Keys are uniform (simhash bits), so the candidate join is
+    * skew-free; block count stays `maxHamming + 1` regardless of
+    * corpus size — the selectivity knob is fingerprint WIDTH (`bits`),
+    * not the join fan-out.
+    */
+  def simhashHammingPairs(df: DataFrame, idCol: String, text: Column,
+      maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+    val blocks = maxHamming + 1
+    require(bits % blocks == 0,
+      s"block split must be even: bits=$bits blocks=$blocks " +
+        "(a ragged split weakens the pigeonhole guarantee on the short block)")
+    val width = bits / blocks
+    val mask = (1L << width) - 1
+    val sh = simhashByDoc(df, idCol, text, bits)
+    val keyed = sh.select(col("id"), col("simhash"),
+      explode(array((0 until blocks).map(b =>
+        struct(lit(b).as("blk"),
+          (shiftright(col("simhash"), b * width).bitwiseAND(mask)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val a = keyed.select(col("blk"), col("key"), col("id").as("da"), col("simhash").as("sa"))
+    val b = keyed.select(col("blk"), col("key"), col("id").as("db"), col("simhash").as("sb"))
+    a.join(b, Seq("blk", "key")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Expression-only SimHash (tests / single rows). */
   def simhash(text: Column, bits: Int = 16): Column = {
     val ts = TextOps.tokens(text)

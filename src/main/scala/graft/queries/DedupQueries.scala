@@ -443,6 +443,34 @@ object DedupQueries extends QueryModule {
       })
     ),
 
+    // ---- SimHash Hamming-distance near-dups (Manku WWW'07) ----
+    // Pairs within Hamming distance 3 of a 32-bit SimHash: by
+    // pigeonhole any such pair agrees exactly on one of 4 8-bit
+    // blocks, so candidates are 4 equi-joins on uniform (blk, key)
+    // keys — never an all-pairs XOR scan — and only candidates pay
+    // the exact bit_count(xor) verify. The distance-0-only collision
+    // gate (q_dedup_simhash) misses the near-misses this catches.
+    QueryDef(
+      "q_dedup_simhash_hamming",
+      "SimHash pairs at Hamming <= 3 (32-bit, 4-block pigeonhole candidates)",
+      (s, dir) =>
+        Dedup.simhashHammingPairs(Tables(s, dir).documents, "doc_id", col("text"),
+          maxHamming = 3, bits = 32),
+      Some {
+        val bits32 = (0 until 32).map { i =>
+          s"CASE WHEN 2 * len(list_filter(ts, t -> ((${h("'0'", "t")} >> $i) & 1) = 1)) > len(ts) THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |shh AS (SELECT doc_id, ($bits32) AS simhash FROM tok),
+           |k AS (SELECT doc_id, simhash, b.b AS blk, (simhash >> (b.b * 8)) % 256 AS key
+           |      FROM shh, (SELECT unnest(range(0, 4)) AS b) b)
+           |SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+           |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+           |FROM k a JOIN k c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id
+           |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""".stripMargin
+      }
+    ),
+
     // ---- span-level dedup: repeated 8-token spans across documents ----
     // The substring complement of doc-level MinHash (Lee et al.,
     // ACL'22): boilerplate repeats inside otherwise-distinct docs.

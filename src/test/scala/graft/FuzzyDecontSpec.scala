@@ -38,6 +38,28 @@ class FuzzyDecontSpec extends GraftSuite {
     assert(blunt.contains(4L))
   }
 
+  test("simhashHammingPairs equals the brute-force all-pairs scan (pigeonhole complete)") {
+    val docs = (1L to 60L)
+      .map(i => (i, (1 to 12).map(j => s"w${(i * j * 7) % 19}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashHammingPairs(docs, "doc_id", col("text"), maxHamming = 3, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.simhashByDoc(docs, "doc_id", col("text"), bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got === want, "block candidates must find EVERY pair within the bound")
+  }
+
+  test("simhashHammingPairs excludes pairs past the bound") {
+    val out = Dedup.simhashHammingPairs(
+      Seq((1L, "a b c d e f"), (2L, "q r s t u v w x y z")).toDF("doc_id", "text"),
+      "doc_id", col("text"), maxHamming = 0, bits = 32).collect()
+    assert(out.forall(_.getLong(2) == 0L))
+  }
+
   test("autoBands puts the S-curve midpoint at the threshold") {
     // midpoint of (b, r) is (1/b)^(1/r)
     def mid(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
