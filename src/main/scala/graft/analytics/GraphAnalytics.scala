@@ -646,40 +646,71 @@ object GraphAnalytics {
     * oracle's unrolled-peel SQL rendering.
     */
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): (DataFrame, Int) = {
-    // each round is ONE job: the convergence count rides the eager
+    require(k >= 1, s"k must be >= 1, got $k")
+    // each round is ONE job: the convergence metric rides the eager
     // localCheckpoint as an observed metric (CollectMetrics) instead
     // of a second count() action over the checkpointed partitions
-    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+    def checkpointObserved(df: DataFrame, metric: Column): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation()
-      val cp = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
-      (cp, obs.get("n").asInstanceOf[Long])
+      val cp = df.observe(obs, metric.as("m")).localCheckpoint()
+      val m = obs.get("m")
+      (cp, if (m == null) 0L else m.asInstanceOf[Long])
     }
-    var (e, nEdges) = checkpointCounted(
+    val (e0, nE0) = checkpointObserved(
       edges.select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-        .distinct())
-    var rounds = 0
-    var converged = nEdges == 0
-    while (!converged) {
-      require(rounds < maxIters,
-        s"k-core did not converge in $maxIters rounds ($nEdges edges live)")
-      val keep = e.select(explode(array(col("u"), col("v"))).as("id"))
-        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("id"))
-      val (next, nNext) = checkpointCounted(e
-        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")))
-      rounds += 1
-      converged = nNext == nEdges
-      e = next
-      nEdges = nNext
+        .distinct(),
+      count(lit(1)))
+    if (nE0 == 0)
+      return (e0.select(col("u").as("id"), lit(0L).as("degree")).limit(0), 0)
+    // FRONTIER-INCREMENTAL peel: the full |E| degree aggregation runs
+    // exactly ONCE; every later round maintains the (id, degree)
+    // frame by subtracting the edges the peeled vertices took with
+    // them — per-round shuffle volume tracks the FRONTIER (vertices
+    // that lost a neighbor), never |E|·rounds (the cascade-repair
+    // shape of the reference's chain walk, API.hs:363-429,
+    // generalized). The edge scans that remain are narrow: the peel
+    // set broadcasts, so the anti/semi joins are map-side filters.
+    val belowK = sum(when(col("degree") < k, 1L).otherwise(0L))
+    var (degs, nBelow) = checkpointObserved(
+      e0.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree")),
+      belowK)
+    var e = e0
+    var peels = 0
+    while (nBelow > 0) {
+      require(peels + 1 < maxIters,
+        s"k-core did not converge in $maxIters rounds ($nBelow vertices below k)")
+      val peel = degs.filter(col("degree") < k).select(col("id"))
+      // survivors' degree losses: endpoints whose OTHER end peels.
+      // The peel-set semi-join filters BEFORE the groupBy, so only
+      // frontier-adjacent rows reach the exchange.
+      val losses = e.select(col("u").as("id"), col("v").as("other"))
+        .unionAll(e.select(col("v").as("id"), col("u").as("other")))
+        .join(peel.withColumnRenamed("id", "other"), Seq("other"), "left_semi")
+        .join(peel, Seq("id"), "left_anti")
+        .groupBy(col("id")).agg(count(lit(1)).as("__loss"))
+      val (nextDegs, nb) = checkpointObserved(
+        degs.join(peel, Seq("id"), "left_anti")
+          .join(losses, Seq("id"), "left")
+          .select(col("id"),
+            (col("degree") - coalesce(col("__loss"), lit(0L))).as("degree"))
+          // a survivor stripped of its last edge leaves the frame the
+          // same way it left the old edge aggregation — keeping it
+          // would bill a spurious extra round to peel a degree-0 row
+          .filter(col("degree") > 0),
+        belowK)
+      e = e.join(peel.withColumnRenamed("id", "u"), Seq("u"), "left_anti")
+        .join(peel.withColumnRenamed("id", "v"), Seq("v"), "left_anti")
+        .localCheckpoint()
+      degs = nextDegs
+      nBelow = nb
+      peels += 1
     }
-    val core = e.select(explode(array(col("u"), col("v"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    (core, rounds)
+    // rounds counts like the oracle unrolls: every effective peel
+    // plus the final no-op round that PROVES the fixpoint
+    (degs.select(col("id"), col("degree")), peels + 1)
   }
 
   /** Synchronous label propagation (Raghavan et al. '07 — public

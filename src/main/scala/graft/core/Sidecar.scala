@@ -156,6 +156,15 @@ object Sidecar {
     catch { case _: java.io.IOException => /* raced with a writer; leave it */ }
   }
 
+  /** Modification time of `path` in epoch millis (None if absent) —
+    * the staleness signal for crash-janitor policies (a dead writer's
+    * abandoned marker/lock is only breakable by age).
+    */
+  def modificationTime(path: String): Option[Long] = {
+    val (fs, p) = fsFor(path)
+    if (!fs.exists(p)) None else Some(fs.getFileStatus(p).getModificationTime)
+  }
+
   /** Child names of `dir` (empty if absent). */
   def listNames(dir: String): Seq[String] = {
     val (fs, p) = fsFor(dir)

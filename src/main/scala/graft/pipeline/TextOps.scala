@@ -578,8 +578,11 @@ object TextOps {
   def perplexityFilter(train: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.DataFrame, idCol: String, text: Column,
       pHeadPermille: Int = 300, pMidPermille: Int = 700): org.apache.spark.sql.DataFrame = {
-    require(pHeadPermille >= 0 && pHeadPermille <= pMidPermille && pMidPermille <= 1000,
-      s"permille cutoffs out of order: $pHeadPermille, $pMidPermille")
+    // >= 1, not >= 0: rank 0 matches no row, so a 0-permille cutoff
+    // would silently fall back to the other cutoff's value (or null)
+    // and misbucket everything below it — fail loud instead
+    require(pHeadPermille >= 1 && pHeadPermille <= pMidPermille && pMidPermille <= 1000,
+      s"permille cutoffs must satisfy 1 <= head <= mid <= 1000: $pHeadPermille, $pMidPermille")
     val scored = stupidBackoffLogProb(train, score, idCol, text)
     val per = scored.select(col(idCol), col("n_tokens"),
       floor((-col("sum_lp_micro")).cast("double") / col("n_tokens").cast("double"))

@@ -68,4 +68,69 @@ class TxLogSpec extends GraftSuite {
     // allocation continues above everything ever claimed
     assert(TxLog.begin(dir) === ids.max + 1)
   }
+
+  test("a tx committed after the reader began is invisible (snapshot upper bound)") {
+    val dir = graft.queries.SessionPublish.tempDir("txlog-upper")
+    val t1 = TxLog.begin(dir)
+    val base = Mvcc.init(Seq((1L, "alpha")).toDF("id", "v"), t1)
+    TxLog.commit(dir, t1)
+    val reader = TxLog.begin(dir) // snapshot taken here
+    // a LATER tx begins, writes, and commits while the reader is open
+    val t3 = TxLog.begin(dir)
+    val mutated = Mvcc.update(base, col("id") === 1L, t3,
+      df => df.withColumn("v", lit("alpha-v2")))
+    mutated.write.mode("overwrite").parquet(s"$dir/table")
+    TxLog.commit(dir, t3)
+    val seen = spark.read.parquet(s"$dir/table")
+      .filter(TxLog.visibleStore(dir, reader))
+      .select(col("id"), col("v")).as[(Long, String)].collect().toSet
+    assert(seen === Set((1L, "alpha")),
+      "t3 committed after the reader began — its version (and its delete half) must be invisible")
+    // a FRESH reader (ordered after t3) sees the new version
+    val later = spark.read.parquet(s"$dir/table")
+      .filter(TxLog.visibleStore(dir, TxLog.begin(dir)))
+      .select(col("id"), col("v")).as[(Long, String)].collect().toSet
+    assert(later === Set((1L, "alpha-v2")))
+  }
+
+  test("abort fills the gap: begin -> abort -> compact advances past the aborted id") {
+    val dir = graft.queries.SessionPublish.tempDir("txlog-abort")
+    val ids = (1 to 4).map(_ => TxLog.begin(dir)) // 1..4
+    Seq(1L, 3L, 4L).foreach(TxLog.commit(dir, _))
+    TxLog.compact(dir)
+    assert(TxLog.watermark(dir) === 1L, "tx 2 in-flight wedges the watermark")
+    TxLog.abort(dir, 2L)
+    TxLog.compact(dir)
+    assert(TxLog.watermark(dir) === 4L, "the abort resolved the gap")
+    // the aborted id stays non-committed even under the watermark:
+    // its staged versions must never become visible
+    assert(!TxLog.isCommitted(dir, 2L))
+    Seq(1L, 3L, 4L).foreach(t => assert(TxLog.isCommitted(dir, t)))
+    val staged = Mvcc.init(Seq((9L, "ghost")).toDF("id", "v"), 2L)
+    assert(staged.filter(TxLog.visibleStore(dir, TxLog.begin(dir))).isEmpty,
+      "rows staged by the aborted tx are invisible to every later snapshot")
+    // commit/abort cross-guards fail loud
+    intercept[IllegalStateException](TxLog.commit(dir, 2L))
+    intercept[IllegalStateException](TxLog.abort(dir, ids.max))
+    // once the caller purges the staged versions, the marker can go
+    TxLog.forgetAborted(dir, Set(2L))
+    assert(TxLog.abortedSet(dir).isEmpty)
+    intercept[IllegalArgumentException](TxLog.forgetAborted(dir, Set(99L)))
+  }
+
+  test("abortStale janitors crashed allocations past the horizon, spares live ones") {
+    val dir = graft.queries.SessionPublish.tempDir("txlog-janitor")
+    val t1 = TxLog.begin(dir)
+    TxLog.commit(dir, t1)
+    val dead = TxLog.begin(dir) // never resolves: the crashed session
+    Thread.sleep(60)
+    val live = TxLog.begin(dir) // young: inside the horizon
+    assert(TxLog.abortStale(dir, horizonMs = 50) === Seq(dead),
+      "only the allocation older than the horizon is aborted")
+    TxLog.compact(dir)
+    assert(TxLog.watermark(dir) === dead,
+      "the janitored gap lets the watermark advance to the dead id")
+    TxLog.commit(dir, live) // the young writer is unharmed
+    assert(TxLog.isCommitted(dir, live))
+  }
 }
