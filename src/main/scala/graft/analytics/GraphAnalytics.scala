@@ -645,14 +645,32 @@ object GraphAnalytics {
     * Returns (vertices (id, degree), rounds) — rounds feeds the
     * oracle's unrolled-peel SQL rendering.
     */
+  /** Release the cached blocks behind an eager `localCheckpoint` once
+    * a round's successor frame is materialized — iterative loops
+    * otherwise pin every round's partitions (x bench reps) in the
+    * block manager, starving execution memory ("unable to acquire")
+    * long before the data is actually large.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false): Unit
+      case _ => ()
+    }
+
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // edge frames checkpoint DISK_ONLY: |E|-sized, read once per
+    // round — caching them in memory would evict nothing useful and
+    // compete with the aggregation hash maps that actually need RAM
+    val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
     // each round is ONE job: the convergence metric rides the eager
     // localCheckpoint as an observed metric (CollectMetrics) instead
     // of a second count() action over the checkpointed partitions
-    def checkpointObserved(df: DataFrame, metric: Column): (DataFrame, Long) = {
+    def checkpointObserved(df: DataFrame, metric: org.apache.spark.sql.Column,
+        level: org.apache.spark.storage.StorageLevel =
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation()
-      val cp = df.observe(obs, metric.as("m")).localCheckpoint()
+      val cp = df.observe(obs, metric.as("m")).localCheckpoint(true, level)
       val m = obs.get("m")
       (cp, if (m == null) 0L else m.asInstanceOf[Long])
     }
@@ -661,7 +679,7 @@ object GraphAnalytics {
         .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
         .distinct(),
-      count(lit(1)))
+      count(lit(1)), diskOnly)
     if (nE0 == 0)
       return (e0.select(col("u").as("id"), lit(0L).as("degree")).limit(0), 0)
     // FRONTIER-INCREMENTAL peel: the full |E| degree aggregation runs
@@ -670,24 +688,29 @@ object GraphAnalytics {
     // them — per-round shuffle volume tracks the FRONTIER (vertices
     // that lost a neighbor), never |E|·rounds (the cascade-repair
     // shape of the reference's chain walk, API.hs:363-429,
-    // generalized). The edge scans that remain are narrow: the peel
-    // set broadcasts, so the anti/semi joins are map-side filters.
+    // generalized). The edge set itself is NEVER rewritten: an edge
+    // (x, p) with p peeling THIS round and x still alive must still
+    // be live (edges only die when an endpoint peels, p peels now and
+    // x never has), so round losses come straight off the immutable
+    // e0 — one cached narrow scan with a broadcast peel filter, no
+    // per-round |E| shuffle or checkpoint.
     val belowK = sum(when(col("degree") < k, 1L).otherwise(0L))
     var (degs, nBelow) = checkpointObserved(
       e0.select(explode(array(col("u"), col("v"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("degree")),
       belowK)
-    var e = e0
     var peels = 0
     while (nBelow > 0) {
       require(peels + 1 < maxIters,
         s"k-core did not converge in $maxIters rounds ($nBelow vertices below k)")
       val peel = degs.filter(col("degree") < k).select(col("id"))
-      // survivors' degree losses: endpoints whose OTHER end peels.
-      // The peel-set semi-join filters BEFORE the groupBy, so only
-      // frontier-adjacent rows reach the exchange.
-      val losses = e.select(col("u").as("id"), col("v").as("other"))
-        .unionAll(e.select(col("v").as("id"), col("u").as("other")))
+      // survivors' degree losses: endpoints whose OTHER end peels
+      // this round. The peel-set semi-join filters BEFORE the
+      // groupBy, so only frontier-adjacent rows reach the exchange;
+      // rows whose own endpoint died in an EARLIER round fall out of
+      // the left join below (they are no longer in degs).
+      val losses = e0.select(col("u").as("id"), col("v").as("other"))
+        .unionAll(e0.select(col("v").as("id"), col("u").as("other")))
         .join(peel.withColumnRenamed("id", "other"), Seq("other"), "left_semi")
         .join(peel, Seq("id"), "left_anti")
         .groupBy(col("id")).agg(count(lit(1)).as("__loss"))
@@ -701,13 +724,14 @@ object GraphAnalytics {
           // would bill a spurious extra round to peel a degree-0 row
           .filter(col("degree") > 0),
         belowK)
-      e = e.join(peel.withColumnRenamed("id", "u"), Seq("u"), "left_anti")
-        .join(peel.withColumnRenamed("id", "v"), Seq("v"), "left_anti")
-        .localCheckpoint()
+      // successor materialized — release the superseded round (bench
+      // reps otherwise stack every round's blocks in the block manager)
+      freeCheckpoint(degs)
       degs = nextDegs
       nBelow = nb
       peels += 1
     }
+    freeCheckpoint(e0) // the core is read off `degs`; the edges are done
     // rounds counts like the oracle unrolls: every effective peel
     // plus the final no-op round that PROVES the fixpoint
     (degs.select(col("id"), col("degree")), peels + 1)
