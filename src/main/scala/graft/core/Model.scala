@@ -47,15 +47,39 @@ object Model {
     nodeTypes.unionAll(edgeTypes).unionAll(props)
   }
 
-  /** Persist / load the dictionary next to the snapshot tables
-    * (readModel/writeModel, FileOps.hs:113-148).
+  /** Persist the dictionary next to the snapshot tables
+    * (readModel/writeModel, FileOps.hs:113-148) — as a VERSIONED base:
+    * the new parquet lands invisibly under `model_base/v<N>` and one
+    * atomic pointer write flips readers to it, so a crash mid-publish
+    * can never lose or tear the previous base (the old
+    * delete-then-overwrite had a window where names living only in
+    * the base were gone). Superseded versions and the legacy
+    * `dir/model` location are pruned only after the flip is durable.
     */
-  def write(model: DataFrame, dir: String): Unit =
-    model.coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  def write(model: DataFrame, dir: String): Unit = {
+    val prev = currentBaseVersion(dir)
+    val next = prev.getOrElse(0L) + 1
+    model.coalesce(1).write.mode("overwrite").parquet(s"$dir/model_base/v$next")
+    Sidecar.writeString(s"$dir/model_base/current", next.toString) // THE flip
+    prev.foreach(p => Sidecar.delete(s"$dir/model_base/v$p", recursive = true))
+    Sidecar.delete(s"$dir/model", recursive = true) // legacy location
+  }
 
-  /** The CURRENT dictionary: the base parquet plus every committed
-    * get-or-create segment, ids reassigned deterministically over the
-    * merged name set. With no segments this is exactly the base.
+  private def currentBaseVersion(dir: String): Option[Long] =
+    Sidecar.readString(s"$dir/model_base/current").flatMap(_.trim.toLongOption)
+
+  /** The live base parquet: the pointed-to version, else the legacy
+    * unversioned location (stores written before the versioned base).
+    */
+  private def basePath(dir: String): Option[String] =
+    currentBaseVersion(dir).map(v => s"$dir/model_base/v$v").filter(Sidecar.exists)
+      .orElse(Some(s"$dir/model").filter(Sidecar.exists))
+
+  /** The CURRENT dictionary: the base parquet plus every visible
+    * get-or-create segment; base ids are read VERBATIM and segment
+    * names get fresh ids above them (see [[getOrCreate]] — ids are
+    * stable, never renumbered). With no segments this is exactly the
+    * base.
     */
   def read(spark: SparkSession, dir: String): DataFrame =
     readWithSegments(spark, dir, segmentNames(dir))
@@ -68,30 +92,77 @@ object Model {
   // ---- concurrent get-or-create (STMGraph RawSpec.hs:60-76 conformance) ----
   //
   // The reference proves 10 async writers x 25 get-or-create ops
-  // converge to one bijective dictionary. The engine's analog: each
-  // writer appends its MISSING names as an immutable segment file
-  // (unique name, atomic tmp+rename via Sidecar — the StagedCommit
-  // commit primitive), and ids are a PURE FUNCTION of the merged name
-  // set (dense rank per kind over sorted (name, dataType), the
-  // fromSnapshot scheme). Concurrent writers can interleave freely:
-  // segments never overwrite each other, duplicated names collapse in
-  // the distinct, and both sessions read the same converged mapping —
-  // no lock, no lost types, no torn ids.
+  // converge to one bijective dictionary — AND fetchType assigns a
+  // type id ONCE, never renumbering it as later types land
+  // (HGraphStorage API.hs:471-490; ids persist in the model file,
+  // FileOps.hs:113-148). The engine's analog: each writer appends its
+  // MISSING names as an immutable segment file published under an
+  // exclusively-claimed sequence number (atomic tmp+rename via
+  // Sidecar), and ids are assigned ABOVE the existing maximum in
+  // (segment-sequence, name, dataType) order — so an id, once
+  // visible, never changes as later names arrive, and two racing
+  // writers still converge to one bijective dense dictionary (ids
+  // are a pure function of the base plus the CLAIM-ORDERED segment
+  // list, never of arrival interleaving).
+  //
+  // A reader never sees a LATER segment before an earlier one: a
+  // writer's claim number is found by probing upward past existing
+  // claims, so claim k's file exists before claim k+1 does, and the
+  // visibility walk stops at the first claimed-but-unpublished gap
+  // (the TxLog watermark-gap rule). An in-flight gap resolves in
+  // milliseconds (one sidecar write); a gap older than the grace
+  // window is a crashed writer and is janitored with a tombstone so
+  // it can never block readers or — publishing zombie-late — shift
+  // ids that were already handed out.
 
   private def segDir(dir: String) = s"$dir/model_segments"
-  private def segmentNames(dir: String): Seq[String] =
-    Sidecar.listNames(segDir(dir)).filter(_.startsWith("seg-")).sorted
 
-  /** id assignment over a (kind, name, dataType) bag — dense ranks
-    * per kind over sorted names, the [[fromSnapshot]] contract: ids
-    * depend only on the SET, never on arrival interleaving.
+  /** Claimed-but-unpublished gaps younger than this truncate the
+    * visible view (an in-flight publish); older gaps are janitored.
     */
-  private def assignIds(names: DataFrame): DataFrame =
-    names.distinct()
-      .withColumn("id", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("kind"))
-          .orderBy(col("name"), col("dataType"))))
-      .select(col("kind"), col("id"), col("name"), col("dataType"))
+  private val publishGraceMs: Long = 10000
+
+  private def parseSeq(name: String, prefix: String): Option[Long] =
+    if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption else None
+
+  /** Published segment file names in claim order, stopped at the
+    * first unresolved claim gap (see the protocol note above).
+    */
+  private def segmentNames(dir: String): Seq[String] =
+    visibleSegments(dir, publishGraceMs)
+
+  private def visibleSegments(dir: String, graceMs: Long): Seq[String] = {
+    val entries = Sidecar.listNames(segDir(dir))
+    val dead = entries.flatMap(parseSeq(_, "dead-")).toSet
+    val published = entries.flatMap(n => parseSeq(n, "seg-").map(_ -> n)).toMap
+    val claimed = entries.flatMap(parseSeq(_, "claim-"))
+    val out = Seq.newBuilder[String]
+    for (s <- (claimed ++ published.keys).distinct.sorted if !dead(s)) {
+      published.get(s) match {
+        case Some(n) => out += n
+        case None =>
+          val inFlight = Sidecar.modificationTime(s"${segDir(dir)}/claim-$s")
+            .exists(_ >= System.currentTimeMillis() - graceMs)
+          if (inFlight) return out.result() // stop at the gap: later segs stay invisible
+          Sidecar.writeString(s"${segDir(dir)}/dead-$s", "") // crashed writer: tombstone
+      }
+    }
+    out.result()
+  }
+
+  /** Claim the next segment sequence exclusively (the TxLog.begin
+    * probe: two concurrent writers always get distinct, ordered
+    * numbers, and claim k exists on disk before claim k+1 can).
+    */
+  private def claimSeq(dir: String): Long = {
+    val entries = Sidecar.listNames(segDir(dir))
+    val known = (entries.flatMap(parseSeq(_, "claim-")) ++
+      entries.flatMap(parseSeq(_, "seg-")) ++
+      entries.flatMap(parseSeq(_, "dead-")) :+ 0L).max
+    var s = known + 1
+    while (!Sidecar.createExclusive(s"${segDir(dir)}/claim-$s")) s += 1
+    s
+  }
 
   private def parseSegment(content: String): Seq[(String, String, Option[Byte])] =
     content.split('\n').toSeq.filter(_.nonEmpty).map { line =>
@@ -102,28 +173,54 @@ object Model {
   private def readWithSegments(spark: SparkSession, dir: String,
       segs: Seq[String]): DataFrame = {
     import spark.implicits._
-    val base: Option[DataFrame] =
-      if (Sidecar.exists(s"$dir/model")) Some(spark.read.parquet(s"$dir/model")) else None
-    if (segs.isEmpty)
-      return base.getOrElse(
-        Seq.empty[(String, Int, String, Option[Byte])].toDF("kind", "id", "name", "dataType"))
-    val segRows = segs
-      .flatMap(n => Sidecar.readString(s"${segDir(dir)}/$n").toSeq.flatMap(parseSegment))
-      .toDF("kind", "name", "dataType")
-      .select(col("kind"), col("name"), col("dataType").cast("byte"))
-    val names = base.fold(segRows)(b =>
-      b.select(col("kind"), col("name"), col("dataType")).unionAll(segRows))
-    assignIds(names)
+    def empty = Seq.empty[(String, Int, String, Option[Byte])]
+      .toDF("kind", "id", "name", "dataType")
+    val base: Option[DataFrame] = basePath(dir).map(spark.read.parquet)
+    if (segs.isEmpty) return base.getOrElse(empty)
+    val segRows = segs.flatMap { n =>
+      val seq = n.stripPrefix("seg-").toLong
+      Sidecar.readString(s"${segDir(dir)}/$n").toSeq.flatMap(parseSegment)
+        .map { case (k, nm, dt) => (k, nm, dt, seq) }
+    }.toDF("kind", "name", "dataType", "segSeq")
+      .select(col("kind"), col("name"), col("dataType").cast("byte"), col("segSeq"))
+    // first claim wins for a name racing into two segments; names the
+    // base already holds keep their STORED ids (null-safe on dataType:
+    // node/edge entries carry null)
+    val firstSeen = segRows.groupBy(col("kind"), col("name"), col("dataType"))
+      .agg(min(col("segSeq")).as("segSeq"))
+    val baseDf = base.getOrElse(empty)
+    val fresh = base.fold(firstSeen)(b =>
+      firstSeen.as("s").join(b.as("b"),
+        col("s.kind") === col("b.kind") && col("s.name") === col("b.name") &&
+          (col("s.dataType") <=> col("b.dataType")),
+        "left_anti"))
+    val maxIds = baseDf.groupBy(col("kind")).agg(max(col("id")).as("__mx"))
+    // the dictionary is dozens of rows by construction (distinct
+    // label/property names) — the per-kind window is driver-trivial
+    val ranked = fresh
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("kind"))
+          .orderBy(col("segSeq"), col("name"), col("dataType"))))
+      .join(maxIds, Seq("kind"), "left")
+      .select(col("kind"),
+        (col("__rk") + coalesce(col("__mx"), lit(0))).cast("int").as("id"),
+        col("name"), col("dataType"))
+    baseDf.select(col("kind"), col("id"), col("name"), col("dataType"))
+      .unionAll(ranked)
   }
 
   /** Get-or-create `entries` (kind, name, dataType) against the store
-    * at `dir`: names already present are untouched; missing ones
-    * commit as ONE atomic segment. Returns the dictionary as of this
-    * call (a concurrent writer may grow it further — re-read for the
-    * latest view; convergence is ModelConcurrencySpec's contract).
+    * at `dir`: names already present keep their ids untouched (the
+    * fetchType contract — an id, once returned, NEVER changes);
+    * missing ones commit as ONE atomic claim-sequenced segment and
+    * take ids above the existing maximum. Returns the dictionary as
+    * of this call (a concurrent writer may grow it further — re-read
+    * for the latest view; convergence is ModelConcurrencySpec's
+    * contract).
     */
   def getOrCreate(spark: SparkSession, dir: String,
-      entries: Seq[(String, String, Option[Byte])]): DataFrame = {
+      entries: Seq[(String, String, Option[Byte])],
+      graceMs: Long = publishGraceMs): DataFrame = {
     entries.foreach { case (k, n, _) =>
       require(!k.contains('\t') && !n.contains('\t') && !k.contains('\n') && !n.contains('\n'),
         s"model names must not contain tabs/newlines: ($k, $n)")
@@ -134,26 +231,56 @@ object Model {
       .map(r => (r.getString(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getByte(2)))).toSet
     val missing = entries.distinct.filterNot(current)
-    if (missing.nonEmpty) {
-      val content = missing.map { case (k, n, dt) =>
-        s"$k\t$n\t${dt.map(_.toString).getOrElse("")}"
-      }.mkString("\n")
-      Sidecar.writeString(
-        s"${segDir(dir)}/seg-${java.util.UUID.randomUUID().toString}", content)
+    if (missing.isEmpty) return read(spark, dir)
+    val content = missing.map { case (k, n, dt) =>
+      s"$k\t$n\t${dt.map(_.toString).getOrElse("")}"
+    }.mkString("\n")
+    var attempt = 0
+    var visible = false
+    while (!visible) {
+      attempt += 1
+      require(attempt <= 5,
+        s"segment publish kept getting janitored — raise graceMs ($graceMs ms)?")
+      val seq = claimSeq(dir)
+      val segName = f"seg-$seq%012d"
+      Sidecar.writeString(s"${segDir(dir)}/$segName", content)
+      // wait for the segment to surface: gaps BEFORE it are other
+      // writers' in-flight publishes (milliseconds) or crashed claims
+      // (janitored after graceMs); a dead-marker on OUR seq means we
+      // stalled past the grace between claim and write — re-claim
+      val deadline = System.currentTimeMillis() + 2 * graceMs + 2000
+      def dead = Sidecar.exists(s"${segDir(dir)}/dead-$seq")
+      visible = visibleSegments(dir, graceMs).contains(segName)
+      while (!visible && !dead) {
+        if (System.currentTimeMillis() >= deadline)
+          throw new IllegalStateException(
+            s"segment $segName did not become visible within the grace deadline")
+        Thread.sleep(20)
+        visible = visibleSegments(dir, graceMs).contains(segName)
+      }
     }
     read(spark, dir)
   }
 
-  /** Fold committed segments into the base parquet. Safe against
-    * concurrent get-or-create: only the segments MERGED here are
-    * deleted, and a crash between write and delete just re-folds the
-    * (idempotent, distinct-collapsed) survivors at next read.
+  /** Fold visible segments into the base parquet (ids preserved
+    * verbatim — compaction never renumbers). Crash-safe end to end:
+    * the merged base publishes via [[write]]'s atomic version flip
+    * (the old base survives any crash before the flip), and segment
+    * files are deleted only after it, each before its claim marker —
+    * a claim orphaned mid-cleanup is janitored as a dead gap whose
+    * content is already in the base. Safe against concurrent
+    * get-or-create: only the segments MERGED here are deleted, and a
+    * pending segment's ids are unchanged by the fold (its rank offset
+    * — the per-kind max id — is exactly what the fold preserved).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     val segs = segmentNames(dir)
     if (segs.isEmpty) return
     val merged = readWithSegments(spark, dir, segs).localCheckpoint()
     write(merged, dir)
-    segs.foreach(n => Sidecar.delete(s"${segDir(dir)}/$n"))
+    segs.foreach { n =>
+      Sidecar.delete(s"${segDir(dir)}/$n")
+      Sidecar.delete(s"${segDir(dir)}/claim-${n.stripPrefix("seg-").toLong}")
+    }
   }
 }

@@ -58,4 +58,52 @@ class ModelConcurrencySpec extends GraftSuite {
     assert(Model.read(spark, dir).collect().map(r => r.getString(2)).toSet
       === Set("A", "B", "C", "D"))
   }
+
+  test("an id, once returned, never changes as later names land (fetchType stability)") {
+    val dir = graft.queries.SessionPublish.tempDir("model-stable")
+    def ids(): Map[String, Int] = Model.lookup(Model.read(spark, dir), "node")
+
+    // "M" lands first and takes id 1
+    Model.getOrCreate(spark, dir, Seq(("node", "M", None)))
+    assert(ids() === Map("M" -> 1))
+    // "A" sorts BEFORE "M" but arrives later: it must take a NEW id
+    // above the max, never displace M (the old dense re-rank gave A=1)
+    Model.getOrCreate(spark, dir, Seq(("node", "A", None)))
+    assert(ids() === Map("M" -> 1, "A" -> 2))
+    // one segment with several new names: ordered among themselves,
+    // still all above the existing max
+    Model.getOrCreate(spark, dir, Seq(("node", "Z", None), ("node", "B", None)))
+    assert(ids() === Map("M" -> 1, "A" -> 2, "B" -> 3, "Z" -> 4))
+    // compaction freezes ids into the base; later arrivals continue above
+    Model.compact(spark, dir)
+    assert(ids() === Map("M" -> 1, "A" -> 2, "B" -> 3, "Z" -> 4),
+      "compaction must never renumber")
+    Model.getOrCreate(spark, dir, Seq(("node", "0first", None)))
+    assert(ids() === Map("M" -> 1, "A" -> 2, "B" -> 3, "Z" -> 4, "0first" -> 5))
+    // ids stay dense and bijective throughout
+    assert(ids().values.toSeq.sorted === (1 to 5))
+  }
+
+  test("two racing writers: converged ids are stable under a later writer") {
+    val dir = graft.queries.SessionPublish.tempDir("model-stable-conc")
+    @volatile var failure: Option[Throwable] = None
+    val threads = (0 until 2).map { w =>
+      new Thread(() => try {
+        Model.getOrCreate(spark, dir,
+          Seq(("node", s"W$w-a", None), ("node", s"W$w-b", None), ("node", "shared", None)))
+      } catch { case t: Throwable => failure = Some(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    failure.foreach(throw _)
+    val settled = Model.lookup(Model.read(spark, dir), "node")
+    assert(settled.keySet === Set("W0-a", "W0-b", "W1-a", "W1-b", "shared"))
+    assert(settled.values.toSeq.sorted === (1 to 5), "dense bijective after the race")
+    // a THIRD writer appends: every settled id is untouched
+    Model.getOrCreate(spark, dir, Seq(("node", "later", None)))
+    val after = Model.lookup(Model.read(spark, dir), "node")
+    settled.foreach { case (n, id) =>
+      assert(after(n) === id, s"id of $n changed ($id -> ${after(n)}) after a later writer")
+    }
+    assert(after("later") === 6)
+  }
 }
