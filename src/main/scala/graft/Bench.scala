@@ -189,6 +189,10 @@ object Bench {
     "q_multimodal_resize",
     // winnowing fingerprints: one per-doc window function + distinct
     "q_text_winnow",
+    // round 11: the winnow index read path — O(batch) fingerprints
+    // joined against the published corpus index (warmup pays the
+    // index publish, memoized), df-capped, position-evidenced
+    "q_text_winnow_incremental",
     // BPE fertility: segmentation through the trained vocab + ratio
     "q_quality_fertility",
     // SimHash Hamming<=3 pairs: 4 block equi-joins + bit_count verify

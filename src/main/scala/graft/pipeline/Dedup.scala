@@ -519,16 +519,26 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
-  /** SimHash (16-bit) per document, batch path: one md5 per token,
-    * bit sums via one groupBy. Bit i of the hash word matches
-    * TextOps.hash32(0, token) — the seeded-md5 definition.
+  /** SimHash (16-bit default, up to 64) per document, batch path: one
+    * md5 per token, bit sums via one groupBy. Bit i of the hash word
+    * matches TextOps.hash32(0, token) — the seeded-md5 definition —
+    * for i < 32; bits 32..63 come from the independent second word
+    * hash32(1, token), so wide fingerprints stay one md5-per-seed and
+    * fully oracle-expressible.
     */
   def simhashByDoc(df: DataFrame, idCol: String, text: Column, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash width must be 1..64, got $bits")
+    val words = if (bits <= 32) 1 else 2
     val toks = df.select(col(idCol).as("id"), explode(TextOps.tokens(text)).as("t"))
-      .select(col("id"), TextOps.hash32(0, col("t")).as("h"))
+      .select(col("id") +:
+        (0 until words).map(w => TextOps.hash32(w, col("t")).as(s"h$w")): _*)
+    def bitOf(i: Int) = shiftright(col(s"h${i / 32}"), i % 32) % 2
     val sums = toks.groupBy("id").agg(
       count(lit(1)).as("nt"),
-      (0 until bits).map(i => sum(shiftright(col("h"), i) % 2).as(s"b$i")): _*)
+      (0 until bits).map(i => sum(bitOf(i)).as(s"b$i")): _*)
+    // distinct powers of two: the reduce is bit-assembly, carry-free
+    // (bit 63 = Long.MIN_VALUE added to a non-negative partial sum —
+    // in range, so ANSI arithmetic never trips)
     val hash = (0 until bits)
       .map(i => when(col(s"b$i") * 2 > col("nt"), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -548,7 +558,10 @@ object Dedup {
     * Keys are uniform (simhash bits), so the candidate join is
     * skew-free; block count stays `maxHamming + 1` regardless of
     * corpus size — the selectivity knob is fingerprint WIDTH (`bits`),
-    * not the join fan-out.
+    * not the join fan-out. At a fixed width the candidate volume is
+    * ~N²/2^(bits/blocks): size the width to the corpus with
+    * [[autoSimhashBits]] / [[simhashHammingPairsAuto]] (the default
+    * 32 is the small-corpus/test setting).
     */
   def simhashHammingPairs(df: DataFrame, idCol: String, text: Column,
       maxHamming: Int = 3, bits: Int = 32): DataFrame = {
@@ -572,6 +585,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Fingerprint width for [[simhashHammingPairs]] from the observed
+    * corpus size — the [[autoBands]]/[[Similarity.autoPlanes]] analog
+    * for the Manku blocking scheme. Each of the `maxHamming + 1`
+    * blocks is a join key of `width` bits, so expected bucket
+    * occupancy is N / 2^width and the candidate join emits
+    * ~blocks · N² / 2^width pairs: a FIXED width goes quadratic at
+    * some corpus size no matter what. Width is therefore chosen so
+    * keys carry ~log₂(N / targetBucketRows) bits (constant occupancy,
+    * ~linear candidates), clamped to [8, 64/blocks] — the cap is the
+    * 64-bit long fingerprint; past N ≈ 2^(64/blocks)·target the
+    * scale lever is more tables (Manku's permuted-table design), not
+    * wider keys. At gate/test scale (N ≤ 8192 at the default target) this returns the
+    * 32-bit default, so auto and manual agree exactly there.
+    */
+  def autoSimhashBits(corpusRows: Long, maxHamming: Int = 3,
+      targetBucketRows: Int = 32): Int = {
+    val blocks = maxHamming + 1
+    require(blocks >= 2 && 64 / blocks >= 8,
+      s"maxHamming $maxHamming leaves blocks too narrow for 64-bit fingerprints")
+    require(targetBucketRows >= 1, s"bad targetBucketRows: $targetBucketRows")
+    val need = math.ceil(math.log(
+      math.max(corpusRows, 1).toDouble / targetBucketRows) / math.log(2)).toInt
+    val width = math.min(64 / blocks, math.max(8, need))
+    width * blocks
+  }
+
+  /** [[simhashHammingPairs]] with the fingerprint width auto-selected
+    * from the corpus size ([[autoSimhashBits]] — one count job).
+    */
+  def simhashHammingPairsAuto(df: DataFrame, idCol: String, text: Column,
+      maxHamming: Int = 3, targetBucketRows: Int = 32): DataFrame =
+    simhashHammingPairs(df, idCol, text, maxHamming,
+      autoSimhashBits(df.count(), maxHamming, targetBucketRows))
 
   /** Expression-only SimHash (tests / single rows). */
   def simhash(text: Column, bits: Int = 16): Column = {

@@ -353,6 +353,61 @@ object TextOps {
       .distinct()
   }
 
+  /** Cross-doc overlap against a PUBLISHED winnow fingerprint index
+    * (the MOSS use case): fingerprint the batch (O(batch) — winnowing
+    * is per-doc pure, so batch fingerprints ARE the incremental index
+    * append, and appended-artifact == republish bit-for-bit), join on
+    * the md5-uniform `fp` key, and report per (batch doc, corpus doc)
+    * the shared-fingerprint count with position evidence (earliest
+    * shared fingerprint position on each side). Over-common
+    * fingerprints (boilerplate/licence blocks — the fan-out hazard)
+    * are dropped at MATCH time by a document-frequency cap computed
+    * off the index, so the published artifact itself stays purely
+    * additive. `index` is `winnow(corpus, ...)` output (same k, w).
+    */
+  def winnowMatches(index: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idCol: String, text: Column,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1 && maxDf >= 1, s"bad winnowMatches params: $minShared, $maxDf")
+    val okFp = index.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val c = index.join(okFp, Seq("fp"), "left_semi")
+      .select(col("fp"), col(idCol).as("corpus_id"), col("pos").as("__cpos"))
+    winnow(batch, idCol, text, k, w)
+      .select(col("fp"), col(idCol).as("batch_id"), col("pos").as("__bpos"))
+      .join(c, Seq("fp"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(countDistinct(col("fp")).as("n_shared"),
+        min(col("__bpos")).as("batch_pos"), min(col("__cpos")).as("corpus_pos"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Corpus-wide overlap pairs off one winnow index: every (da < db)
+    * document pair sharing >= `minShared` fingerprints, with the same
+    * df cap and position evidence as [[winnowMatches]]. The join is
+    * keyed by md5-uniform fingerprints and bounded by per-fp document
+    * lists (capped at `maxDf`) — never all-pairs.
+    */
+  def winnowOverlapPairs(index: org.apache.spark.sql.DataFrame, idCol: String,
+      minShared: Int = 2, maxDf: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1 && maxDf >= 1, s"bad winnowOverlapPairs params: $minShared, $maxDf")
+    val okFp = index.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val pruned = index.join(okFp, Seq("fp"), "left_semi")
+    val a = pruned.select(col("fp"), col(idCol).as("da"), col("pos").as("__apos"))
+    val b = pruned.select(col("fp"), col(idCol).as("db"), col("pos").as("__bpos"))
+    a.join(b, Seq("fp")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(countDistinct(col("fp")).as("n_shared"),
+        min(col("__apos")).as("a_pos"), min(col("__bpos")).as("b_pos"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** GPT-style sequence packing (concat-then-split): documents are
     * laid end-to-end in the reproducible md5-hash order (+`sepTokens`
     * separator tokens each, the EOS between documents), and the token

@@ -958,18 +958,46 @@ object TextQueries extends QueryModule {
       "winnowing fingerprints: 3-gram hashes, window-of-4 minima",
       (s, dir) =>
         TextOps.winnow(Tables(s, dir).documents, "doc_id", col("text"), k = 3, w = 4),
-      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-             |g AS (SELECT doc_id, i,
-             |        md5(array_to_string(ts[i:i+2], ' ')) || '|' || lpad(CAST(i AS VARCHAR), 8, '0') AS key,
-             |        greatest(len(ts) - 2, 1) AS np
-             |      FROM tok, LATERAL unnest(range(1, greatest(len(ts) - 1, 2))) AS u(i)),
-             |m AS (SELECT doc_id, i, np,
-             |        min(key) OVER (PARTITION BY doc_id ORDER BY i
-             |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
-             |      FROM g)
-             |SELECT DISTINCT doc_id, CAST(substr(mk, 34, 8) AS BIGINT) AS pos,
-             |       substr(mk, 1, 32) AS fp
-             |FROM m WHERE i <= greatest(np - 3, 1)""".stripMargin)
+      Some(s"""WITH $winnowCtes
+              |SELECT doc_id, pos, fp FROM wf""".stripMargin)
+    ),
+
+    // ---- winnowing index lifecycle: the O(batch) overlap leg ----
+    // The (fp, doc, pos) fingerprint table IS the publishable index
+    // (winnowing is per-doc pure, so batch fingerprints are the
+    // incremental append and appended == republish bit-for-bit —
+    // WinnowIndexSpec pins it). This gate drives the MOSS read path:
+    // a batch fingerprinted O(batch) and joined against the published
+    // corpus index — shared-fingerprint pairs with position evidence,
+    // over-common fingerprints df-capped at match time so the index
+    // stays additive. Oracle = the full-corpus winnow mine restricted
+    // to batch-vs-corpus pairs.
+    QueryDef(
+      "q_text_winnow_incremental",
+      "doc_id%7=3 batch vs the published winnow index: shared-fp pairs with positions",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+        val idxPath = SessionPublish.once(s, "winnow_idx|" + dir) {
+          val p = SessionPublish.tempDir("graft-winnow") + "/index"
+          TextOps.winnow(corpus, "doc_id", col("text"), k = 3, w = 4)
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        TextOps.winnowMatches(s.read.parquet(idxPath), batch, "doc_id", col("text"),
+          k = 3, w = 4, minShared = 2, maxDf = 1000)
+      },
+      Some(s"""WITH $winnowCtes,
+              |cdf AS (SELECT fp FROM wf WHERE doc_id % 7 <> 3
+              |        GROUP BY fp HAVING count(DISTINCT doc_id) <= 1000),
+              |c AS (SELECT w.fp, w.doc_id AS corpus_id, w.pos AS cpos
+              |      FROM wf w JOIN cdf USING (fp) WHERE w.doc_id % 7 <> 3),
+              |b AS (SELECT fp, doc_id AS batch_id, pos AS bpos FROM wf WHERE doc_id % 7 = 3)
+              |SELECT b.batch_id, c.corpus_id, CAST(count(DISTINCT b.fp) AS BIGINT) AS n_shared,
+              |       min(b.bpos) AS batch_pos, min(c.cpos) AS corpus_pos
+              |FROM b JOIN c ON b.fp = c.fp
+              |GROUP BY 1, 2 HAVING count(DISTINCT b.fp) >= 2""".stripMargin)
     ),
 
     // ---- document fingerprinting ----
@@ -984,4 +1012,22 @@ object TextQueries extends QueryModule {
              |FROM documents""".stripMargin)
     )
   )
+
+  /** Winnowing fingerprint CTEs (k=3, w=4; leftmost-min tie rule via
+    * the md5||pos sortable key) — mirrors [[TextOps.winnow]]
+    * term-for-term; `wf` is the (doc_id, pos, fp) index.
+    */
+  private def winnowCtes: String =
+    """tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |g AS (SELECT doc_id, i,
+      |        md5(array_to_string(ts[i:i+2], ' ')) || '|' || lpad(CAST(i AS VARCHAR), 8, '0') AS key,
+      |        greatest(len(ts) - 2, 1) AS np
+      |      FROM tok, LATERAL unnest(range(1, greatest(len(ts) - 1, 2))) AS u(i)),
+      |m AS (SELECT doc_id, i, np,
+      |        min(key) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+      |      FROM g),
+      |wf AS (SELECT DISTINCT doc_id, CAST(substr(mk, 34, 8) AS BIGINT) AS pos,
+      |               substr(mk, 1, 32) AS fp
+      |       FROM m WHERE i <= greatest(np - 3, 1))""".stripMargin
 }

@@ -53,6 +53,47 @@ class FuzzyDecontSpec extends GraftSuite {
     assert(got === want, "block candidates must find EVERY pair within the bound")
   }
 
+  test("64-bit fingerprints: pigeonhole completeness holds on the second hash word") {
+    val docs = (1L to 50L)
+      .map(i => (i, (1 to 10).map(j => s"v${(i * j * 11) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashHammingPairs(docs, "doc_id", col("text"), maxHamming = 3, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.simhashByDoc(docs, "doc_id", col("text"), bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got === want, "64-bit block candidates must find every pair within the bound")
+    // the low 32 bits are EXACTLY the 32-bit fingerprint (word 0),
+    // so widening refines, never redefines, the narrow fingerprint
+    val sh32 = Dedup.simhashByDoc(docs, "doc_id", col("text"), bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh.foreach { case (id, h64) => assert((h64 & 0xFFFFFFFFL) === sh32(id)) }
+  }
+
+  test("autoSimhashBits: 32 at gate scale, wider keys as candidates would go quadratic") {
+    // gate/test corpora select the 32-bit manual default exactly
+    assert(Dedup.autoSimhashBits(60) === 32)
+    assert(Dedup.autoSimhashBits(2500) === 32)
+    assert(Dedup.autoSimhashBits(8192) === 32)
+    // past constant-occupancy for 8-bit keys the width grows ~log2(N)
+    assert(Dedup.autoSimhashBits(16384) === 36)
+    assert(Dedup.autoSimhashBits(50L * 1000 * 1000) === 64)
+    // capped at the 64-bit long fingerprint
+    assert(Dedup.autoSimhashBits(10L * 1000 * 1000 * 1000) === 64)
+    // auto == manual at gate scale, end to end
+    val docs = (1L to 60L)
+      .map(i => (i, (1 to 12).map(j => s"w${(i * j * 7) % 19}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val auto = Dedup.simhashHammingPairsAuto(docs, "doc_id", col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val manual = Dedup.simhashHammingPairs(docs, "doc_id", col("text"), maxHamming = 3, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto === manual)
+  }
+
   test("simhashHammingPairs excludes pairs past the bound") {
     val out = Dedup.simhashHammingPairs(
       Seq((1L, "a b c d e f"), (2L, "q r s t u v w x y z")).toDF("doc_id", "text"),

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextOps
+
+/** Winnowing fingerprint index lifecycle (TextOps.winnow /
+  * winnowMatches / winnowOverlapPairs): per-doc purity makes the
+  * incremental append exactly the republish; matching is df-capped
+  * and position-evidenced (the MOSS read path).
+  */
+class WinnowIndexSpec extends GraftSuite {
+  import spark.implicits._
+
+  // doc 1 and 2 share an 8-token run (>= w+k-1 = 6 guarantees a shared
+  // fingerprint); doc 3 is unrelated; doc 4 repeats 1's run verbatim
+  private val shared = "alpha beta gamma delta epsilon zeta eta theta"
+  private def corpus = Seq(
+    (1L, s"intro words here $shared tail one"),
+    (2L, s"$shared completely different ending tokens"),
+    (3L, "nothing in common with anything else at all whatsoever today")
+  ).toDF("doc_id", "text")
+  private def batch = Seq(
+    (10L, s"prefix $shared suffix"),
+    (11L, "unrelated batch document with its own private vocabulary")
+  ).toDF("doc_id", "text")
+
+  test("incremental append equals republish (winnowing is per-doc pure)") {
+    val full = TextOps.winnow(corpus.unionAll(batch), "doc_id", col("text"), k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val appended = TextOps.winnow(corpus, "doc_id", col("text"), k = 3, w = 4)
+      .unionAll(TextOps.winnow(batch, "doc_id", col("text"), k = 3, w = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(appended === full, "appending batch fingerprints must equal a full republish")
+  }
+
+  test("winnowMatches: shared runs surface with position evidence, unrelated docs do not") {
+    val index = TextOps.winnow(corpus, "doc_id", col("text"), k = 3, w = 4)
+    val got = TextOps.winnowMatches(index, batch, "doc_id", col("text"),
+      k = 3, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet === Set((10L, 1L), (10L, 2L)),
+      s"batch doc 10 shares the run with corpus docs 1 and 2 only: $got")
+    got.foreach { case (_, (nShared, bPos, cPos)) =>
+      assert(nShared >= 2 && bPos >= 1 && cPos >= 1)
+    }
+    // guaranteed-detection property: the shared run is >= w+k-1 tokens
+    assert(got((10L, 1L))._1 >= 1)
+  }
+
+  test("the df cap drops over-common fingerprints at match time, index unchanged") {
+    // every corpus doc carries the same boilerplate run -> its
+    // fingerprints have df = 3 and a cap of 2 suppresses them
+    val boiler = Seq(
+      (1L, s"$shared one"), (2L, s"$shared two"), (3L, s"$shared three")
+    ).toDF("doc_id", "text")
+    val index = TextOps.winnow(boiler, "doc_id", col("text"), k = 3, w = 4)
+    val b = Seq((20L, s"$shared probe")).toDF("doc_id", "text")
+    val capped = TextOps.winnowMatches(index, b, "doc_id", col("text"),
+      k = 3, w = 4, minShared = 1, maxDf = 2).collect()
+    val uncapped = TextOps.winnowMatches(index, b, "doc_id", col("text"),
+      k = 3, w = 4, minShared = 1, maxDf = 1000).collect()
+    assert(uncapped.nonEmpty, "without the cap the boilerplate matches everything")
+    assert(capped.length < uncapped.length,
+      "df-capped matching must suppress fingerprints common to every corpus doc")
+  }
+
+  test("winnowOverlapPairs mines the corpus-wide pair set off one index") {
+    val index = TextOps.winnow(corpus, "doc_id", col("text"), k = 3, w = 4)
+    val pairs = TextOps.winnowOverlapPairs(index, "doc_id", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"only docs 1 and 2 share a run: $pairs")
+  }
+}
