@@ -185,6 +185,10 @@ object Bench {
     // the full curation recipe as one plan: quality -> exact dedup ->
     // near-dup -> decontaminate -> alpha-mixture
     "q_pipeline_pretrain",
+    // round 11: the recipe's O(batch) ingestion leg — batch through
+    // every pre-mixture stage against published indexes (warmup pays
+    // the index publish, memoized)
+    "q_pipeline_pretrain_incremental",
     // multimodal resize: one hex pass, uniform byte subsampling
     "q_multimodal_resize",
     // winnowing fingerprints: one per-doc window function + distinct

@@ -53,6 +53,25 @@ object DedupQueries extends QueryModule {
     * band-then-split ≡ split-then-band), candidates = corpus×bench
     * band collisions, integer Jaccard verify at 500 permille.
     */
+  /** The curation chain through its `clean` survivor set (quality →
+    * keep-first exact dedup → LSH near-dup removal at J>=0.7 →
+    * any-shared-shingle decontamination vs the doc_id%50=0 benchmark)
+    * — shared by the full composite and its batch-incremental twin.
+    */
+  private def pretrainCleanCtes: String =
+    s"""${lshPairsCtes(0.7)},
+       |q AS (SELECT doc_id, text, source FROM documents
+       |      WHERE doc_id % 50 <> 0 AND len(string_split(text,' ')) >= 10),
+       |ex AS (SELECT doc_id, text, source FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q)
+       |       WHERE rn = 1),
+       |ndrop AS (SELECT DISTINCT p.db AS doc_id FROM pairs p
+       |          JOIN ex a ON p.da = a.doc_id JOIN ex b ON p.db = b.doc_id),
+       |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+       |cont AS (SELECT DISTINCT x.doc_id FROM sh x JOIN sh y ON x.s = y.s AND y.doc_id % 50 = 0
+       |         WHERE x.doc_id IN (SELECT doc_id FROM nd)),
+       |clean AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
+
   private def fuzzyDecontOracle: String = {
     val sigCols = (0 until 16).map(j => s"min((a + $j * b) % 4294967296) AS h$j").mkString(", ")
     val bandKeys = (0 until 4).map { b =>
@@ -399,18 +418,7 @@ object DedupQueries extends QueryModule {
           .filter(col("selected") === 1L)
           .select(col("doc_id"), col("source"), col("rnk"), col("quota"))
       },
-      Some(s"""WITH ${lshPairsCtes(0.7)},
-              |q AS (SELECT doc_id, text, source FROM documents
-              |      WHERE doc_id % 50 <> 0 AND len(string_split(text,' ')) >= 10),
-              |ex AS (SELECT doc_id, text, source FROM
-              |        (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q)
-              |       WHERE rn = 1),
-              |ndrop AS (SELECT DISTINCT p.db AS doc_id FROM pairs p
-              |          JOIN ex a ON p.da = a.doc_id JOIN ex b ON p.db = b.doc_id),
-              |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
-              |cont AS (SELECT DISTINCT x.doc_id FROM sh x JOIN sh y ON x.s = y.s AND y.doc_id % 50 = 0
-              |         WHERE x.doc_id IN (SELECT doc_id FROM nd)),
-              |clean AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      Some(s"""WITH $pretrainCleanCtes,
               |n AS (SELECT source, count(*) AS nn FROM clean GROUP BY source),
               |s2 AS (SELECT source, nn, CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS BIGINT) AS ss FROM n),
               |tot AS (SELECT CAST(sum(nn) AS BIGINT) AS N, CAST(sum(ss) AS BIGINT) AS S FROM s2),
@@ -424,6 +432,74 @@ object DedupQueries extends QueryModule {
               |       FROM t2)
               |SELECT c2.doc_id, c2.source, c2.rnk, qta.quota
               |FROM c2 JOIN qta USING (source) WHERE c2.rnk <= qta.quota""".stripMargin)
+    ),
+
+    // ---- the curation recipe's O(batch) ingestion leg ----
+    // A new batch flows through every pre-mixture stage AGAINST
+    // PUBLISHED INDEXES: quality (per-doc), exact dedup via the
+    // content-hash index, near-dup removal via the band index +
+    // candidate-only verify, decontamination via the broadcast
+    // benchmark shingle set. The corpus TEXT is touched only for
+    // candidate verification — never re-shingled, re-banded, or
+    // re-hashed. Oracle = the FULL composite recompute over
+    // corpus ∪ batch, restricted to batch ids — the equivalence that
+    // makes nightly ingestion trustworthy (a displaced keeper, an
+    // id-order near-dup, a stage interaction all route identically).
+    // Mixture quotas are corpus-global by definition and re-derive
+    // from survivor counts downstream (q_mix_alpha's job), so the
+    // incremental leg ends at the clean survivor set.
+    QueryDef(
+      "q_pipeline_pretrain_incremental",
+      "doc_id%7=3 batch through quality -> exact -> near-dup -> decontaminate vs published indexes",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val all = docs.filter(col("doc_id") % 50 =!= 0)
+        val minToks = size(graft.pipeline.TextOps.tokens(col("text"))) >= 10
+        val root = SessionPublish.once(s, "pipeline_inc|" + dir) {
+          val r = SessionPublish.tempDir("graft-pipeline-inc")
+          val qc = all.filter(col("doc_id") % 7 =!= 3).filter(minToks)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("text")).orderBy(col("doc_id"))
+          val exC = qc.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select(col("doc_id"), col("text"))
+            .localCheckpoint(true)
+          Dedup.exactIndex(qc, "doc_id", col("text"))
+            .write.mode("overwrite").parquet(s"$r/exact")
+          Dedup.bandTable(exC, "doc_id", col("text"))
+            .write.mode("overwrite").parquet(s"$r/bands")
+          exC.write.mode("overwrite").parquet(s"$r/survivors")
+          r
+        }
+        val qb = all.filter(col("doc_id") % 7 === 3).filter(minToks)
+        // exact: survive iff the batch doc IS the keeper among
+        // corpus ∪ batch (keep-first = min id, displacement included)
+        val exKeep = Dedup.exactDuplicatesIncremental(
+          s.read.parquet(s"$root/exact"), qb, "doc_id", col("text"))
+          .filter(col("id") === col("keep_id"))
+          .select(col("id").as("doc_id"))
+        val exB = qb.join(exKeep, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        // near-dup: banded batch vs the published index; a batch doc
+        // drops when it is the LARGER endpoint of a verified pair
+        // (displaced corpus keepers shadow correctly: their identical-
+        // text batch keeper fires the same pairs)
+        val pairs = Dedup.nearDuplicatesIncremental(
+          s.read.parquet(s"$root/survivors"), s.read.parquet(s"$root/bands"),
+          exB, "doc_id", col("text"), 0.7)
+        val nd = exB.join(pairs.select(col("db").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        // decontamination: the benchmark shingle set broadcasts
+        val benchSh = broadcast(docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(graft.pipeline.TextOps.shingles(col("text"), 3)).as("s"))
+          .distinct())
+        val contaminated = nd
+          .select(col("doc_id"), explode(graft.pipeline.TextOps.shingles(col("text"), 3)).as("s"))
+          .join(benchSh, Seq("s")).select(col("doc_id")).distinct()
+        nd.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"))
+      },
+      Some(s"""WITH $pretrainCleanCtes
+              |SELECT doc_id, source FROM clean WHERE doc_id % 7 = 3""".stripMargin)
     ),
 
     // ---- SimHash fingerprints (one md5 per token, batch path) ----
