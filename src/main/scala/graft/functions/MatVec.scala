@@ -97,5 +97,5 @@ object MatVec {
 
   def col(vec: Column, matrix: Array[Array[Float]]): Column =
     org.apache.spark.sql.functions.call_function(NAME, vec,
-      org.apache.spark.sql.functions.typedLit(matrix.map(_.toSeq).toSeq))
+      Lits.floatMatrix(matrix.map(_.toSeq).toSeq))
 }

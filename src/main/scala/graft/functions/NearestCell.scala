@@ -111,5 +111,5 @@ object NearestCell {
 
   def col(vec: Column, centroids: Array[Array[Float]]): Column =
     org.apache.spark.sql.functions.call_function(NAME, vec,
-      org.apache.spark.sql.functions.typedLit(centroids.map(_.toSeq).toSeq))
+      Lits.floatMatrix(centroids.map(_.toSeq).toSeq))
 }

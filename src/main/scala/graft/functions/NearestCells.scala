@@ -138,6 +138,6 @@ object NearestCells {
 
   def col(vec: Column, centroids: Array[Array[Float]], k: Int): Column =
     org.apache.spark.sql.functions.call_function(NAME, vec,
-      org.apache.spark.sql.functions.typedLit(centroids.map(_.toSeq).toSeq),
+      Lits.floatMatrix(centroids.map(_.toSeq).toSeq),
       org.apache.spark.sql.functions.lit(k))
 }

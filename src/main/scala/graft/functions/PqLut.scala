@@ -122,5 +122,5 @@ object PqLut {
 
   def col(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
     org.apache.spark.sql.functions.call_function(NAME, vec,
-      org.apache.spark.sql.functions.typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      Lits.floatCube(codebooks.map(_.map(_.toSeq).toSeq).toSeq))
 }

@@ -83,6 +83,6 @@ object SqWeights {
 
   def col(vec: Column, lo: Array[Float], step: Array[Double]): Column =
     org.apache.spark.sql.functions.call_function(NAME, vec,
-      org.apache.spark.sql.functions.typedLit(lo.toSeq),
-      org.apache.spark.sql.functions.typedLit(step.toSeq))
+      Lits.floats(lo.toSeq),
+      Lits.doubles(step.toSeq))
 }

@@ -40,7 +40,7 @@ object Diversity {
 
     def distTo(center: Seq[Float]) =
       lit(1000000L) - round(round(
-        graft.functions.CosineSim.col(col(vecCol), typedLit(center)), 6) * 1000000, 0)
+        graft.functions.CosineSim.col(col(vecCol), graft.functions.Lits.floats(center)), 6) * 1000000, 0)
         .cast("long")
 
     val seed = emb.orderBy(col(idCol)).limit(1)

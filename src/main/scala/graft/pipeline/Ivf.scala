@@ -127,7 +127,7 @@ object Ivf {
     emb
       .withColumn("cell", assign(col(vecCol), index))
       .filter(col("cell").isin(probeCells: _*))
-      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
+      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), graft.functions.Lits.floats(query.toSeq)), 6))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"), col("cell"))
@@ -182,7 +182,7 @@ object Ivf {
     * drift-checked against. One scan + one tiny agg (publish cost).
     */
   private def meanAssignedDist(emb: DataFrame, vecCol: String, index: IvfIndex): Double = {
-    val cents = typedLit(index.centroids.map(_.toSeq).toSeq)
+    val cents = graft.functions.Lits.floatMatrix(index.centroids.map(_.toSeq).toSeq)
     val cv = element_at(cents, col("cell") + 1)
     val d2 = aggregate(
       zip_with(col(vecCol), cv,
@@ -361,7 +361,7 @@ object Ivf {
     Tombstones.applyTo(
       spark.read.parquet(path).filter(col("cell").isin(probeCells: _*) && pred),
       path, idCol)
-      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
+      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), graft.functions.Lits.floats(query.toSeq)), 6))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"), col("cell"))

@@ -155,7 +155,7 @@ object Pq {
   /** Reconstruction: concatenation of the addressed codebook entries. */
   def decode(codes: Column, index: PqIndex): Column =
     flatten(array(index.codebooks.zipWithIndex.map { case (cb, s) =>
-      element_at(typedLit(cb.map(_.toSeq).toSeq), codeAt(codes, s) + 1)
+      element_at(graft.functions.Lits.floatMatrix(cb.map(_.toSeq).toSeq), codeAt(codes, s) + 1)
     }.toIndexedSeq: _*))
 
   /** Squared reconstruction error |v - decode(encode(v))|^2 — the
@@ -197,7 +197,7 @@ object Pq {
     */
   def adcScore(codes: Column, lut: Array[Array[Double]]): Column =
     lut.zipWithIndex.map { case (l, s) =>
-      element_at(typedLit(l.toSeq), codeAt(codes, s) + 1)
+      element_at(graft.functions.Lits.doubles(l.toSeq), codeAt(codes, s) + 1)
     }.reduceLeft(_ + _)
 
   /** Integer-micro ADC (floor(adc * 1e6)): floor of a bit-identical
@@ -245,7 +245,7 @@ object Pq {
     graft.functions.CosineSim.register(spark)
     val cand = topKAdc(spark, codes, idCol, index, query, candidates, pred).select(idCol)
     corpus.join(broadcast(cand), idCol)
-      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
+      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), graft.functions.Lits.floats(query.toSeq)), 6))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"))
@@ -497,7 +497,7 @@ object Pq {
     * residual here would break).
     */
   private def residualCol(vec: Column, cellCol: Column, coarse: Ivf.IvfIndex): Column = {
-    val cents = typedLit(coarse.centroids.map(_.toSeq).toSeq)
+    val cents = graft.functions.Lits.floatMatrix(coarse.centroids.map(_.toSeq).toSeq)
     zip_with(vec, element_at(cents, cellCol + 1), (x, y) => x - y)
   }
 
@@ -681,7 +681,7 @@ object Pq {
   private[pipeline] def rerankFetch(corpus: DataFrame, idCol: String,
       vecCol: String, ids: Seq[Any], query: Array[Float], k: Int): DataFrame =
     corpus.filter(col(idCol).isin(ids: _*))
-      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), typedLit(query.toSeq)), 6))
+      .withColumn("cos", round(graft.functions.CosineSim.col(col(vecCol), graft.functions.Lits.floats(query.toSeq)), 6))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos"))

@@ -35,7 +35,7 @@ object Similarity {
   def topK(embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int,
       cosFn: (Column, Column) => Column = cosine): DataFrame = {
-    val q = typedLit(query)
+    val q = graft.functions.Lits.floats(query)
     embeddings
       .withColumn("cos", round(cosFn(col(vecCol), q), 6))
       // a zero-norm vector scores NaN (0/0) and NaN sorts ABOVE every
@@ -81,7 +81,7 @@ object Similarity {
   /** LSH bucket id: bit p = (v · plane_p > 0). Pure expression. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
-      val signs = typedLit((0 until dim).map(d => planeSign(p, d).toDouble))
+      val signs = graft.functions.Lits.doubles((0 until dim).map(d => planeSign(p, d).toDouble))
       when(dot(vec, signs) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -236,7 +236,7 @@ object RetrievalQueries extends QueryModule {
         val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
         // distributed TakeOrdered first; the rank window sees 20 rows
         val cosLeg = emb.filter(col("vec_id") =!= 0L)
-          .withColumn("cos", round(graft.functions.CosineSim.col(col("embedding"), typedLit(q)), 6))
+          .withColumn("cos", round(graft.functions.CosineSim.col(col("embedding"), graft.functions.Lits.floats(q)), 6))
           .filter(!isnan(col("cos")) && col("cos").isNotNull)
           .orderBy(col("cos").desc, col("vec_id").asc)
           .limit(20)
