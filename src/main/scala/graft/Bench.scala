@@ -388,16 +388,31 @@ object Bench {
       case (k, v) if v >= 0 => rawMedians.getOrElse(k, v)
     }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","value_raw":$totalRaw,"queries":$qs,"queries_raw":$rawq,"spread":$sp,"spread_pre":$spp,"reps":$rps,"warmups":$wus,"warmin_dropped":$wdr,"rep_times":$rts,"rep_gc_ms":$rgc,"cluster_rounds":$ccRounds,"sf":"$sfDir"}"""
-    println(line)
-    // the driver captures a stdout TAIL, which has truncated the
-    // medians map two rounds running — also persist the full line to a
-    // committable artifact (BENCH_r{N}_full.json in the repo)
+    // the driver captures a bounded stdout TAIL: the ~14k-char full
+    // line overflowed it two rounds running ("parsed": null), so the
+    // ONE stdout JSON line is now the CONTRACT fields only — metric,
+    // value, unit, queries (3dp medians), sf — ~5x smaller; the
+    // diagnostics (per-rep times, GC, spreads, warmups) persist in the
+    // validated file artifact (BENCH_r{N}_full.json when committed)
+    def r3s(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + r3s(v) }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3s(total)},"unit":"sec","value_raw":${r3s(totalRaw)},"queries":$qs3,"sf":"$sfDir"}"""
+    // persist the full line to a committable artifact and VALIDATE it
+    // parses (Jackson rides the Spark classpath) — emit-and-check is
+    // one step, never tail-scraping
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, line + "\n")
-    } catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = mapper.readTree(line)
+      require(n.get("queries").size() == results.size &&
+        mapper.readTree(compact).get("queries").size() == results.size,
+        "bench artifact round-trip lost query lines")
+    } catch { case e: Throwable => System.err.println(s"[bench] artifact write/validate failed: $e") }
+    println(compact)
     spark.stop()
   }
 }
