@@ -473,6 +473,7 @@ object GraphAnalytics {
       // distances never increase and the reached set never shrinks,
       // so (count, sum) unchanged <=> the whole state is unchanged
       converged = nNext == n && sNext == s
+      freeCheckpoint(dist) // superseded round: release its blocks
       dist = next; n = nNext; s = sNext
     }
     (dist.select(col("src"), col("id"), col("d").cast("long").as("dist")), rounds)
@@ -618,6 +619,7 @@ object GraphAnalytics {
           .select(col("v").as("id"))).distinct()
       val (next, nNext) = checkpointCounted(active.join(kill, Seq("id"), "left_anti"))
       rounds += 1
+      freeCheckpoint(active) // superseded round (cand frames are kept separately)
       active = next; n = nNext
     }
     val mis = misParts.reverse match {
@@ -769,9 +771,11 @@ object GraphAnalytics {
         .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("a").as("id"), col("lab").as("nl"))
-      labels = labels.join(winners, Seq("id"), "left")
+      val next = labels.join(winners, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
         .localCheckpoint()
+      freeCheckpoint(labels) // superseded round: release its blocks
+      labels = next
     }
     labels
   }
@@ -815,11 +819,13 @@ object GraphAnalytics {
         .select(col("v").as("id"),
           floor(col("ppr") * dampingPermille / (col("deg") * 1000)).cast("long").as("m"))
         .groupBy(col("id")).agg(sum(col("m")).as("m"))
-      r = nodes.join(contrib, Seq("id"), "left")
+      val next = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (when(col("id") === seed, lit(restart)).otherwise(lit(0L))
             + coalesce(col("m"), lit(0L))).as("ppr"))
         .localCheckpoint()
+      freeCheckpoint(r) // superseded round: release its blocks
+      r = next
     }
     r.filter(col("ppr") > 0).select(col("id"), col("ppr").as("ppr_micro"))
   }
@@ -859,11 +865,13 @@ object GraphAnalytics {
         .select(col("v").as("id"),
           floor(col("ppr") * dampingPermille * col("w") / (col("ws") * 1000)).cast("long").as("m"))
         .groupBy(col("id")).agg(sum(col("m")).as("m"))
-      r = nodes.join(contrib, Seq("id"), "left")
+      val next = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (when(col("id") === seed, lit(restart)).otherwise(lit(0L))
             + coalesce(col("m"), lit(0L))).as("ppr"))
         .localCheckpoint()
+      freeCheckpoint(r) // superseded round: release its blocks
+      r = next
     }
     r.filter(col("ppr") > 0).select(col("id"), col("ppr").as("ppr_micro"))
   }
