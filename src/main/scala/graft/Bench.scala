@@ -200,7 +200,11 @@ object Bench {
     // BPE fertility: segmentation through the trained vocab + ratio
     "q_quality_fertility",
     // SimHash Hamming<=3 pairs: 4 block equi-joins + bit_count verify
-    "q_dedup_simhash_hamming")
+    "q_dedup_simhash_hamming",
+    // round 11: the production-width (64-bit/16-bit-key) variant and
+    // corpus-wide winnow overlap mining off one fingerprint index
+    "q_dedup_simhash_hamming_wide",
+    "q_text_winnow_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -434,6 +434,36 @@ object DedupQueries extends QueryModule {
               |FROM c2 JOIN qta USING (source) WHERE c2.rnk <= qta.quota""".stripMargin)
     ),
 
+    // ---- SimHash Hamming pairs at the PRODUCTION width ----
+    // The 64-bit fingerprint (16-bit block keys = 65k buckets) that
+    // autoSimhashBits selects at scale; bits 32..63 come from the
+    // independent second seeded hash word, so the wide path is just
+    // as oracle-expressible as the 32-bit fixture — this gates the
+    // second-word construction and the signed top bit cross-engine.
+    QueryDef(
+      "q_dedup_simhash_hamming_wide",
+      "SimHash pairs at Hamming <= 3 (64-bit fingerprint, 16-bit block keys)",
+      (s, dir) =>
+        Dedup.simhashHammingPairs(Tables(s, dir).documents, "doc_id", col("text"),
+          maxHamming = 3, bits = 64),
+      Some {
+        // bit 63 is the sign bit: its CASE arm adds Long.MIN (the
+        // two's-complement value of 1L << 63), matching Spark exactly
+        val bits64 = (0 until 64).map { i =>
+          val v = if (i == 63) Long.MinValue else 1L << i
+          s"CASE WHEN 2 * len(list_filter(ts, t -> ((${h(s"'${i / 32}'", "t")} >> ${i % 32}) & 1) = 1)) > len(ts) THEN $v ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |shh AS (SELECT doc_id, ($bits64) AS simhash FROM tok),
+           |k AS (SELECT doc_id, simhash, b.b AS blk, (simhash >> (b.b * 16)) & 65535 AS key
+           |      FROM shh, (SELECT unnest(range(0, 4)) AS b) b)
+           |SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+           |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+           |FROM k a JOIN k c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id
+           |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""".stripMargin
+      }
+    ),
+
     // ---- the curation recipe's O(batch) ingestion leg ----
     // A new batch flows through every pre-mixture stage AGAINST
     // PUBLISHED INDEXES: quality (per-doc), exact dedup via the

@@ -1000,6 +1000,27 @@ object TextQueries extends QueryModule {
               |GROUP BY 1, 2 HAVING count(DISTINCT b.fp) >= 2""".stripMargin)
     ),
 
+    // ---- corpus-wide winnow overlap pairs (MOSS mining) ----
+    // Every document pair sharing >= 2 winnow fingerprints, with
+    // position evidence and the df cap — the one-index form of the
+    // batch gate above; the join is keyed by md5-uniform fingerprints
+    // and bounded by per-fp document lists, never all-pairs.
+    QueryDef(
+      "q_text_winnow_overlap",
+      "document pairs sharing >= 2 winnow fingerprints (df-capped, positioned)",
+      (s, dir) =>
+        TextOps.winnowOverlapPairs(
+          TextOps.winnow(Tables(s, dir).documents, "doc_id", col("text"), k = 3, w = 4),
+          "doc_id", minShared = 2, maxDf = 1000),
+      Some(s"""WITH $winnowCtes,
+              |cdf AS (SELECT fp FROM wf GROUP BY fp HAVING count(DISTINCT doc_id) <= 1000),
+              |p AS (SELECT w.fp, w.doc_id, w.pos FROM wf w JOIN cdf USING (fp))
+              |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+              |  min(a.pos) AS a_pos, min(b.pos) AS b_pos
+              |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
+    ),
+
     // ---- document fingerprinting ----
     QueryDef(
       "q_text_fingerprint",

@@ -229,4 +229,19 @@ class PlanSpec extends GraftSuite {
       !p.contains("BroadcastHashJoin"),
       s"winnowing must not join at all — one window function + distinct:\n${p.take(2000)}")
   }
+
+  test("round-11 gates: equi-joins only, no cartesian, no unpartitioned window") {
+    Seq("q_text_winnow_incremental", "q_text_winnow_overlap",
+      "q_pipeline_pretrain_incremental", "q_dedup_simhash_hamming_wide",
+      "q_kcore").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must plan equi-joins only:\n${p.take(1500)}")
+      // the per-doc winnow window is partitioned; nothing here may
+      // funnel the corpus through a single-partition WindowExec
+      assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+        s"$q plans an unpartitioned window:\n${p.take(1500)}")
+    }
+  }
+
 }
