@@ -204,7 +204,12 @@ object Bench {
     // round 11: the production-width (64-bit/16-bit-key) variant and
     // corpus-wide winnow overlap mining off one fingerprint index
     "q_dedup_simhash_hamming_wide",
-    "q_text_winnow_overlap")
+    "q_text_winnow_overlap",
+    // round 12: Manku permuted-table SimHash (the >2M-doc tier — 20
+    // combination tables with ~31-bit keys) and the MVCC rollback
+    // purge rewrite
+    "q_dedup_simhash_tables",
+    "q_mvcc_purge_aborted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -399,22 +404,35 @@ object Bench {
     // diagnostics (per-rep times, GC, spreads, warmups) persist in the
     // validated file artifact (BENCH_r{N}_full.json when committed)
     def r3s(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + r3s(v) }.mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":${r3s(total)},"unit":"sec","value_raw":${r3s(totalRaw)},"queries":$qs3,"sf":"$sfDir"}"""
     // persist the full line to a committable artifact and VALIDATE it
     // parses (Jackson rides the Spark classpath) — emit-and-check is
     // one step, never tail-scraping
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // stdout layout for the driver's BOUNDED TAIL capture (~3 kB incl.
+    // sbt's epilogue — r9-r11 all overflowed it with one long line and
+    // read "parsed": null): the per-query medians go out as SMALL
+    // SELF-CONTAINED chunk lines (each independently parseable, newest
+    // nearest the end), and the very LAST line is a <=500-char contract
+    // (total, sf, artifact path, query/chunk counts) that fits ANY
+    // plausible window. A consumer that only reads the final line gets
+    // the totals + where the full data lives; one that reassembles
+    // chunk lines gets every per-query median the window held.
+    val chunks = results.map { case (k, v) => "\"" + k + "\":" + r3s(v) }.grouped(10).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_chunk","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    }
+    val compact =
+      s"""{"metric":"total","value":${r3s(total)},"unit":"sec","value_raw":${r3s(totalRaw)},"n_queries":${results.size},"queries_parts":${chunks.size},"artifact":"$outFile","sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get(outFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, line + "\n")
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val n = mapper.readTree(line)
-      require(n.get("queries").size() == results.size &&
-        mapper.readTree(compact).get("queries").size() == results.size,
+      require(n.get("queries").size() == results.size,
         "bench artifact round-trip lost query lines")
+      require(compact.length <= 500,
+        s"final contract line must fit the driver tail window: ${compact.length} chars")
     } catch { case e: Throwable => System.err.println(s"[bench] artifact write/validate failed: $e") }
     println(compact)
     spark.stop()

@@ -653,7 +653,7 @@ object GraphAnalytics {
     * block manager, starving execution memory ("unable to acquire")
     * long before the data is actually large.
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false): Unit
       case _ => ()

@@ -57,12 +57,52 @@ object Model {
     * `dir/model` location are pruned only after the flip is durable.
     */
   def write(model: DataFrame, dir: String): Unit = {
-    val prev = currentBaseVersion(dir)
-    val next = prev.getOrElse(0L) + 1
+    // claim the target version EXCLUSIVELY before writing: two racing
+    // writers (e.g. concurrent [[compact]]s) otherwise both resolve
+    // prev=N and run overwrite-mode parquet jobs into the same
+    // v(N+1) directory concurrently — a torn base
+    var next = currentBaseVersion(dir).getOrElse(0L) + 1
+    while (!Sidecar.createExclusive(s"$dir/model_base/claim-v$next")) next += 1
     model.coalesce(1).write.mode("overwrite").parquet(s"$dir/model_base/v$next")
-    Sidecar.writeString(s"$dir/model_base/current", next.toString) // THE flip
-    prev.foreach(p => Sidecar.delete(s"$dir/model_base/v$p", recursive = true))
+    // THE flip — max-guarded like the TxLog watermark: a writer that
+    // claimed a HIGHER version and flipped first wins; pointing
+    // backward would resurrect a base missing that writer's segments
+    // (whose segment files it may already have deleted)
+    var flipped = false
+    while (!flipped) {
+      val cur = currentBaseVersion(dir).getOrElse(0L)
+      if (cur >= next) flipped = true
+      else {
+        Sidecar.writeString(s"$dir/model_base/current", next.toString)
+        flipped = currentBaseVersion(dir).exists(_ >= next)
+      }
+    }
+    // prune superseded versions DEFERRED (age-gated), never right at
+    // the flip: a lazily-executing reader that resolved basePath just
+    // before it would FileNotFound mid-scan
+    pruneBaseVersions(dir)
     Sidecar.delete(s"$dir/model", recursive = true) // legacy location
+  }
+
+  /** Janitor for superseded base versions: delete `model_base/v<N>`
+    * directories below the current pointer whose last write is older
+    * than `graceMs` (the in-flight-reader horizon — a reader that
+    * resolved the old path keeps scanning it unharmed within the
+    * window). Runs inside every [[write]]; callers can invoke it
+    * directly with a tighter grace in tests or a looser one for
+    * long-running readers.
+    */
+  def pruneBaseVersions(dir: String, graceMs: Long = 60000): Unit = {
+    val cur = currentBaseVersion(dir).getOrElse(return)
+    val cutoff = System.currentTimeMillis() - graceMs
+    Sidecar.listNames(s"$dir/model_base")
+      .flatMap(n => parseSeq(n, "v"))
+      .filter(_ < cur)
+      .filter(v => Sidecar.modificationTime(s"$dir/model_base/v$v").forall(_ < cutoff))
+      .foreach { v =>
+        Sidecar.delete(s"$dir/model_base/v$v", recursive = true)
+        Sidecar.delete(s"$dir/model_base/claim-v$v")
+      }
   }
 
   private def currentBaseVersion(dir: String): Option[Long] =
@@ -117,10 +157,28 @@ object Model {
 
   private def segDir(dir: String) = s"$dir/model_segments"
 
-  /** Claimed-but-unpublished gaps younger than this truncate the
-    * visible view (an in-flight publish); older gaps are janitored.
+  /** Claimed-but-unpublished gaps younger than the publish grace
+    * truncate the visible view (an in-flight publish); older gaps are
+    * janitored. The window is a STORE-LEVEL setting (persisted beside
+    * the segments, read by every session) because the janitor runs in
+    * whichever session happens to read: a slow publisher raising only
+    * its OWN call's patience cannot stop OTHER sessions from
+    * tombstoning it — the horizon must be shared to mean anything.
     */
-  private val publishGraceMs: Long = 10000
+  private val defaultPublishGraceMs: Long = 10000
+
+  /** The store's shared publish-grace window (see the note above). */
+  def publishGraceMs(dir: String): Long =
+    Sidecar.readString(s"${segDir(dir)}/grace-ms")
+      .flatMap(_.trim.toLongOption).getOrElse(defaultPublishGraceMs)
+
+  /** Persist the store-level grace window all sessions will honor —
+    * set it BEFORE slow publishers start, not per-call.
+    */
+  def setPublishGraceMs(dir: String, ms: Long): Unit = {
+    require(ms > 0, s"grace must be positive: $ms")
+    Sidecar.writeString(s"${segDir(dir)}/grace-ms", ms.toString)
+  }
 
   private def parseSeq(name: String, prefix: String): Option[Long] =
     if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption else None
@@ -129,7 +187,7 @@ object Model {
     * first unresolved claim gap (see the protocol note above).
     */
   private def segmentNames(dir: String): Seq[String] =
-    visibleSegments(dir, publishGraceMs)
+    visibleSegments(dir, publishGraceMs(dir))
 
   private def visibleSegments(dir: String, graceMs: Long): Seq[String] = {
     val entries = Sidecar.listNames(segDir(dir))
@@ -217,10 +275,17 @@ object Model {
     * of this call (a concurrent writer may grow it further — re-read
     * for the latest view; convergence is ModelConcurrencySpec's
     * contract).
+    *
+    * `graceMs` (≤ 0 = the store setting) governs only THIS session's
+    * wait deadline and janitor horizon; concurrent sessions tombstone
+    * claim gaps at the STORE-LEVEL grace ([[publishGraceMs]]) — to
+    * protect a slow publisher from other sessions' janitors, raise the
+    * shared window with [[setPublishGraceMs]], not this parameter.
     */
   def getOrCreate(spark: SparkSession, dir: String,
       entries: Seq[(String, String, Option[Byte])],
-      graceMs: Long = publishGraceMs): DataFrame = {
+      graceMs: Long = -1L): DataFrame = {
+    val grace = if (graceMs > 0) graceMs else publishGraceMs(dir)
     entries.foreach { case (k, n, _) =>
       require(!k.contains('\t') && !n.contains('\t') && !k.contains('\n') && !n.contains('\n'),
         s"model names must not contain tabs/newlines: ($k, $n)")
@@ -240,7 +305,8 @@ object Model {
     while (!visible) {
       attempt += 1
       require(attempt <= 5,
-        s"segment publish kept getting janitored — raise graceMs ($graceMs ms)?")
+        s"segment publish kept getting janitored — raise the STORE grace " +
+          s"(Model.setPublishGraceMs; this session's horizon was $grace ms)")
       val seq = claimSeq(dir)
       val segName = f"seg-$seq%012d"
       Sidecar.writeString(s"${segDir(dir)}/$segName", content)
@@ -248,15 +314,15 @@ object Model {
       // writers' in-flight publishes (milliseconds) or crashed claims
       // (janitored after graceMs); a dead-marker on OUR seq means we
       // stalled past the grace between claim and write — re-claim
-      val deadline = System.currentTimeMillis() + 2 * graceMs + 2000
+      val deadline = System.currentTimeMillis() + 2 * grace + 2000
       def dead = Sidecar.exists(s"${segDir(dir)}/dead-$seq")
-      visible = visibleSegments(dir, graceMs).contains(segName)
+      visible = visibleSegments(dir, grace).contains(segName)
       while (!visible && !dead) {
         if (System.currentTimeMillis() >= deadline)
           throw new IllegalStateException(
             s"segment $segName did not become visible within the grace deadline")
         Thread.sleep(20)
-        visible = visibleSegments(dir, graceMs).contains(segName)
+        visible = visibleSegments(dir, grace).contains(segName)
       }
     }
     read(spark, dir)
@@ -273,14 +339,34 @@ object Model {
     * pending segment's ids are unchanged by the fold (its rank offset
     * — the per-kind max id — is exactly what the fold preserved).
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val segs = segmentNames(dir)
-    if (segs.isEmpty) return
-    val merged = readWithSegments(spark, dir, segs).localCheckpoint()
-    write(merged, dir)
-    segs.foreach { n =>
-      Sidecar.delete(s"${segDir(dir)}/$n")
-      Sidecar.delete(s"${segDir(dir)}/claim-${n.stripPrefix("seg-").toLong}")
+  def compact(spark: SparkSession, dir: String,
+      lockHorizonMs: Long = 60 * 60 * 1000L): Unit = {
+    // serialize compactors (the TxLog.compact lock protocol, incl. the
+    // rename-steal stale break): two concurrent folds could otherwise
+    // interleave segment-file deletes with the other's segment READS —
+    // the slower one merging a now-missing segment as empty and, if
+    // its version wins the flip, publishing a base that LOST names.
+    // getOrCreate never takes the lock: it only appends new segments,
+    // and the fold deletes exactly the segments it merged.
+    val lock = s"${segDir(dir)}/compact-lock"
+    if (!Sidecar.createExclusive(lock)) {
+      def staleNow = Sidecar.modificationTime(lock)
+        .exists(_ < System.currentTimeMillis() - lockHorizonMs)
+      if (!staleNow) return // a live compactor is folding; idempotent no-op
+      val tomb = s"$lock-broken-${java.util.UUID.randomUUID().toString.take(8)}"
+      if (!staleNow || !Sidecar.rename(lock, tomb)) return // lost the break race
+      Sidecar.delete(tomb)
+      if (!Sidecar.createExclusive(lock)) return
     }
+    try {
+      val segs = segmentNames(dir)
+      if (segs.isEmpty) return
+      val merged = readWithSegments(spark, dir, segs).localCheckpoint()
+      write(merged, dir)
+      segs.foreach { n =>
+        Sidecar.delete(s"${segDir(dir)}/$n")
+        Sidecar.delete(s"${segDir(dir)}/claim-${n.stripPrefix("seg-").toLong}")
+      }
+    } finally Sidecar.delete(lock)
   }
 }

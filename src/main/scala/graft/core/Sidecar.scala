@@ -162,7 +162,25 @@ object Sidecar {
     */
   def modificationTime(path: String): Option[Long] = {
     val (fs, p) = fsFor(path)
-    if (!fs.exists(p)) None else Some(fs.getFileStatus(p).getModificationTime)
+    // exists-then-getFileStatus is a TOCTOU under concurrent marker
+    // deletion (Model.compact removing claims, TxLog.compact cleanup):
+    // a file deleted between the two calls must read as "absent", not
+    // throw out of visibleSegments/abortStale
+    try { if (!fs.exists(p)) None else Some(fs.getFileStatus(p).getModificationTime) }
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Single-file rename WITHOUT overwrite fallbacks: true iff THIS
+    * caller moved `src` to `dst`. Because a rename's source must exist
+    * at the instant of the move, racing callers renaming the same file
+    * to distinct destinations get exactly one winner — the steal
+    * primitive for breaking stale locks ([[graft.operators.TxLog.compact]]).
+    */
+  def rename(src: String, dst: String): Boolean = {
+    val (fs, s) = fsFor(src)
+    val d = new Path(dst)
+    try fs.exists(s) && fs.rename(s, d)
+    catch { case _: java.io.IOException => false }
   }
 
   /** Child names of `dir` (empty if absent). */

@@ -86,6 +86,28 @@ object Mvcc {
   def compact(versioned: DataFrame, horizon: Long): DataFrame =
     versioned.filter(col("tx_max").isNull || col("tx_max") >= horizon)
 
+  /** Physically purge rolled-back transactions (the data half of the
+    * reference's `deleteTx`, MVCC.hs:301-312): versions an aborted tx
+    * STAGED (`tx_min` aborted) are dropped — [[compact]] never touches
+    * them, their `tx_max` is null — and versions an aborted tx CLOSED
+    * (`tx_max` aborted) are re-opened, undoing the staged delete.
+    * After the rewrite is durable no row references the aborted ids,
+    * so their abort markers can be dropped
+    * ([[TxLog.purgeAborted]] composes the two) — visibility for every
+    * live reader is unchanged because an aborted id never satisfies
+    * the committed predicate anyway. `aborted` is driver-bounded (the
+    * retained abort list, in-flight-window sized — see the TxLog class
+    * note), so the predicate is two `isin`s, codegen-friendly.
+    */
+  def purgeAborted(versioned: DataFrame, aborted: Set[Long]): DataFrame = {
+    if (aborted.isEmpty) return versioned
+    val ids = aborted.toSeq
+    versioned
+      .filter(!col("tx_min").isin(ids: _*))
+      .withColumn("tx_max",
+        when(col("tx_max").isin(ids: _*), lit(null).cast("long")).otherwise(col("tx_max")))
+  }
+
   /** Cascading node delete (APITest.hs:55-68 semantics): closing a
     * node version also closes every live incident edge — the
     * reference's chain-repair walk (API.hs:363-429) becomes one

@@ -70,21 +70,47 @@ object TxLog {
   /** THE commit point: one atomic marker. Idempotent. Committing a
     * rolled-back transaction is a caller bug — fail loud, never let
     * both markers exist.
+    *
+    * Both-markers convergence: the pre-check and the marker write are
+    * not one atomic step, so a janitor ([[abortStale]]) or a racing
+    * [[abort]] can land its marker in between. Each writer therefore
+    * RE-CHECKS for the opposing marker after writing its own and backs
+    * off (deletes its marker, fails loud) if it finds one — the
+    * Dekker-style second-writer-yields rule. In every interleaving at
+    * most one marker survives, a commit() that RETURNED SUCCESS is
+    * never silently overridden by an abort, and the symmetric
+    * both-back-off case leaves the tx unresolved (loud commit failure;
+    * the janitor re-aborts it on a later pass). TxLogSpec races the
+    * pair and asserts the invariant.
     */
   def commit(dir: String, tx: Long): Unit = {
     if (Sidecar.exists(s"${txDir(dir)}/abort-$tx"))
       throw new IllegalStateException(s"tx $tx was rolled back; cannot commit")
     Sidecar.writeString(s"${txDir(dir)}/commit-$tx", "")
+    if (Sidecar.exists(s"${txDir(dir)}/abort-$tx")) {
+      Sidecar.delete(s"${txDir(dir)}/commit-$tx")
+      throw new IllegalStateException(
+        s"tx $tx was rolled back concurrently; commit lost the race and is NOT durable")
+    }
   }
 
   /** Explicit rollback (deleteTx, MVCC.hs:301-312): resolves the id
     * without committing it, so the watermark can advance past it.
     * Idempotent. Aborting a committed transaction is a caller bug.
+    * Converges against a racing [[commit]] by the same
+    * write-then-re-check rule (see [[commit]]'s note): if the commit
+    * marker landed between our pre-check and our marker write, the
+    * abort yields — the committed transaction stays durable.
     */
   def abort(dir: String, tx: Long): Unit = {
     if (isCommitted(dir, tx))
       throw new IllegalStateException(s"tx $tx is committed; cannot abort")
     Sidecar.writeString(s"${txDir(dir)}/abort-$tx", "")
+    if (Sidecar.exists(s"${txDir(dir)}/commit-$tx")) {
+      Sidecar.delete(s"${txDir(dir)}/abort-$tx")
+      throw new IllegalStateException(
+        s"tx $tx committed concurrently; abort lost the race")
+    }
   }
 
   /** Crash janitor: abort every allocated-but-unresolved tx whose
@@ -103,7 +129,14 @@ object TxLog {
       .filter(id => id > w && !resolved(id))
       .filter(id => Sidecar.modificationTime(s"${txDir(dir)}/alloc-$id").exists(_ < cutoff))
       .sorted
-      .map { id => abort(dir, id); id }
+      // a slow writer's commit can land between the unresolved listing
+      // above and the abort — [[abort]]'s write-then-re-check yields to
+      // it (deleting the janitor's marker); the janitor then simply
+      // does not report that id as aborted
+      .flatMap { id =>
+        try { abort(dir, id); Some(id) }
+        catch { case _: IllegalStateException => None }
+      }
   }
 
   /** The committed set above the watermark plus the watermark itself
@@ -173,11 +206,21 @@ object TxLog {
   def compact(dir: String, lockHorizonMs: Long = 60 * 60 * 1000L): Unit = {
     val lock = s"${txDir(dir)}/compact-lock"
     if (!Sidecar.createExclusive(lock)) {
-      val stale = Sidecar.modificationTime(lock)
+      // break a dead compactor's lock by RENAMING it to a unique
+      // tombstone: a rename's source must exist at the instant of the
+      // move, so (a) two breakers can never both succeed (the r11
+      // check-mtime-then-delete let a pair delete a stale lock AND a
+      // fresh replacement — two live compactors), and (b) the mtime
+      // re-read immediately before the steal keeps the
+      // fresh-lock-replaced-stale window to microseconds instead of
+      // the whole staleness check
+      def staleNow = Sidecar.modificationTime(lock)
         .exists(_ < System.currentTimeMillis() - lockHorizonMs)
-      if (!stale) return // another compactor is active; this run is a no-op
-      Sidecar.delete(lock)
-      if (!Sidecar.createExclusive(lock)) return // lost the break race
+      if (!staleNow) return // another compactor is active; this run is a no-op
+      val tomb = s"$lock-broken-${java.util.UUID.randomUUID().toString.take(8)}"
+      if (!staleNow || !Sidecar.rename(lock, tomb)) return // lost the break race
+      Sidecar.delete(tomb)
+      if (!Sidecar.createExclusive(lock)) return // a third compactor slipped in
     }
     try {
       val w0 = watermark(dir)
@@ -209,5 +252,29 @@ object TxLog {
     require(bad.isEmpty,
       s"cannot forget aborts above the watermark $w: ${bad.toSeq.sorted.mkString(", ")}")
     ids.foreach(id => Sidecar.delete(s"${txDir(dir)}/abort-$id"))
+  }
+
+  /** THE end-to-end rollback purge (the maintenance recipe `forgetAborted`
+    * assumes): take every abort marker at or below the watermark,
+    * rewrite the versioned data with those transactions physically
+    * removed ([[Mvcc.purgeAborted]] — staged creates dropped, staged
+    * deletes re-opened), hand the purged frame to `persist` (the
+    * caller's durable snapshot rewrite — forgetting markers before the
+    * rewrite is durable would make the staged versions visible on a
+    * crash, which is why the two steps compose HERE and not ad hoc),
+    * and only then drop the markers. Returns the purged ids. Aborts
+    * above the watermark stay: they may still be racing a commit.
+    * Invariant (gated by TxLogSpec): after a purge cycle no surviving
+    * row has `tx_min`/`tx_max` in the purged set and no purged marker
+    * survives, while reads through [[committedColumn]] are unchanged.
+    */
+  def purgeAborted(dir: String, versioned: org.apache.spark.sql.DataFrame)(
+      persist: org.apache.spark.sql.DataFrame => Unit): Set[Long] = {
+    val w = watermark(dir)
+    val purgeable = abortedSet(dir).filter(_ <= w)
+    if (purgeable.isEmpty) return Set.empty
+    persist(Mvcc.purgeAborted(versioned, purgeable))
+    forgetAborted(dir, purgeable)
+    purgeable
   }
 }

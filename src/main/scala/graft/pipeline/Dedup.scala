@@ -620,6 +620,114 @@ object Dedup {
     simhashHammingPairs(df, idCol, text, maxHamming,
       autoSimhashBits(df.count(), maxHamming, targetBucketRows))
 
+  /** SimHash Hamming pairs via Manku's PERMUTED-TABLE design (WWW'07
+    * §3) — the tier past [[autoSimhashBits]]' 16-bit key cap. Split
+    * the fingerprint into `numBlocks > maxHamming + 1` blocks; a pair
+    * within Hamming distance `maxHamming` differs in at most
+    * `maxHamming` blocks, so it agrees EXACTLY on some combination of
+    * `numBlocks - maxHamming` blocks (pigeonhole — recall stays
+    * exact). Each combination is one "table": its key concatenates the
+    * chosen blocks' bits, `C(numBlocks, maxHamming)` tables total.
+    * Keys carry `~bits·(numBlocks-maxHamming)/numBlocks` bits — e.g.
+    * 31 at numBlocks=6 vs the 16 the single-block scheme caps at — so
+    * expected candidates are `tables · N² / 2^keyWidth`: the extra
+    * key bits buy ~2^15 candidate reduction for a 5× table fan-out at
+    * numBlocks=6. `numBlocks = maxHamming + 1` degenerates to exactly
+    * [[simhashHammingPairs]] (one block per table).
+    *
+    * Reference-shape anchor: several independent key encodings over
+    * one record set is the trie's multi-index layout
+    * (HGraphStorage Index.hs:70-138).
+    */
+  def simhashHammingPairsTables(df: DataFrame, idCol: String, text: Column,
+      maxHamming: Int = 3, numBlocks: Int = 6, bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash width must be 1..64, got $bits")
+    require(numBlocks > maxHamming && numBlocks <= bits,
+      s"need maxHamming < numBlocks <= bits: k=$maxHamming B=$numBlocks bits=$bits")
+    if (numBlocks == maxHamming + 1 && bits % numBlocks == 0)
+      return simhashHammingPairs(df, idCol, text, maxHamming, bits)
+    // block widths differ by at most one (the first `bits % B` blocks
+    // take the extra bit); a combination key must fit a non-negative
+    // long, so the WIDEST combination is bounded at 63 bits
+    val q = bits / numBlocks
+    val r = bits % numBlocks
+    val widths  = (0 until numBlocks).map(b => if (b < r) q + 1 else q)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val combos  = (0 until numBlocks).combinations(numBlocks - maxHamming).toSeq
+    val maxKeyWidth = widths.sorted.takeRight(numBlocks - maxHamming).sum
+    require(maxKeyWidth <= 63,
+      s"combination keys would overflow a long: $maxKeyWidth bits (lower numBlocks)")
+    val sh = simhashByDoc(df, idCol, text, bits)
+    // arithmetic shiftright sign-extends the top block: mask AFTER the
+    // shift (the q_dedup_simhash_hamming_wide bit-63 rule)
+    def comboKey(c: Seq[Int]): Column =
+      c.foldLeft(lit(0L): Column) { (acc, b) =>
+        shiftleft(acc, widths(b)).bitwiseOR(
+          shiftright(col("simhash"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1)))
+      }
+    val keyed = sh.select(col("id"), col("simhash"),
+      explode(array(combos.zipWithIndex.map { case (c, t) =>
+        struct(lit(t).as("tbl"), comboKey(c).as("key")) }: _*)).as("tk"))
+      .select(col("id"), col("simhash"), col("tk.tbl").as("tbl"), col("tk.key").as("key"))
+    val a = keyed.select(col("tbl"), col("key"), col("id").as("da"), col("simhash").as("sa"))
+    val b = keyed.select(col("tbl"), col("key"), col("id").as("db"), col("simhash").as("sb"))
+    a.join(b, Seq("tbl", "key")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Block count for [[simhashHammingPairsTables]] from the observed
+    * corpus size — picks the SMALLEST block count whose narrowest
+    * combination key still holds `~log₂(N / targetBucketRows)` bits
+    * (constant bucket occupancy ⇒ ~linear candidates), so the table
+    * fan-out `C(B, maxHamming)` is never paid before the key width
+    * needs it. Returns `maxHamming + 1` (the plain
+    * [[simhashHammingPairs]] fan-out) up to N ≈ 2^(64/(k+1))·target —
+    * ~2 M docs at the defaults — then steps up. Capped where the key
+    * budget tops out (B=8 at k=3: 40-bit keys ≈ 3.5e13 docs at the
+    * default target; corpora past THAT cap want sharded fingerprint
+    * spaces, not more tables).
+    */
+  def autoSimhashBlocks(corpusRows: Long, maxHamming: Int = 3,
+      targetBucketRows: Int = 32): Int = {
+    val k = maxHamming
+    require(k >= 1 && 64 / (k + 1) >= 8,
+      s"maxHamming $k leaves blocks too narrow for 64-bit fingerprints")
+    require(targetBucketRows >= 1, s"bad targetBucketRows: $targetBucketRows")
+    val need = math.ceil(math.log(
+      math.max(corpusRows, 1).toDouble / targetBucketRows) / math.log(2)).toInt
+    def minComboWidth(bb: Int): Int = {
+      val q = 64 / bb; val r = 64 % bb
+      val take = bb - k
+      val smalls = math.min(take, bb - r) // the width-q blocks first
+      smalls * q + (take - smalls) * (q + 1)
+    }
+    // cap: the largest B whose table count stays near the key payoff
+    // (C(8,3)=56 tables / 40-bit keys at k=3); past it width gains
+    // shrink while fan-out explodes
+    val bMax = 8
+    var b = k + 1
+    while (b < bMax && minComboWidth(b) < need) b += 1
+    b
+  }
+
+  /** The full-range scale entry for SimHash near-dup pairs: one count
+    * job, then the cheapest EXACT blocking for that corpus size —
+    * width-tier ([[autoSimhashBits]], `maxHamming+1` tables) while
+    * narrow fingerprints suffice, Manku permuted tables
+    * ([[autoSimhashBlocks]]) once the 64-bit key budget binds.
+    */
+  def simhashHammingPairsScaled(df: DataFrame, idCol: String, text: Column,
+      maxHamming: Int = 3, targetBucketRows: Int = 32): DataFrame = {
+    val n = df.count()
+    val bits = autoSimhashBits(n, maxHamming, targetBucketRows)
+    if (bits < 64) simhashHammingPairs(df, idCol, text, maxHamming, bits)
+    else simhashHammingPairsTables(df, idCol, text, maxHamming,
+      autoSimhashBlocks(n, maxHamming, targetBucketRows), 64)
+  }
+
   /** Expression-only SimHash (tests / single rows). */
   def simhash(text: Column, bits: Int = 16): Column = {
     val ts = TextOps.tokens(text)

@@ -365,14 +365,35 @@ object TextOps {
     * off the index, so the published artifact itself stays purely
     * additive. `index` is `winnow(corpus, ...)` output (same k, w).
     */
+  /** The document-frequency cap as a Column: the absolute `maxDf`, or
+    * — when `maxDfPermille` is set — that permille of the index's
+    * distinct documents (floor 1). An absolute cap silently changes
+    * meaning across corpus sizes (1000 docs is every doc at probe
+    * scale, noise at 100 TB); the relative form keeps "boilerplate"
+    * defined as a corpus FRACTION. The doc count rides in as a 1-row
+    * broadcast cross join — declarative, never a driver collect.
+    */
+  private def dfCap(index: org.apache.spark.sql.DataFrame, idCol: String,
+      maxDf: Int, maxDfPermille: Option[Int])
+      : (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, Column) =
+    maxDfPermille match {
+      case None => (identity, lit(maxDf.toLong))
+      case Some(p) =>
+        require(p >= 1 && p <= 1000, s"bad maxDfPermille: $p")
+        val n = broadcast(index.agg(countDistinct(col(idCol)).as("__ndocs")))
+        (df => df.crossJoin(n),
+          greatest(floor(col("__ndocs") * p / 1000), lit(1L)))
+    }
+
   def winnowMatches(index: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame, idCol: String, text: Column,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
-      maxDf: Int = 1000): org.apache.spark.sql.DataFrame = {
+      maxDf: Int = 1000, maxDfPermille: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     require(minShared >= 1 && maxDf >= 1, s"bad winnowMatches params: $minShared, $maxDf")
-    val okFp = index.groupBy(col("fp"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") <= maxDf)
+    val (withCap, cap) = dfCap(index, idCol, maxDf, maxDfPermille)
+    val okFp = withCap(index.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("__df")))
+      .filter(col("__df") <= cap)
       .select(col("fp"))
     val c = index.join(okFp, Seq("fp"), "left_semi")
       .select(col("fp"), col(idCol).as("corpus_id"), col("pos").as("__cpos"))
@@ -392,11 +413,13 @@ object TextOps {
     * lists (capped at `maxDf`) — never all-pairs.
     */
   def winnowOverlapPairs(index: org.apache.spark.sql.DataFrame, idCol: String,
-      minShared: Int = 2, maxDf: Int = 1000): org.apache.spark.sql.DataFrame = {
+      minShared: Int = 2, maxDf: Int = 1000,
+      maxDfPermille: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     require(minShared >= 1 && maxDf >= 1, s"bad winnowOverlapPairs params: $minShared, $maxDf")
-    val okFp = index.groupBy(col("fp"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") <= maxDf)
+    val (withCap, cap) = dfCap(index, idCol, maxDf, maxDfPermille)
+    val okFp = withCap(index.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("__df")))
+      .filter(col("__df") <= cap)
       .select(col("fp"))
     val pruned = index.join(okFp, Seq("fp"), "left_semi")
     val a = pruned.select(col("fp"), col(idCol).as("da"), col("pos").as("__apos"))

@@ -21,6 +21,29 @@ object DedupQueries extends QueryModule {
   private def h(seed: String, expr: String) =
     s"CAST(('0x' || substr(md5($seed || '|' || $expr), 1, 8)) AS BIGINT)"
 
+  /** Exhaustive-equivalent Hamming<=3 pair set over the 64-bit
+    * fingerprint, rendered through the 4x16-bit block join (cheap in
+    * DuckDB, recall-exact by pigeonhole). Shared verbatim by the wide
+    * gate and the permuted-table gate: both blockings are exact, so
+    * both must return THIS set. Bit 63 is the sign bit: its CASE arm
+    * adds Long.MIN (the two's-complement value of 1L << 63), matching
+    * Spark exactly.
+    */
+  private lazy val simhashWideOracle: String = {
+    val bits64 = (0 until 64).map { i =>
+      val v = if (i == 63) Long.MinValue else 1L << i
+      s"CASE WHEN 2 * len(list_filter(ts, t -> ((${h(s"'${i / 32}'", "t")} >> ${i % 32}) & 1) = 1)) > len(ts) THEN $v ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |shh AS (SELECT doc_id, ($bits64) AS simhash FROM tok),
+       |k AS (SELECT doc_id, simhash, b.b AS blk, (simhash >> (b.b * 16)) & 65535 AS key
+       |      FROM shh, (SELECT unnest(range(0, 4)) AS b) b)
+       |SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+       |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+       |FROM k a JOIN k c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""".stripMargin
+  }
+
   /** CTE chain (no leading WITH) ending in
     * `pairs(da, db, jac)` — the verified MinHash-LSH near-dup pairs.
     * Shared by the pair gate and the clustering gate (where it sits
@@ -446,22 +469,23 @@ object DedupQueries extends QueryModule {
       (s, dir) =>
         Dedup.simhashHammingPairs(Tables(s, dir).documents, "doc_id", col("text"),
           maxHamming = 3, bits = 64),
-      Some {
-        // bit 63 is the sign bit: its CASE arm adds Long.MIN (the
-        // two's-complement value of 1L << 63), matching Spark exactly
-        val bits64 = (0 until 64).map { i =>
-          val v = if (i == 63) Long.MinValue else 1L << i
-          s"CASE WHEN 2 * len(list_filter(ts, t -> ((${h(s"'${i / 32}'", "t")} >> ${i % 32}) & 1) = 1)) > len(ts) THEN $v ELSE 0 END"
-        }.mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-           |shh AS (SELECT doc_id, ($bits64) AS simhash FROM tok),
-           |k AS (SELECT doc_id, simhash, b.b AS blk, (simhash >> (b.b * 16)) & 65535 AS key
-           |      FROM shh, (SELECT unnest(range(0, 4)) AS b) b)
-           |SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
-           |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
-           |FROM k a JOIN k c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id
-           |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""".stripMargin
-      }
+      Some(simhashWideOracle)
+    ),
+
+    // ---- SimHash Hamming pairs through Manku PERMUTED TABLES ----
+    // The >N≈2M tier: 6 blocks -> C(6,3)=20 combination tables with
+    // ~31-bit keys instead of 4 tables with 16-bit keys. Recall is
+    // pigeonhole-EXACT (<=3 differing bits touch <=3 blocks, so some
+    // 3-block combination agrees verbatim), so the oracle is the WIDE
+    // gate's SQL unchanged — the gate proves the permuted-table path
+    // returns the identical pair set the single-block blocking does.
+    QueryDef(
+      "q_dedup_simhash_tables",
+      "SimHash pairs at Hamming <= 3 via Manku permuted tables (6 blocks, 20 tables)",
+      (s, dir) =>
+        Dedup.simhashHammingPairsTables(Tables(s, dir).documents, "doc_id", col("text"),
+          maxHamming = 3, numBlocks = 6, bits = 64),
+      Some(simhashWideOracle)
     ),
 
     // ---- the curation recipe's O(batch) ingestion leg ----

@@ -117,6 +117,40 @@ object MvccQueries extends QueryModule {
               |    AND tx_min <= 100 AND (tx_max IS NULL OR tx_max > 100)""".stripMargin)
     ),
 
+    // ---- rollback purge: aborted transactions physically removed ----
+    // The data half of deleteTx (MVCC.hs:301-312): staged creates of
+    // aborted txs {7, 12} are dropped, staged deletes re-opened, and a
+    // snapshot read over the purged frame equals the plain serial read
+    // (an aborted id never satisfied the committed predicate anyway) —
+    // the invariant that lets TxLog.forgetAborted drop the markers.
+    // The marker-lifecycle composite (abort→purge→forget→read) is
+    // TxLogSpec's case; this gates the rewrite arithmetic.
+    QueryDef(
+      "q_mvcc_purge_aborted",
+      "physical purge of aborted txs 7 and 12: sizes shrink, visible reads unchanged",
+      (s, dir) => {
+        val v = versionedEvents(s, dir)
+        val p = Mvcc.purgeAborted(v, Set(7L, 12L))
+        def n(df: org.apache.spark.sql.DataFrame, phase: String) =
+          df.agg(count(lit(1)).as("n")).select(lit(phase).as("phase"), col("n"))
+        // committed-for-50 net of the aborted ids — on the PURGED frame
+        // this must equal the plain serial read (nothing references
+        // 7/12 anymore); hash-compared against exactly that
+        val vis = Mvcc.visible(50L, c => c < 50 && !c.isin(7, 12))
+        n(v, "all_versions")
+          .unionAll(n(p, "after_purge"))
+          .unionAll(n(p.filter(vis), "visible_at_50"))
+      },
+      Some(s"""WITH v AS ($versionedSql),
+              |p AS (SELECT event_type, tx_min,
+              |        CASE WHEN tx_max IN (7, 12) THEN NULL ELSE tx_max END AS tx_max
+              |      FROM v WHERE tx_min NOT IN (7, 12))
+              |SELECT 'all_versions' AS phase, count(*) AS n FROM v
+              |UNION ALL SELECT 'after_purge', count(*) FROM p
+              |UNION ALL SELECT 'visible_at_50', count(*) FROM p
+              |  WHERE tx_min <= 50 AND (tx_max IS NULL OR tx_max > 50)""".stripMargin)
+    ),
+
     // ---- delete: closed versions disappear from later snapshots ----
     QueryDef(
       "q_mvcc_delete",

@@ -101,6 +101,59 @@ class FuzzyDecontSpec extends GraftSuite {
     assert(out.forall(_.getLong(2) == 0L))
   }
 
+  test("Manku permuted tables equal the brute-force pair set at every block count") {
+    val docs = (1L to 60L)
+      .map(i => (i, (1 to 12).map(j => s"w${(i * j * 7) % 19}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhashByDoc(docs, "doc_id", col("text"), bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    // recall is pigeonhole-exact regardless of the block count: 4
+    // (degenerates to the single-block path), 6 (the gate), 8 (the cap)
+    for (blocks <- Seq(4, 6, 8)) {
+      val got = Dedup.simhashHammingPairsTables(docs, "doc_id", col("text"),
+        maxHamming = 3, numBlocks = blocks, bits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"numBlocks=$blocks must find EVERY pair within the bound")
+    }
+    // ragged split (64 % 6 != 0): widths differ by one, still exact —
+    // covered by blocks=6 above; guards fail loud
+    intercept[IllegalArgumentException](
+      Dedup.simhashHammingPairsTables(docs, "doc_id", col("text"),
+        maxHamming = 3, numBlocks = 3))
+    intercept[IllegalArgumentException]( // 2 blocks at k=0: 64-bit combo key overflows a long
+      Dedup.simhashHammingPairsTables(docs, "doc_id", col("text"),
+        maxHamming = 0, numBlocks = 2))
+  }
+
+  test("autoSimhashBlocks steps up only past the single-block key cap (N ~ 2M)") {
+    // width tier still suffices: stay at maxHamming+1 blocks (no table fan-out)
+    assert(Dedup.autoSimhashBlocks(60) === 4)
+    assert(Dedup.autoSimhashBlocks(2L * 1000 * 1000) === 4) // need 16 = the 16-bit cap exactly
+    // past the cap: more blocks -> wider combination keys
+    assert(Dedup.autoSimhashBlocks(3L * 1000 * 1000) === 5)   // need 17 <= 25
+    assert(Dedup.autoSimhashBlocks(1L << 40) === 7)           // need 35 <= 36
+    assert(Dedup.autoSimhashBlocks(Long.MaxValue) === 8)      // the table-budget cap
+    // monotone in N
+    val ns = Seq(1L, 1000L, 100000L, 2000000L, 10000000L, 1L << 30, 1L << 45, 1L << 60)
+    val bs = ns.map(Dedup.autoSimhashBlocks(_))
+    assert(bs === bs.sorted, s"block count must be monotone in corpus size: $bs")
+  }
+
+  test("scaled entry picks the width tier at small N, end-to-end identical") {
+    val docs = (1L to 60L)
+      .map(i => (i, (1 to 12).map(j => s"w${(i * j * 7) % 19}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val scaled = Dedup.simhashHammingPairsScaled(docs, "doc_id", col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val manual = Dedup.simhashHammingPairs(docs, "doc_id", col("text"), maxHamming = 3, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(scaled === manual)
+  }
+
   test("autoBands puts the S-curve midpoint at the threshold") {
     // midpoint of (b, r) is (1/b)^(1/r)
     def mid(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)

@@ -106,4 +106,68 @@ class ModelConcurrencySpec extends GraftSuite {
     }
     assert(after("later") === 6)
   }
+
+  test("concurrent base publishes: exclusive version claims, monotonic pointer, deferred prune") {
+    val dir = graft.queries.SessionPublish.tempDir("model-base-race")
+    Model.getOrCreate(spark, dir, Seq(("node", "A", None), ("node", "B", None)))
+    val want = Model.read(spark, dir).collect().map(_.toSeq).toSet
+    // two concurrent compactions: the r11 defect had both resolve
+    // prev=N and overwrite the SAME v(N+1) directory (torn base); the
+    // claim protocol must route them to distinct versions
+    @volatile var failure: Option[Throwable] = None
+    val threads = (0 until 2).map(_ => new Thread(() =>
+      try Model.compact(spark, dir)
+      catch { case t: Throwable => failure = Some(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    failure.foreach(throw _)
+    assert(Model.read(spark, dir).collect().map(_.toSeq).toSet === want,
+      "the dictionary must survive racing compactors intact")
+    // superseded versions are pruned DEFERRED (age-gated), never at
+    // the flip — a lazy reader resolving the old path mid-flip keeps
+    // scanning it; the janitor with grace 0 then clears them
+    val versions = graft.core.Sidecar.listNames(s"$dir/model_base")
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)).map(_.drop(1).toLong)
+    Model.pruneBaseVersions(dir, graceMs = 0L)
+    val left = graft.core.Sidecar.listNames(s"$dir/model_base")
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)).map(_.drop(1).toLong)
+    assert(left.length === 1 && left.head === versions.max,
+      s"janitor must leave exactly the current version: had $versions, left $left")
+    assert(Model.read(spark, dir).collect().map(_.toSeq).toSet === want)
+  }
+
+  test("crashed claim gap: readers stall at the gap, the janitor tombstones it, ids never shift") {
+    val dir = graft.queries.SessionPublish.tempDir("model-gap")
+    // store-level grace: the janitor horizon every session honors —
+    // short here so the crashed claim resolves inside the test
+    Model.setPublishGraceMs(dir, 300L)
+    assert(Model.publishGraceMs(dir) === 300L)
+    Model.getOrCreate(spark, dir, Seq(("node", "A", None)))
+    val idA = Model.lookup(Model.read(spark, dir), "node")("A")
+    // a writer claims the next sequence and dies before publishing
+    assert(graft.core.Sidecar.createExclusive(s"$dir/model_segments/claim-2"))
+    // readers poll THROUGH the gap's whole lifecycle while a live
+    // writer publishes past it; every id snapshot must agree with the
+    // final dictionary (a zombie-late shift would break this)
+    val snaps = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Int]]()
+    @volatile var stop = false
+    @volatile var failure: Option[Throwable] = None
+    val readers = (0 until 2).map(_ => new Thread(() =>
+      try while (!stop) snaps.add(Model.lookup(Model.read(spark, dir), "node"))
+      catch { case t: Throwable => failure = Some(t) }))
+    readers.foreach(_.start())
+    // publishes claim 3; invisible until the gap at 2 is janitored,
+    // then visible — getOrCreate's wait loop rides the store grace
+    Model.getOrCreate(spark, dir, Seq(("node", "B", None)))
+    stop = true; readers.foreach(_.join())
+    failure.foreach(throw _)
+    assert(graft.core.Sidecar.exists(s"$dir/model_segments/dead-2"),
+      "the crashed claim must be tombstoned, not block forever")
+    val fin = Model.lookup(Model.read(spark, dir), "node")
+    assert(fin("A") === idA && fin.keySet === Set("A", "B"))
+    scala.jdk.CollectionConverters.CollectionHasAsScala(snaps).asScala.foreach { m =>
+      m.foreach { case (n, id) =>
+        assert(fin(n) === id, s"reader saw $n=$id but the settled id is ${fin(n)}")
+      }
+    }
+  }
 }

@@ -118,6 +118,93 @@ class TxLogSpec extends GraftSuite {
     intercept[IllegalArgumentException](TxLog.forgetAborted(dir, Set(99L)))
   }
 
+  test("commit racing the janitor converges to ONE winner — never both markers") {
+    // the r11 defect: abortStale could list tx X as unresolved while
+    // commit(X) passed its abort-marker pre-check, leaving BOTH
+    // markers on disk and silently un-committing a commit() that had
+    // returned success. The write-then-re-check rule must converge
+    // every interleaving; 12 reps to actually exercise the window.
+    for (rep <- 1 to 12) {
+      val dir = graft.queries.SessionPublish.tempDir(s"txlog-cv-race-$rep")
+      val t = TxLog.begin(dir)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      @volatile var committed = false
+      @volatile var aborted: Seq[Long] = Nil
+      val a = new Thread(() => {
+        start.await()
+        try { TxLog.commit(dir, t); committed = true }
+        catch { case _: IllegalStateException => () }
+      })
+      // negative horizon: every unresolved allocation is already stale
+      val b = new Thread(() => { start.await(); aborted = TxLog.abortStale(dir, -1000L) })
+      a.start(); b.start(); start.countDown(); a.join(); b.join()
+      val hasCommit = graft.core.Sidecar.exists(s"$dir/txlog/commit-$t")
+      val hasAbort  = graft.core.Sidecar.exists(s"$dir/txlog/abort-$t")
+      assert(!(hasCommit && hasAbort), s"rep $rep: both markers survived")
+      if (committed)
+        assert(hasCommit && !hasAbort && !aborted.contains(t),
+          s"rep $rep: a commit() that RETURNED SUCCESS was overridden by the janitor")
+      if (aborted.contains(t))
+        assert(hasAbort && !hasCommit && !committed,
+          s"rep $rep: the janitor reported an abort that did not stick")
+    }
+  }
+
+  test("purgeAborted: abort -> purge -> forget -> read, one maintenance cycle") {
+    val dir = graft.queries.SessionPublish.tempDir("txlog-purge")
+    val t1 = TxLog.begin(dir)
+    val base = Mvcc.init(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v"), t1)
+    TxLog.commit(dir, t1)
+    // t2 stages an update (a new version + a closed old one), then rolls back
+    val t2 = TxLog.begin(dir)
+    val staged = Mvcc.update(base, col("id") === 2L, t2,
+      df => df.withColumn("v", lit("beta-zombie")))
+    staged.write.mode("overwrite").parquet(s"$dir/table")
+    TxLog.abort(dir, t2)
+    TxLog.compact(dir) // watermark covers the aborted id
+    assert(TxLog.watermark(dir) === t2)
+    def visibleNow = spark.read.parquet(s"$dir/table")
+      .filter(TxLog.visibleStore(dir, TxLog.begin(dir)))
+      .select(col("id"), col("v")).as[(Long, String)].collect().toSet
+    val before = visibleNow
+    assert(before === Set((1L, "alpha"), (2L, "beta")))
+    // THE cycle: rewrite durable first, markers dropped only after
+    val purged = TxLog.purgeAborted(dir, spark.read.parquet(s"$dir/table")) { df =>
+      df.write.mode("overwrite").parquet(s"$dir/table2")
+      graft.core.Sidecar.delete(s"$dir/table", recursive = true)
+      graft.core.Sidecar.renameDir(s"$dir/table2", s"$dir/table")
+    }
+    assert(purged === Set(t2))
+    assert(TxLog.abortedSet(dir).isEmpty, "the purged marker must be forgotten")
+    // invariant: no surviving row references the purged tx, reads unchanged
+    val rows = spark.read.parquet(s"$dir/table")
+    assert(rows.filter(col("tx_min") === t2 || col("tx_max") === t2).isEmpty,
+      "no aborted tx_min/tx_max survives a purge+forget cycle")
+    assert(visibleNow === before, "visible reads are unchanged by the purge")
+    // idempotent: nothing left to purge
+    assert(TxLog.purgeAborted(dir, rows)(_ => fail("must not persist when empty")) === Set.empty)
+  }
+
+  test("stale compact-lock break: rename-steal wins once, fresh locks are honored") {
+    val dir = graft.queries.SessionPublish.tempDir("txlog-lockbreak")
+    val t1 = TxLog.begin(dir)
+    TxLog.commit(dir, t1)
+    val lock = s"$dir/txlog/compact-lock"
+    // a FRESH foreign lock: compact is a no-op (no watermark advance)
+    assert(graft.core.Sidecar.createExclusive(lock))
+    TxLog.compact(dir)
+    assert(TxLog.watermark(dir) === 0L, "a live compactor's lock must be honored")
+    // backdate the lock past the horizon: the breaker renames it away,
+    // takes its own lock, and the compaction proceeds
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(new java.net.URI(
+        if (lock.startsWith("file:")) lock else s"file://$lock").getPath),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10_000_000L))
+    TxLog.compact(dir)
+    assert(TxLog.watermark(dir) === t1, "the stale lock must be broken and compaction run")
+    assert(!graft.core.Sidecar.exists(lock), "the breaker's own lock is released after")
+  }
+
   test("abortStale janitors crashed allocations past the horizon, spares live ones") {
     val dir = graft.queries.SessionPublish.tempDir("txlog-janitor")
     val t1 = TxLog.begin(dir)

@@ -72,4 +72,35 @@ class WinnowIndexSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)), s"only docs 1 and 2 share a run: $pairs")
   }
+
+  test("maxDfPermille: the cap tracks the corpus fraction, not an absolute row count") {
+    // 10 docs, 6 of which carry the boilerplate run (df = 6): an
+    // absolute cap of 1000 passes it at ANY corpus size, while 500‰
+    // means "more than half the corpus is boilerplate" at every scale
+    val docs = ((1L to 6L).map(i => (i, s"$shared filler$i body$i")) ++
+      (7L to 10L).map(i => (i, s"private vocabulary document number$i token$i words$i here$i")))
+      .toDF("doc_id", "text")
+    val index = TextOps.winnow(docs, "doc_id", col("text"), k = 3, w = 4)
+    def pairs(permille: Option[Int], maxDf: Int = 1000) =
+      TextOps.winnowOverlapPairs(index, "doc_id", minShared = 1,
+        maxDf = maxDf, maxDfPermille = permille)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 500‰ of 10 docs = cap 5 < df 6: the boilerplate pairs vanish
+    assert(pairs(Some(500)) === Set.empty,
+      "fingerprints in >permille of the corpus must be suppressed")
+    // 700‰ = cap 7 >= 6: identical to the absolute default
+    assert(pairs(Some(700)) === pairs(None) && pairs(None).nonEmpty,
+      "a permille cap above the observed df must change nothing")
+    // the permille path on winnowMatches agrees with its absolute twin
+    val b = Seq((20L, s"$shared probe")).toDF("doc_id", "text")
+    val viaPermille = TextOps.winnowMatches(index, b, "doc_id", col("text"),
+      k = 3, w = 4, minShared = 1, maxDfPermille = Some(500))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAbsolute = TextOps.winnowMatches(index, b, "doc_id", col("text"),
+      k = 3, w = 4, minShared = 1, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPermille === viaAbsolute)
+    intercept[IllegalArgumentException](
+      TextOps.winnowOverlapPairs(index, "doc_id", maxDfPermille = Some(0)))
+  }
 }
