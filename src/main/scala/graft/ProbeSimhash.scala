@@ -5,39 +5,73 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Dedup
 
 /** Scale probe for SimHash Hamming blocking (SCALE.md evidence, not a
-  * driver contract): for a corpus dir, prints — at the FIXED 32-bit
-  * width and at the auto-selected width — the candidate-pair volume
-  * of the block equi-join (pre-verify), the surviving pairs, and the
-  * wall time. Usage: `runMain graft.ProbeSimhash <sfDir>`.
+  * driver contract). Usage:
+  * `runMain graft.ProbeSimhash <sfDir> [replicate]`.
+  *
+  * With no `replicate`, compares the fixed 32-bit width against the
+  * auto-selected width (the r11 width-tier evidence). With
+  * `replicate = R`, the corpus is blown up to N = docs x R with every
+  * token salted PER REPLICA (so each replica's fingerprint is an
+  * independent draw — plain copies would be Hamming-0 clusters and
+  * measure true-pair volume, not blocking selectivity), and the probe
+  * compares the capped single-block scheme (64-bit fingerprint,
+  * 16-bit keys — what autoSimhashBits returns past N ~ 2M) against the
+  * Manku permuted-table scheme at the auto block count: candidate
+  * volume (Σ C(bucket, 2) over (table, key) buckets), verified pairs,
+  * and wall time.
   */
 object ProbeSimhash {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir) = args
+    val sfDir = args(0)
+    val replicate = if (args.length > 1) args(1).toInt else 1
     val spark = graft.core.Graft.session("graft-probe-simhash",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").localCheckpoint()
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = (if (replicate == 1) base.select(col("doc_id"), col("text"))
+      else base.crossJoin(spark.range(replicate).select(col("id").as("__r")))
+        .select((col("doc_id") * replicate + col("__r")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("__r"))), " ").as("text")))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = docs.count()
-    val auto = Dedup.autoSimhashBits(n)
-    def candidates(bits: Int): Long = {
-      val blocks = 4
-      val width = bits / blocks
-      val mask = (1L << width) - 1
-      val sh = Dedup.simhashByDoc(docs, "doc_id", col("text"), bits)
-      val keyed = sh.select(col("id"),
-        explode(array((0 until blocks).map(b =>
-          struct(lit(b).as("blk"),
-            shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"))): _*)).as("bk"))
-        .select(col("bk.blk").as("blk"), col("bk.key").as("key"), col("id"))
-      keyed.groupBy(col("blk"), col("key")).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1))).first().getLong(0) / 2
-    }
-    for (bits <- Seq(32, auto).distinct) {
-      val t0 = System.nanoTime()
-      val pairs = Dedup.simhashHammingPairs(docs, "doc_id", col("text"),
-        maxHamming = 3, bits = bits).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] n=$n%d bits=$bits%d (auto=$auto%d) candidates=${candidates(bits)}%d " +
-        f"pairs=$pairs%d time=$sec%.2f s")
+
+    def volume(keyed: org.apache.spark.sql.DataFrame): Long =
+      keyed.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2)).first().getLong(0)
+
+    if (replicate == 1) {
+      val auto = Dedup.autoSimhashBits(n)
+      for (bits <- Seq(32, auto).distinct) {
+        val t0 = System.nanoTime()
+        val pairs = Dedup.simhashHammingPairs(docs, "doc_id", col("text"),
+          maxHamming = 3, bits = bits).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cand = volume(Dedup.simhashBlockKeys(
+          Dedup.simhashByDoc(docs, "doc_id", col("text"), bits), 3, bits))
+        println(f"[probe] n=$n%d bits=$bits%d (auto=$auto%d) candidates=$cand%d " +
+          f"pairs=$pairs%d time=$sec%.2f s")
+      }
+    } else {
+      // fingerprint ONCE (the shared cost), then price each blocking
+      val sh = Dedup.simhashByDoc(docs, "doc_id", col("text"), 64)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      sh.count()
+      val autoB = Dedup.autoSimhashBlocks(n)
+      val schemes = Seq(
+        ("fixed-4x16bit", Dedup.simhashBlockKeys(sh, 3, 64)),
+        (s"tables-B$autoB", Dedup.simhashComboKeys(sh, 3, autoB, 64)))
+      for ((name, keyed) <- schemes) {
+        val t0 = System.nanoTime()
+        val cand = volume(keyed)
+        val a = keyed.select(col("tbl"), col("key"), col("id").as("da"), col("simhash").as("sa"))
+        val b = keyed.select(col("tbl"), col("key"), col("id").as("db"), col("simhash").as("sb"))
+        val pairs = a.join(b, Seq("tbl", "key")).filter(col("da") < col("db"))
+          .filter(expr("bit_count(sa ^ sb)") <= 3)
+          .select(col("da"), col("db")).distinct().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] n=$n%d scheme=$name candidates=$cand%d " +
+          f"pairs=$pairs%d time=$sec%.2f s")
+      }
     }
     spark.stop()
   }

@@ -563,28 +563,40 @@ object Dedup {
     * [[autoSimhashBits]] / [[simhashHammingPairsAuto]] (the default
     * 32 is the small-corpus/test setting).
     */
-  def simhashHammingPairs(df: DataFrame, idCol: String, text: Column,
-      maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+  /** (tbl, key, id, simhash) for the single-block scheme: one row per
+    * (doc, block), key = that block's bits. Shared by the pair join
+    * and the candidate-volume probe (graft.ProbeSimhash).
+    */
+  private[graft] def simhashBlockKeys(sh: DataFrame, maxHamming: Int,
+      bits: Int): DataFrame = {
     val blocks = maxHamming + 1
     require(bits % blocks == 0,
       s"block split must be even: bits=$bits blocks=$blocks " +
         "(a ragged split weakens the pigeonhole guarantee on the short block)")
     val width = bits / blocks
     val mask = (1L << width) - 1
-    val sh = simhashByDoc(df, idCol, text, bits)
-    val keyed = sh.select(col("id"), col("simhash"),
+    sh.select(col("id"), col("simhash"),
       explode(array((0 until blocks).map(b =>
-        struct(lit(b).as("blk"),
+        struct(lit(b).as("tbl"),
           (shiftright(col("simhash"), b * width).bitwiseAND(mask)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-    val a = keyed.select(col("blk"), col("key"), col("id").as("da"), col("simhash").as("sa"))
-    val b = keyed.select(col("blk"), col("key"), col("id").as("db"), col("simhash").as("sb"))
-    a.join(b, Seq("blk", "key")).filter(col("da") < col("db"))
+      .select(col("id"), col("simhash"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+  }
+
+  private def verifiedPairs(keyed: DataFrame, maxHamming: Int): DataFrame = {
+    val a = keyed.select(col("tbl"), col("key"), col("id").as("da"), col("simhash").as("sa"))
+    val b = keyed.select(col("tbl"), col("key"), col("id").as("db"), col("simhash").as("sb"))
+    a.join(b, Seq("tbl", "key")).filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  def simhashHammingPairs(df: DataFrame, idCol: String, text: Column,
+      maxHamming: Int = 3, bits: Int = 32): DataFrame =
+    verifiedPairs(
+      simhashBlockKeys(simhashByDoc(df, idCol, text, bits), maxHamming, bits),
+      maxHamming)
 
   /** Fingerprint width for [[simhashHammingPairs]] from the observed
     * corpus size — the [[autoBands]]/[[Similarity.autoPlanes]] analog
@@ -639,13 +651,14 @@ object Dedup {
     * one record set is the trie's multi-index layout
     * (HGraphStorage Index.hs:70-138).
     */
-  def simhashHammingPairsTables(df: DataFrame, idCol: String, text: Column,
-      maxHamming: Int = 3, numBlocks: Int = 6, bits: Int = 64): DataFrame = {
-    require(bits >= 1 && bits <= 64, s"simhash width must be 1..64, got $bits")
+  /** (tbl, key, id, simhash) for the permuted-table scheme: one row
+    * per (doc, combination table), key = the combination's block bits
+    * concatenated. Shared by the pair join and the probe.
+    */
+  private[graft] def simhashComboKeys(sh: DataFrame, maxHamming: Int,
+      numBlocks: Int, bits: Int): DataFrame = {
     require(numBlocks > maxHamming && numBlocks <= bits,
       s"need maxHamming < numBlocks <= bits: k=$maxHamming B=$numBlocks bits=$bits")
-    if (numBlocks == maxHamming + 1 && bits % numBlocks == 0)
-      return simhashHammingPairs(df, idCol, text, maxHamming, bits)
     // block widths differ by at most one (the first `bits % B` blocks
     // take the extra bit); a combination key must fit a non-negative
     // long, so the WIDEST combination is bounded at 63 bits
@@ -657,7 +670,6 @@ object Dedup {
     val maxKeyWidth = widths.sorted.takeRight(numBlocks - maxHamming).sum
     require(maxKeyWidth <= 63,
       s"combination keys would overflow a long: $maxKeyWidth bits (lower numBlocks)")
-    val sh = simhashByDoc(df, idCol, text, bits)
     // arithmetic shiftright sign-extends the top block: mask AFTER the
     // shift (the q_dedup_simhash_hamming_wide bit-63 rule)
     def comboKey(c: Seq[Int]): Column =
@@ -665,17 +677,20 @@ object Dedup {
         shiftleft(acc, widths(b)).bitwiseOR(
           shiftright(col("simhash"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1)))
       }
-    val keyed = sh.select(col("id"), col("simhash"),
+    sh.select(col("id"), col("simhash"),
       explode(array(combos.zipWithIndex.map { case (c, t) =>
         struct(lit(t).as("tbl"), comboKey(c).as("key")) }: _*)).as("tk"))
       .select(col("id"), col("simhash"), col("tk.tbl").as("tbl"), col("tk.key").as("key"))
-    val a = keyed.select(col("tbl"), col("key"), col("id").as("da"), col("simhash").as("sa"))
-    val b = keyed.select(col("tbl"), col("key"), col("id").as("db"), col("simhash").as("sb"))
-    a.join(b, Seq("tbl", "key")).filter(col("da") < col("db"))
-      .select(col("da"), col("db"),
-        expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+  }
+
+  def simhashHammingPairsTables(df: DataFrame, idCol: String, text: Column,
+      maxHamming: Int = 3, numBlocks: Int = 6, bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash width must be 1..64, got $bits")
+    if (numBlocks == maxHamming + 1 && bits % numBlocks == 0)
+      return simhashHammingPairs(df, idCol, text, maxHamming, bits)
+    verifiedPairs(
+      simhashComboKeys(simhashByDoc(df, idCol, text, bits), maxHamming, numBlocks, bits),
+      maxHamming)
   }
 
   /** Block count for [[simhashHammingPairsTables]] from the observed
