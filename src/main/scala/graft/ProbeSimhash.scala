@@ -36,8 +36,10 @@ object ProbeSimhash {
     val n = docs.count()
 
     def volume(keyed: org.apache.spark.sql.DataFrame): Long =
+      // Column `/` is DOUBLE division — keep the count integral and
+      // halve on the driver
       keyed.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1) / 2)).first().getLong(0)
+        .agg(sum(col("c") * (col("c") - 1))).first().getLong(0) / 2
 
     if (replicate == 1) {
       val auto = Dedup.autoSimhashBits(n)
