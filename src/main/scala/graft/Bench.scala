@@ -209,7 +209,11 @@ object Bench {
     // combination tables with ~31-bit keys) and the MVCC rollback
     // purge rewrite
     "q_dedup_simhash_tables",
-    "q_mvcc_purge_aborted")
+    "q_mvcc_purge_aborted",
+    // round 12: the auto width/tables dispatcher and the corpus-
+    // relative winnow df cap
+    "q_dedup_simhash_scaled",
+    "q_text_winnow_overlap_permille")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

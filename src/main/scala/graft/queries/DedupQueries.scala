@@ -21,6 +21,24 @@ object DedupQueries extends QueryModule {
   private def h(seed: String, expr: String) =
     s"CAST(('0x' || substr(md5($seed || '|' || $expr), 1, 8)) AS BIGINT)"
 
+  /** Hamming<=3 pair set over the 32-bit fingerprint via the 4x8-bit
+    * block join — shared by the manual 32-bit gate and the scaled
+    * dispatcher (which must select exactly this width at gate scale).
+    */
+  private lazy val simhashNarrowOracle: String = {
+    val bits32 = (0 until 32).map { i =>
+      s"CASE WHEN 2 * len(list_filter(ts, t -> ((${h("'0'", "t")} >> $i) & 1) = 1)) > len(ts) THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |shh AS (SELECT doc_id, ($bits32) AS simhash FROM tok),
+       |k AS (SELECT doc_id, simhash, b.b AS blk, (simhash >> (b.b * 8)) % 256 AS key
+       |      FROM shh, (SELECT unnest(range(0, 4)) AS b) b)
+       |SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+       |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+       |FROM k a JOIN k c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""".stripMargin
+  }
+
   /** Exhaustive-equivalent Hamming<=3 pair set over the 64-bit
     * fingerprint, rendered through the 4x16-bit block join (cheap in
     * DuckDB, recall-exact by pigeonhole). Shared verbatim by the wide
@@ -586,19 +604,23 @@ object DedupQueries extends QueryModule {
       (s, dir) =>
         Dedup.simhashHammingPairs(Tables(s, dir).documents, "doc_id", col("text"),
           maxHamming = 3, bits = 32),
-      Some {
-        val bits32 = (0 until 32).map { i =>
-          s"CASE WHEN 2 * len(list_filter(ts, t -> ((${h("'0'", "t")} >> $i) & 1) = 1)) > len(ts) THEN ${1L << i} ELSE 0 END"
-        }.mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-           |shh AS (SELECT doc_id, ($bits32) AS simhash FROM tok),
-           |k AS (SELECT doc_id, simhash, b.b AS blk, (simhash >> (b.b * 8)) % 256 AS key
-           |      FROM shh, (SELECT unnest(range(0, 4)) AS b) b)
-           |SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
-           |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
-           |FROM k a JOIN k c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id
-           |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""".stripMargin
-      }
+      Some(simhashNarrowOracle)
+    ),
+
+    // ---- the full-range auto dispatcher ----
+    // simhashHammingPairsScaled: one count job, then the cheapest
+    // EXACT blocking for that corpus size — width tier while narrow
+    // fingerprints suffice (this gate's regime: 500-6k docs select the
+    // 32-bit default), permuted tables past the 64-bit key cap. The
+    // oracle is the 32-bit gate's SQL verbatim: the dispatcher must be
+    // a pure routing decision, never a semantic one.
+    QueryDef(
+      "q_dedup_simhash_scaled",
+      "auto-dispatched SimHash Hamming pairs (width tier selected at gate scale)",
+      (s, dir) =>
+        Dedup.simhashHammingPairsScaled(Tables(s, dir).documents, "doc_id", col("text"),
+          maxHamming = 3),
+      Some(simhashNarrowOracle)
     ),
 
     // ---- span-level dedup: repeated 8-token spans across documents ----

@@ -1021,6 +1021,30 @@ object TextQueries extends QueryModule {
               |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
     ),
 
+    // ---- winnow overlap under the CORPUS-RELATIVE df cap ----
+    // The production form of the boilerplate guard: the cap is 10‰ of
+    // the index's distinct documents (floor 1) instead of an absolute
+    // row count whose meaning drifts 3 orders of magnitude between
+    // probe and production corpora. The doc count rides in as a 1-row
+    // broadcast; the oracle derives the same cap from the same index.
+    QueryDef(
+      "q_text_winnow_overlap_permille",
+      "winnow overlap pairs with the df cap at 10 permille of corpus docs",
+      (s, dir) =>
+        TextOps.winnowOverlapPairs(
+          TextOps.winnow(Tables(s, dir).documents, "doc_id", col("text"), k = 3, w = 4),
+          "doc_id", minShared = 2, maxDfPermille = Some(10)),
+      Some(s"""WITH $winnowCtes,
+              |nd AS (SELECT count(DISTINCT doc_id) AS n FROM wf),
+              |cdf AS (SELECT fp FROM wf CROSS JOIN nd GROUP BY fp, nd.n
+              |        HAVING count(DISTINCT doc_id) <= greatest(CAST(floor(nd.n * 10.0 / 1000) AS BIGINT), 1)),
+              |p AS (SELECT w.fp, w.doc_id, w.pos FROM wf w JOIN cdf USING (fp))
+              |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+              |  min(a.pos) AS a_pos, min(b.pos) AS b_pos
+              |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
+    ),
+
     // ---- document fingerprinting ----
     QueryDef(
       "q_text_fingerprint",
