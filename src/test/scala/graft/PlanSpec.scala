@@ -244,4 +244,35 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("round-12 gates: equi-joins only, no cartesian, no unpartitioned window") {
+    Seq("q_dedup_simhash_tables", "q_dedup_simhash_scaled",
+      "q_mvcc_purge_aborted", "q_text_winnow_overlap_permille").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must plan equi-joins only:\n${p.take(1500)}")
+      // every WindowExec must carry partition columns — checked on the
+      // physical tree, not plan text, because the permille gate
+      // legitimately has a SinglePartition exchange elsewhere (the
+      // 1-row global doc count)
+      Catalog.byName(q).build(spark, sf001).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q plans an unpartitioned window: $w"))
+    }
+    // the permille cap's doc count must ride in as a BROADCAST 1-row
+    // nested-loop (the one legal BNLJ here — a single-row stats join),
+    // never a shuffle
+    val p = plan("q_text_winnow_overlap_permille")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row doc-count join must broadcast:\n${p.take(1500)}")
+    // the permuted-table candidate join is a plain equi-join on
+    // (tbl, key): a hash/merge join keyed by the explode output (AQE
+    // legitimately broadcasts the small side at gate scale; what's
+    // pinned is that it stays an EQUI-join with the verify filter on
+    // the join output, never a nested loop)
+    val t = plan("q_dedup_simhash_tables")
+    assert(t.contains("Join") && !t.contains("BroadcastNestedLoopJoin"),
+      s"tables candidates must be an equi-join:\n${t.take(1500)}")
+  }
+
 }
