@@ -213,7 +213,10 @@ object Bench {
     // round 12: the auto width/tables dispatcher and the corpus-
     // relative winnow df cap
     "q_dedup_simhash_scaled",
-    "q_text_winnow_overlap_permille")
+    "q_text_winnow_overlap_permille",
+    // round 12: the winnow index takedown leg (warmup pays the full-
+    // corpus index publish, memoized) — df caps recompute over survivors
+    "q_text_winnow_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

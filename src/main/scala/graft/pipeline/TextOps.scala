@@ -412,6 +412,22 @@ object TextOps {
     * keyed by md5-uniform fingerprints and bounded by per-fp document
     * lists (capped at `maxDf`) — never all-pairs.
     */
+  /** Takedown on a published winnow index: drop every fingerprint of
+    * the tombstoned documents. Per-doc purity makes the anti-join
+    * EXACTLY a republish without those documents — the surviving rows
+    * are `winnow(corpus \ tombstoned)` bit-for-bit, the same property
+    * that makes the append leg O(batch). The read-path consequence is
+    * deliberate: [[winnowMatches]]/[[winnowOverlapPairs]] recompute
+    * the df cap over the SURVIVORS, so a fingerprint pushed over the
+    * cap by since-removed boilerplate copies RESURFACES after the
+    * takedown (`q_text_winnow_delete` gates this against a
+    * from-scratch mine of the reduced corpus). Tombstone sets are
+    * takedown-sized — the anti-join broadcasts them.
+    */
+  def winnowDelete(index: org.apache.spark.sql.DataFrame, idCol: String,
+      tombstones: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    index.join(broadcast(tombstones.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+
   def winnowOverlapPairs(index: org.apache.spark.sql.DataFrame, idCol: String,
       minShared: Int = 2, maxDf: Int = 1000,
       maxDfPermille: Option[Int] = None): org.apache.spark.sql.DataFrame = {

@@ -1021,6 +1021,39 @@ object TextQueries extends QueryModule {
               |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
     ),
 
+    // ---- winnow index takedown (the lifecycle's delete leg) ----
+    // Tombstone doc_id%11=5 out of the published index and mine
+    // overlap pairs over the survivors. Per-doc purity makes the
+    // anti-join exactly a republish without those docs, and the df
+    // cap RECOMPUTES over survivors — a fingerprint suppressed by
+    // since-removed boilerplate copies must resurface. Oracle = the
+    // from-scratch mine of the reduced corpus, so both properties are
+    // hash-gated, not asserted.
+    QueryDef(
+      "q_text_winnow_delete",
+      "takedown: overlap pairs over the winnow index minus doc_id%11=5",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val idxPath = SessionPublish.once(s, "winnow_full_idx|" + dir) {
+          val p = SessionPublish.tempDir("graft-winnow-full") + "/index"
+          TextOps.winnow(docs, "doc_id", col("text"), k = 3, w = 4)
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        val pruned = TextOps.winnowDelete(s.read.parquet(idxPath), "doc_id",
+          docs.filter(col("doc_id") % 11 === 5).select(col("doc_id")))
+        TextOps.winnowOverlapPairs(pruned, "doc_id", minShared = 2, maxDf = 1000)
+      },
+      Some(s"""WITH $winnowCtes,
+              |sv AS (SELECT * FROM wf WHERE doc_id % 11 <> 5),
+              |cdf AS (SELECT fp FROM sv GROUP BY fp HAVING count(DISTINCT doc_id) <= 1000),
+              |p AS (SELECT w.fp, w.doc_id, w.pos FROM sv w JOIN cdf USING (fp))
+              |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+              |  min(a.pos) AS a_pos, min(b.pos) AS b_pos
+              |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
+    ),
+
     // ---- winnow overlap under the CORPUS-RELATIVE df cap ----
     // The production form of the boilerplate guard: the cap is 10‰ of
     // the index's distinct documents (floor 1) instead of an absolute

@@ -246,7 +246,8 @@ class PlanSpec extends GraftSuite {
 
   test("round-12 gates: equi-joins only, no cartesian, no unpartitioned window") {
     Seq("q_dedup_simhash_tables", "q_dedup_simhash_scaled",
-      "q_mvcc_purge_aborted", "q_text_winnow_overlap_permille").foreach { q =>
+      "q_mvcc_purge_aborted", "q_text_winnow_overlap_permille",
+      "q_text_winnow_delete").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q must plan equi-joins only:\n${p.take(1500)}")

@@ -73,6 +73,33 @@ class WinnowIndexSpec extends GraftSuite {
     assert(pairs === Set((1L, 2L)), s"only docs 1 and 2 share a run: $pairs")
   }
 
+  test("winnowDelete is exactly a republish without the tombstoned docs; capped fps resurface") {
+    // 4 docs carry the boilerplate run; with maxDf = 3 its fingerprints
+    // are suppressed — until a takedown of doc 4 drops the df to 3 and
+    // they RESURFACE (the cap recomputes over survivors)
+    val docs = Seq(
+      (1L, s"$shared one"), (2L, s"$shared two"), (3L, s"$shared three"),
+      (4L, s"$shared four"), (9L, "totally unrelated content words here")
+    ).toDF("doc_id", "text")
+    val index = TextOps.winnow(docs, "doc_id", col("text"), k = 3, w = 4)
+    val tomb = Seq(Tuple1(4L)).toDF("doc_id")
+    val pruned = TextOps.winnowDelete(index, "doc_id", tomb)
+    // delete == republish (per-doc purity), bit-for-bit
+    val republished = TextOps.winnow(docs.filter(col("doc_id") =!= 4L), "doc_id",
+      col("text"), k = 3, w = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows(pruned) === rows(republished))
+    // before the takedown the boilerplate (df = 4 > 3) yields no pairs;
+    // after (df = 3 <= 3) the surviving trio pairs up
+    def pairs(idx: org.apache.spark.sql.DataFrame) =
+      TextOps.winnowOverlapPairs(idx, "doc_id", minShared = 1, maxDf = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(index) === Set.empty, "over-common fps must be suppressed pre-takedown")
+    assert(pairs(pruned) === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "the df cap must recompute over survivors after a takedown")
+  }
+
   test("maxDfPermille: the cap tracks the corpus fraction, not an absolute row count") {
     // 10 docs, 6 of which carry the boilerplate run (df = 6): an
     // absolute cap of 1000 passes it at ANY corpus size, while 500‰
