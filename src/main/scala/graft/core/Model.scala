@@ -165,6 +165,15 @@ object Model {
     * its OWN call's patience cannot stop OTHER sessions from
     * tombstoning it — the horizon must be shared to mean anything.
     */
+  /** Horizon choice: a publish is ONE sidecar write landing
+    * milliseconds after its claim, so 10 s is ~3 orders of magnitude
+    * of slack for GC pauses and slow filesystems. The tradeoff is
+    * recovery latency, not correctness: a larger grace only delays how
+    * long readers stall at a CRASHED claim before tombstoning it
+    * (ModelConcurrencySpec's gap case), while a too-small grace
+    * tombstones a live-but-slow publisher — whose getOrCreate then
+    * re-claims and retries, loudly after 5 attempts, never silently.
+    */
   private val defaultPublishGraceMs: Long = 10000
 
   /** The store's shared publish-grace window (see the note above). */
