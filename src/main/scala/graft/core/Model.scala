@@ -64,19 +64,15 @@ object Model {
     var next = currentBaseVersion(dir).getOrElse(0L) + 1
     while (!Sidecar.createExclusive(s"$dir/model_base/claim-v$next")) next += 1
     model.coalesce(1).write.mode("overwrite").parquet(s"$dir/model_base/v$next")
-    // THE flip — max-guarded like the TxLog watermark: a writer that
-    // claimed a HIGHER version and flipped first wins; pointing
-    // backward would resurrect a base missing that writer's segments
-    // (whose segment files it may already have deleted)
-    var flipped = false
-    while (!flipped) {
-      val cur = currentBaseVersion(dir).getOrElse(0L)
-      if (cur >= next) flipped = true
-      else {
-        Sidecar.writeString(s"$dir/model_base/current", next.toString)
-        flipped = currentBaseVersion(dir).exists(_ >= next)
-      }
-    }
+    // THE flip — a MONOTONE marker, not a rewritable pointer: readers
+    // take the max over `current-v<N>` marker files, so a slower
+    // lower-version writer can never regress the pointer past a higher
+    // racing publish (a read-check-WRITE loop could: both writers'
+    // verify reads can pass before the slower overwrite lands).
+    // Pointing backward would resurrect a base missing the higher
+    // writer's segments — whose segment files it may already have
+    // deleted.
+    Sidecar.createExclusive(s"$dir/model_base/current-v$next"): Unit
     // prune superseded versions DEFERRED (age-gated), never right at
     // the flip: a lazily-executing reader that resolved basePath just
     // before it would FileNotFound mid-scan
@@ -102,11 +98,22 @@ object Model {
       .foreach { v =>
         Sidecar.delete(s"$dir/model_base/v$v", recursive = true)
         Sidecar.delete(s"$dir/model_base/claim-v$v")
+        // superseded flip markers: deleting below the max keeps the
+        // pointer monotone (the max marker is never touched here)
+        Sidecar.delete(s"$dir/model_base/current-v$v")
       }
   }
 
-  private def currentBaseVersion(dir: String): Option[Long] =
-    Sidecar.readString(s"$dir/model_base/current").flatMap(_.trim.toLongOption)
+  /** The live base version: max over the monotone `current-v<N>`
+    * markers, plus the legacy rewritable `current` pointer (stores
+    * written before the marker scheme) — max of both never regresses.
+    */
+  private def currentBaseVersion(dir: String): Option[Long] = {
+    val markers = Sidecar.listNames(s"$dir/model_base")
+      .flatMap(parseSeq(_, "current-v"))
+    val legacy = Sidecar.readString(s"$dir/model_base/current").flatMap(_.trim.toLongOption)
+    (markers ++ legacy).maxOption
+  }
 
   /** The live base parquet: the pointed-to version, else the legacy
     * unversioned location (stores written before the versioned base).
@@ -358,15 +365,9 @@ object Model {
     // getOrCreate never takes the lock: it only appends new segments,
     // and the fold deletes exactly the segments it merged.
     val lock = s"${segDir(dir)}/compact-lock"
-    if (!Sidecar.createExclusive(lock)) {
-      def staleNow = Sidecar.modificationTime(lock)
-        .exists(_ < System.currentTimeMillis() - lockHorizonMs)
-      if (!staleNow) return // a live compactor is folding; idempotent no-op
-      val tomb = s"$lock-broken-${java.util.UUID.randomUUID().toString.take(8)}"
-      if (!staleNow || !Sidecar.rename(lock, tomb)) return // lost the break race
-      Sidecar.delete(tomb)
-      if (!Sidecar.createExclusive(lock)) return
-    }
+    // a live compactor's lock means this fold is already happening; a
+    // dead one's is broken by the one-winner rename-steal
+    if (!Sidecar.lockBreakingStale(lock, lockHorizonMs)) return
     try {
       val segs = segmentNames(dir)
       if (segs.isEmpty) return

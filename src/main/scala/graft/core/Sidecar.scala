@@ -183,6 +183,29 @@ object Sidecar {
     catch { case _: java.io.IOException => false }
   }
 
+  /** Acquire `lock` exclusively, breaking a STALE holder (a dead
+    * process's lock, mtime older than `horizonMs`) by RENAMING it to a
+    * unique tombstone first: a rename's source must exist at the
+    * instant of the move, so racing breakers get exactly one winner —
+    * check-mtime-then-delete would let a pair delete a stale lock AND
+    * a fresh replacement. The mtime is re-read immediately before the
+    * steal to shrink the fresh-lock-replaced-stale window to
+    * microseconds. Returns true iff THIS caller now holds the lock
+    * (release with [[delete]]); false means a live holder exists or
+    * the break race was lost — callers treat both as "someone else is
+    * doing the job".
+    */
+  def lockBreakingStale(lock: String, horizonMs: Long): Boolean = {
+    if (createExclusive(lock)) return true
+    def staleNow = modificationTime(lock)
+      .exists(_ < System.currentTimeMillis() - horizonMs)
+    if (!staleNow) return false
+    val tomb = s"$lock-broken-${java.util.UUID.randomUUID().toString.take(8)}"
+    if (!staleNow || !rename(lock, tomb)) return false
+    delete(tomb)
+    createExclusive(lock)
+  }
+
   /** Child names of `dir` (empty if absent). */
   def listNames(dir: String): Seq[String] = {
     val (fs, p) = fsFor(dir)

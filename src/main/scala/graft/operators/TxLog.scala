@@ -45,9 +45,11 @@ object TxLog {
   private def txDir(dir: String) = s"$dir/txlog"
 
   private def idsWithPrefix(dir: String, prefix: String): Seq[Long] =
-    Sidecar.listNames(txDir(dir)).collect {
-      case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLong
-    }
+    Sidecar.listNames(txDir(dir))
+      .filter(_.startsWith(prefix))
+      // non-numeric suffixes are lock/claim tombstones mid-steal
+      // (`...-broken-<nonce>`), never ids
+      .flatMap(_.stripPrefix(prefix).toLongOption)
 
   /** Watermark: every tx id <= this is resolved (committed or in the
     * abort list; 0 = none).
@@ -67,50 +69,133 @@ object TxLog {
     id
   }
 
-  /** THE commit point: one atomic marker. Idempotent. Committing a
-    * rolled-back transaction is a caller bug — fail loud, never let
-    * both markers exist.
-    *
-    * Both-markers convergence: the pre-check and the marker write are
-    * not one atomic step, so a janitor ([[abortStale]]) or a racing
-    * [[abort]] can land its marker in between. Each writer therefore
-    * RE-CHECKS for the opposing marker after writing its own and backs
-    * off (deletes its marker, fails loud) if it finds one — the
-    * Dekker-style second-writer-yields rule. In every interleaving at
-    * most one marker survives, a commit() that RETURNED SUCCESS is
-    * never silently overridden by an abort, and the symmetric
-    * both-back-off case leaves the tx unresolved (loud commit failure;
-    * the janitor re-aborts it on a later pass). TxLogSpec races the
-    * pair and asserts the invariant.
+  // ---- the resolution point ----
+  //
+  // commit and abort race each other (a janitor aborting a tx whose
+  // slow writer is mid-commit) AND race the compactor (which deletes
+  // commit markers once the watermark covers them). Check-then-write
+  // marker protocols lose both races: a re-check against the raw
+  // commit marker misses a commit that compact already folded into the
+  // watermark, and any protocol whose losers write-then-delete markers
+  // lets the compactor fold a TRANSIENT marker (a phantom outcome).
+  // The fix is ONE exclusive resolution claim per tx: `resolve-<id>`
+  // is created with O_EXCL, only its winner writes the outcome marker,
+  // and outcome markers are never deleted except by compaction under
+  // the watermark (commit) or forgetAborted after a physical purge
+  // (abort). Losers WAIT for the winner's outcome instead of writing
+  // anything — so every marker the compactor can ever list is final.
+  // The one residual hazard — compact deletes resolve-<id> under the
+  // watermark, and a stale aborter then re-claims it — is closed by
+  // re-reading the watermark AFTER winning the claim and before
+  // writing any outcome: the watermark never regresses, so
+  // `tx <= watermark` at that point proves the claim is a stale
+  // re-creation and the win is void. TxLogSpec races all of this.
+
+  private def resolvePath(dir: String, tx: Long) = s"${txDir(dir)}/resolve-$tx"
+
+  /** The resolve-claim lease: a claim younger than this belongs to a
+    * LIVE resolver (claims span exactly one sidecar write) and is never
+    * stolen, regardless of the janitor's alloc horizon.
+    */
+  private val resolveLeaseMs: Long = 60000
+
+  /** Outcome of `tx` once somebody resolved it: Some(true)=committed,
+    * Some(false)=aborted, None=unresolved. Watermark-aware: a folded
+    * commit (marker deleted by [[compact]]) still reads committed.
+    */
+  private def outcomeOf(dir: String, tx: Long): Option[Boolean] =
+    if (Sidecar.exists(s"${txDir(dir)}/abort-$tx")) Some(false)
+    else if (Sidecar.exists(s"${txDir(dir)}/commit-$tx")) Some(true)
+    else if (tx <= watermark(dir)) Some(true) // folded; abort markers are retained, so absent = committed
+    else None
+
+  /** Wait for the resolution winner's outcome marker — the loser path.
+    * A winner writes its outcome within one sidecar write of claiming,
+    * so the deadline only triggers on a crashed claimant (break it
+    * with [[abortStale]], which steals stale claims).
+    */
+  private def awaitOutcome(dir: String, tx: Long, deadlineMs: Long = 5000): Boolean = {
+    val deadline = System.currentTimeMillis() + deadlineMs
+    var o = outcomeOf(dir, tx)
+    while (o.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(10)
+      o = outcomeOf(dir, tx)
+    }
+    o.getOrElse(throw new IllegalStateException(
+      s"tx $tx has a resolution claim but no outcome after ${deadlineMs} ms — " +
+        "the claimant crashed mid-resolve; run abortStale to break it"))
+  }
+
+  /** THE commit point. Idempotent. Committing a rolled-back
+    * transaction is a caller bug — fail loud. See the resolution-point
+    * note above: the marker is written only under the exclusive
+    * `resolve-` claim, so a racing janitor abort and a racing
+    * compactor can never produce both outcomes or a phantom one.
     */
   def commit(dir: String, tx: Long): Unit = {
-    if (Sidecar.exists(s"${txDir(dir)}/abort-$tx"))
-      throw new IllegalStateException(s"tx $tx was rolled back; cannot commit")
-    Sidecar.writeString(s"${txDir(dir)}/commit-$tx", "")
-    if (Sidecar.exists(s"${txDir(dir)}/abort-$tx")) {
-      Sidecar.delete(s"${txDir(dir)}/commit-$tx")
+    outcomeOf(dir, tx) match {
+      case Some(true)  => return // idempotent (incl. folded-committed)
+      case Some(false) =>
+        throw new IllegalStateException(s"tx $tx was rolled back; cannot commit")
+      case None =>
+    }
+    if (Sidecar.createExclusive(resolvePath(dir, tx))) {
+      // stale-claim guard: if the watermark covers tx, the claim file
+      // we just created is a RE-creation after compact deleted the
+      // original — tx was already resolved; void the win
+      if (tx <= watermark(dir)) {
+        Sidecar.delete(resolvePath(dir, tx))
+        if (Sidecar.exists(s"${txDir(dir)}/abort-$tx"))
+          throw new IllegalStateException(s"tx $tx was rolled back; cannot commit")
+        return // folded as committed — idempotent success
+      }
+      Sidecar.writeString(s"${txDir(dir)}/commit-$tx", "")
+      // lease-violation cleanup: this marker write can only collide
+      // with an abort if OUR claim was stolen (we paused longer than
+      // the resolve lease) and the stealing janitor already reported
+      // the abort — its report stands; this commit must fail loud
+      if (Sidecar.exists(s"${txDir(dir)}/abort-$tx")) {
+        Sidecar.delete(s"${txDir(dir)}/commit-$tx")
+        throw new IllegalStateException(
+          s"tx $tx was janitor-aborted during a resolve-lease violation; commit is NOT durable")
+      }
+    } else if (!awaitOutcome(dir, tx))
       throw new IllegalStateException(
         s"tx $tx was rolled back concurrently; commit lost the race and is NOT durable")
-    }
   }
 
   /** Explicit rollback (deleteTx, MVCC.hs:301-312): resolves the id
     * without committing it, so the watermark can advance past it.
-    * Idempotent. Aborting a committed transaction is a caller bug.
-    * Converges against a racing [[commit]] by the same
-    * write-then-re-check rule (see [[commit]]'s note): if the commit
-    * marker landed between our pre-check and our marker write, the
-    * abort yields — the committed transaction stays durable.
+    * Idempotent. Aborting a committed transaction is a caller bug —
+    * and by the resolution protocol a commit() that RETURNED SUCCESS
+    * can never be overridden here, including the compactor window
+    * where the commit marker was already folded into the watermark.
     */
   def abort(dir: String, tx: Long): Unit = {
-    if (isCommitted(dir, tx))
-      throw new IllegalStateException(s"tx $tx is committed; cannot abort")
-    Sidecar.writeString(s"${txDir(dir)}/abort-$tx", "")
-    if (Sidecar.exists(s"${txDir(dir)}/commit-$tx")) {
-      Sidecar.delete(s"${txDir(dir)}/abort-$tx")
-      throw new IllegalStateException(
-        s"tx $tx committed concurrently; abort lost the race")
+    outcomeOf(dir, tx) match {
+      case Some(false) => return // idempotent
+      case Some(true)  =>
+        throw new IllegalStateException(s"tx $tx is committed; cannot abort")
+      case None =>
     }
+    if (Sidecar.createExclusive(resolvePath(dir, tx))) {
+      if (tx <= watermark(dir)) { // stale re-creation of a folded claim
+        Sidecar.delete(resolvePath(dir, tx))
+        if (Sidecar.exists(s"${txDir(dir)}/abort-$tx")) return // folded as aborted
+        throw new IllegalStateException(s"tx $tx is committed; cannot abort")
+      }
+      Sidecar.writeString(s"${txDir(dir)}/abort-$tx", "")
+      // lease-violation cleanup (see commit()): a commit marker here
+      // means our claim was obtained via a steal while the original
+      // winner was still alive and it already committed — its success
+      // stands; the abort yields
+      if (Sidecar.exists(s"${txDir(dir)}/commit-$tx")) {
+        Sidecar.delete(s"${txDir(dir)}/abort-$tx")
+        throw new IllegalStateException(
+          s"tx $tx committed under a stolen resolve claim; abort yields")
+      }
+    } else if (awaitOutcome(dir, tx))
+      throw new IllegalStateException(s"tx $tx committed concurrently; abort lost the race")
   }
 
   /** Crash janitor: abort every allocated-but-unresolved tx whose
@@ -119,7 +204,10 @@ object TxLog {
     * forever. The horizon is the operator's promise that no LIVE
     * transaction runs longer; a too-short horizon aborts a slow
     * writer (its later [[commit]] then fails loud on the abort
-    * marker, never silently half-applies). Returns the aborted ids.
+    * marker, never silently half-applies). Also breaks resolution
+    * claims whose claimant died between claim and outcome (stale
+    * `resolve-` with no outcome marker) by the rename-steal rule.
+    * Returns the aborted ids.
     */
   def abortStale(dir: String, horizonMs: Long): Seq[Long] = {
     val cutoff = System.currentTimeMillis() - horizonMs
@@ -129,11 +217,28 @@ object TxLog {
       .filter(id => id > w && !resolved(id))
       .filter(id => Sidecar.modificationTime(s"${txDir(dir)}/alloc-$id").exists(_ < cutoff))
       .sorted
-      // a slow writer's commit can land between the unresolved listing
-      // above and the abort — [[abort]]'s write-then-re-check yields to
-      // it (deleting the janitor's marker); the janitor then simply
-      // does not report that id as aborted
       .flatMap { id =>
+        // a crashed resolver's claim (no outcome) would wedge abort()
+        // forever — steal it by rename, exactly like the compact lock
+        // (one winner). The steal is LEASE-bounded independently of the
+        // alloc horizon: a claim lives exactly one sidecar write, so a
+        // claim younger than the lease belongs to a LIVE resolver and
+        // must never be stolen even under an aggressive (or negative)
+        // janitor horizon — the lease is the standard assumption that
+        // no resolver pauses a full minute between two adjacent writes;
+        // if one ever does, the post-write collision cleanup in
+        // commit()/abort() still converges the markers to one winner.
+        val claim = resolvePath(dir, id)
+        val leaseCutoff = System.currentTimeMillis() - math.max(horizonMs, resolveLeaseMs)
+        if (outcomeOf(dir, id).isEmpty &&
+            Sidecar.modificationTime(claim).exists(_ < leaseCutoff)) {
+          val tomb = s"$claim-broken-${java.util.UUID.randomUUID().toString.take(8)}"
+          if (Sidecar.rename(claim, tomb)) Sidecar.delete(tomb)
+        }
+        // a slow writer's commit can still land between the listing
+        // above and the abort — abort() yields to it (loses the
+        // resolution or sees the outcome) and the janitor simply does
+        // not report that id
         try { abort(dir, id); Some(id) }
         catch { case _: IllegalStateException => None }
       }
@@ -205,23 +310,9 @@ object TxLog {
     */
   def compact(dir: String, lockHorizonMs: Long = 60 * 60 * 1000L): Unit = {
     val lock = s"${txDir(dir)}/compact-lock"
-    if (!Sidecar.createExclusive(lock)) {
-      // break a dead compactor's lock by RENAMING it to a unique
-      // tombstone: a rename's source must exist at the instant of the
-      // move, so (a) two breakers can never both succeed (the r11
-      // check-mtime-then-delete let a pair delete a stale lock AND a
-      // fresh replacement — two live compactors), and (b) the mtime
-      // re-read immediately before the steal keeps the
-      // fresh-lock-replaced-stale window to microseconds instead of
-      // the whole staleness check
-      def staleNow = Sidecar.modificationTime(lock)
-        .exists(_ < System.currentTimeMillis() - lockHorizonMs)
-      if (!staleNow) return // another compactor is active; this run is a no-op
-      val tomb = s"$lock-broken-${java.util.UUID.randomUUID().toString.take(8)}"
-      if (!staleNow || !Sidecar.rename(lock, tomb)) return // lost the break race
-      Sidecar.delete(tomb)
-      if (!Sidecar.createExclusive(lock)) return // a third compactor slipped in
-    }
+    // a live compactor's lock means this run is a no-op; a dead one's
+    // is broken by the one-winner rename-steal (Sidecar.lockBreakingStale)
+    if (!Sidecar.lockBreakingStale(lock, lockHorizonMs)) return
     try {
       val w0 = watermark(dir)
       val resolved = (idsWithPrefix(dir, "commit-") ++ idsWithPrefix(dir, "abort-"))
@@ -236,6 +327,11 @@ object TxLog {
         .foreach(id => Sidecar.delete(s"${txDir(dir)}/commit-$id"))
       idsWithPrefix(dir, "alloc-").filter(_ <= wFinal)
         .foreach(id => Sidecar.delete(s"${txDir(dir)}/alloc-$id"))
+      // resolution claims of folded ids: the outcome is in the
+      // watermark (+ retained abort list) now; a stale aborter
+      // re-creating one is voided by the post-claim watermark guard
+      idsWithPrefix(dir, "resolve-").filter(_ <= wFinal)
+        .foreach(id => Sidecar.delete(s"${txDir(dir)}/resolve-$id"))
     } finally Sidecar.delete(lock)
   }
 
@@ -273,7 +369,18 @@ object TxLog {
     val w = watermark(dir)
     val purgeable = abortedSet(dir).filter(_ <= w)
     if (purgeable.isEmpty) return Set.empty
-    persist(Mvcc.purgeAborted(versioned, purgeable))
+    // materialize BEFORE persist runs: the natural caller overwrites
+    // the very files `versioned` lazily reads ("Cannot overwrite a
+    // path that is also being read from"); the checkpoint severs that
+    // lineage so same-path rewrites just work
+    val purged = Mvcc.purgeAborted(versioned, purgeable).localCheckpoint(true)
+    try persist(purged)
+    finally purged.queryExecution.analyzed match {
+      // release the maintenance frame's blocks once persisted (or on
+      // a failed persist — the markers stay, so a re-run re-purges)
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false): Unit
+      case _ => ()
+    }
     forgetAborted(dir, purgeable)
     purgeable
   }

@@ -737,8 +737,16 @@ object Dedup {
   def simhashHammingPairsScaled(df: DataFrame, idCol: String, text: Column,
       maxHamming: Int = 3, targetBucketRows: Int = 32): DataFrame = {
     val n = df.count()
-    val bits = autoSimhashBits(n, maxHamming, targetBucketRows)
-    if (bits < 64) simhashHammingPairs(df, idCol, text, maxHamming, bits)
+    // dispatch on key-width SATURATION, not on `bits == 64`: for
+    // maxHamming where 64 % (k+1) != 0 (k=2: 21-bit cap, bits <= 63)
+    // the width tier saturates without ever reaching 64 total bits,
+    // and a bits-based test would leave it quadratic at scale
+    val capWidth = 64 / (maxHamming + 1)
+    val need = math.ceil(math.log(
+      math.max(n, 1).toDouble / targetBucketRows) / math.log(2)).toInt
+    if (need <= capWidth)
+      simhashHammingPairs(df, idCol, text, maxHamming,
+        autoSimhashBits(n, maxHamming, targetBucketRows))
     else simhashHammingPairsTables(df, idCol, text, maxHamming,
       autoSimhashBlocks(n, maxHamming, targetBucketRows), 64)
   }

@@ -150,6 +150,24 @@ class TxLogSpec extends GraftSuite {
     }
   }
 
+  test("a commit FOLDED into the watermark still refuses a late abort (marker-free committed)") {
+    // the r12-review hole: compact deletes commit markers once the
+    // watermark covers them, so an outcome check against the raw
+    // marker would let a late janitor abort override a durable commit
+    val dir = graft.queries.SessionPublish.tempDir("txlog-folded")
+    val t1 = TxLog.begin(dir)
+    TxLog.commit(dir, t1)
+    TxLog.compact(dir)
+    assert(TxLog.watermark(dir) === t1)
+    assert(!graft.core.Sidecar.exists(s"$dir/txlog/commit-$t1"),
+      "compact must have deleted the folded commit marker (test precondition)")
+    intercept[IllegalStateException](TxLog.abort(dir, t1))
+    assert(TxLog.isCommitted(dir, t1), "the folded commit stays committed")
+    TxLog.commit(dir, t1) // idempotent on the folded form too
+    assert(TxLog.abortStale(dir, -1000L) === Seq.empty,
+      "the janitor must not resurrect folded ids (they are <= watermark)")
+  }
+
   test("purgeAborted: abort -> purge -> forget -> read, one maintenance cycle") {
     val dir = graft.queries.SessionPublish.tempDir("txlog-purge")
     val t1 = TxLog.begin(dir)
