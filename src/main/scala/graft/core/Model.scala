@@ -366,8 +366,9 @@ object Model {
     // and the fold deletes exactly the segments it merged.
     val lock = s"${segDir(dir)}/compact-lock"
     // a live compactor's lock means this fold is already happening; a
-    // dead one's is broken by the one-winner rename-steal
-    if (!Sidecar.lockBreakingStale(lock, lockHorizonMs)) return
+    // dead one's is broken by the one-winner rename-steal; the nonce
+    // keeps an over-horizon holder from releasing its breaker's lock
+    val nonce = Sidecar.acquireLock(lock, lockHorizonMs).getOrElse(return)
     try {
       val segs = segmentNames(dir)
       if (segs.isEmpty) return
@@ -377,6 +378,6 @@ object Model {
         Sidecar.delete(s"${segDir(dir)}/$n")
         Sidecar.delete(s"${segDir(dir)}/claim-${n.stripPrefix("seg-").toLong}")
       }
-    } finally Sidecar.delete(lock)
+    } finally Sidecar.releaseLock(lock, nonce)
   }
 }

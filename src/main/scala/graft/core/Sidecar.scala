@@ -195,16 +195,42 @@ object Sidecar {
     * the break race was lost — callers treat both as "someone else is
     * doing the job".
     */
-  def lockBreakingStale(lock: String, horizonMs: Long): Boolean = {
-    if (createExclusive(lock)) return true
-    def staleNow = modificationTime(lock)
-      .exists(_ < System.currentTimeMillis() - horizonMs)
-    if (!staleNow) return false
-    val tomb = s"$lock-broken-${java.util.UUID.randomUUID().toString.take(8)}"
-    if (!staleNow || !rename(lock, tomb)) return false
-    delete(tomb)
-    createExclusive(lock)
+  def lockBreakingStale(lock: String, horizonMs: Long): Boolean =
+    acquireLock(lock, horizonMs).isDefined
+
+  /** [[lockBreakingStale]] returning an OWNERSHIP nonce: release with
+    * [[releaseLock]], which deletes the lock only while the recorded
+    * owner is still this nonce. An unconditional release from a holder
+    * that outlived the staleness horizon would delete the BREAKER'S
+    * lock and let a third party in concurrently; the nonce check makes
+    * that release a no-op (the at-worst outcome degrades to a leaked
+    * lock, which the staleness break already recovers).
+    */
+  def acquireLock(lock: String, horizonMs: Long): Option[String] = {
+    val nonce = java.util.UUID.randomUUID().toString
+    def claim(): Option[String] =
+      if (createExclusive(lock)) { writeString(s"$lock.owner", nonce); Some(nonce) }
+      else None
+    claim().orElse {
+      def staleNow = modificationTime(lock)
+        .exists(_ < System.currentTimeMillis() - horizonMs)
+      if (!staleNow) None
+      else {
+        val tomb = s"$lock-broken-${java.util.UUID.randomUUID().toString.take(8)}"
+        // owner is stamped BEFORE re-claiming so the evicted holder's
+        // release sees a foreign nonce from the first possible instant
+        if (!staleNow || !rename(lock, tomb)) None
+        else { delete(tomb); writeString(s"$lock.owner", nonce); claim().map(_ => nonce) }
+      }
+    }
   }
+
+  /** Release `lock` if still owned by `nonce` (see [[acquireLock]]). */
+  def releaseLock(lock: String, nonce: String): Unit =
+    if (readString(s"$lock.owner").contains(nonce)) {
+      delete(s"$lock.owner")
+      delete(lock)
+    }
 
   /** Child names of `dir` (empty if absent). */
   def listNames(dir: String): Seq[String] = {

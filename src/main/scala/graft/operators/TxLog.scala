@@ -44,28 +44,60 @@ object TxLog {
 
   private def txDir(dir: String) = s"$dir/txlog"
 
+  /** Ids by marker prefix, from ONE directory listing partitioned in
+    * memory — begin()/compact() need several prefixes and a listing is
+    * a remote round-trip on object stores. Non-numeric suffixes are
+    * lock/claim tombstones mid-steal (`...-broken-<nonce>`), never ids.
+    */
+  private def idsByPrefix(names: Seq[String], prefix: String): Seq[Long] =
+    names.filter(_.startsWith(prefix)).flatMap(_.stripPrefix(prefix).toLongOption)
+
   private def idsWithPrefix(dir: String, prefix: String): Seq[Long] =
-    Sidecar.listNames(txDir(dir))
-      .filter(_.startsWith(prefix))
-      // non-numeric suffixes are lock/claim tombstones mid-steal
-      // (`...-broken-<nonce>`), never ids
-      .flatMap(_.stripPrefix(prefix).toLongOption)
+    idsByPrefix(Sidecar.listNames(txDir(dir)), prefix)
 
   /** Watermark: every tx id <= this is resolved (committed or in the
-    * abort list; 0 = none).
+    * abort list; 0 = none). Stored as MONOTONE `watermark-<w>` marker
+    * files (readers take the max) rather than a rewritable file: a
+    * replace-in-place write has a delete-then-rename window on
+    * HDFS-class stores during which a reader would see watermark=0 and
+    * every folded commit as uncommitted — a store-wide transient
+    * visibility collapse. Marker creates have no such window, and the
+    * max over creates can never regress. The legacy rewritable
+    * `watermark` file (pre-r12 stores) is still read — it is never
+    * written again, so its replacement window is gone too.
     */
-  def watermark(dir: String): Long =
-    Sidecar.readString(s"${txDir(dir)}/watermark").map(_.trim.toLong).getOrElse(0L)
+  def watermark(dir: String): Long = watermarkFrom(dir, Sidecar.listNames(txDir(dir)))
+
+  private def watermarkFrom(dir: String, names: Seq[String]): Long = {
+    val legacy =
+      if (names.contains("watermark"))
+        Sidecar.readString(s"${txDir(dir)}/watermark").flatMap(_.trim.toLongOption)
+      else None
+    (idsByPrefix(names, "watermark-") ++ legacy :+ 0L).max
+  }
 
   /** Allocate a fresh tx id: claim max-known + 1 by exclusive marker
     * create, retrying upward on collision — two concurrent sessions
-    * always get distinct ids.
+    * always get distinct ids. The post-create watermark guard closes
+    * the folded-id re-creation race: a session that computed its probe
+    * base, then stalled while another session allocated, committed,
+    * and COMPACTED that id (deleting its markers), would otherwise
+    * re-create the alloc marker for an id the watermark already covers
+    * — and every row it stages with that tx_min would read as
+    * committed instantly.
     */
   def begin(dir: String): Long = {
-    val known = (idsWithPrefix(dir, "alloc-") ++ idsWithPrefix(dir, "commit-") ++
-      idsWithPrefix(dir, "abort-") :+ watermark(dir)).max
-    var id = known + 1
-    while (!Sidecar.createExclusive(s"${txDir(dir)}/alloc-$id")) id += 1
+    var id = {
+      val names = Sidecar.listNames(txDir(dir))
+      (idsByPrefix(names, "alloc-") ++ idsByPrefix(names, "commit-") ++
+        idsByPrefix(names, "abort-") :+ watermarkFrom(dir, names)).max + 1
+    }
+    while ({
+      while (!Sidecar.createExclusive(s"${txDir(dir)}/alloc-$id")) id += 1
+      val folded = id <= watermark(dir)
+      if (folded) { Sidecar.delete(s"${txDir(dir)}/alloc-$id"); id += 1 }
+      folded
+    }) ()
     id
   }
 
@@ -153,9 +185,12 @@ object TxLog {
       // lease-violation cleanup: this marker write can only collide
       // with an abort if OUR claim was stolen (we paused longer than
       // the resolve lease) and the stealing janitor already reported
-      // the abort — its report stands; this commit must fail loud
+      // the abort — its report stands; this commit must fail loud.
+      // The delete is WATERMARK-guarded: once a compactor folded the
+      // id, removing a marker would flip the folded outcome (the
+      // retained abort marker is what keeps a folded id aborted)
       if (Sidecar.exists(s"${txDir(dir)}/abort-$tx")) {
-        Sidecar.delete(s"${txDir(dir)}/commit-$tx")
+        if (tx > watermark(dir)) Sidecar.delete(s"${txDir(dir)}/commit-$tx")
         throw new IllegalStateException(
           s"tx $tx was janitor-aborted during a resolve-lease violation; commit is NOT durable")
       }
@@ -188,9 +223,10 @@ object TxLog {
       // lease-violation cleanup (see commit()): a commit marker here
       // means our claim was obtained via a steal while the original
       // winner was still alive and it already committed — its success
-      // stands; the abort yields
+      // stands; the abort yields. Watermark-guarded like commit()'s:
+      // never remove a marker a compactor may already have folded
       if (Sidecar.exists(s"${txDir(dir)}/commit-$tx")) {
-        Sidecar.delete(s"${txDir(dir)}/abort-$tx")
+        if (tx > watermark(dir)) Sidecar.delete(s"${txDir(dir)}/abort-$tx")
         throw new IllegalStateException(
           s"tx $tx committed under a stolen resolve claim; abort yields")
       }
@@ -229,18 +265,32 @@ object TxLog {
         // if one ever does, the post-write collision cleanup in
         // commit()/abort() still converges the markers to one winner.
         val claim = resolvePath(dir, id)
+        def claimAge: Option[Long] = Sidecar.modificationTime(claim)
         val leaseCutoff = System.currentTimeMillis() - math.max(horizonMs, resolveLeaseMs)
-        if (outcomeOf(dir, id).isEmpty &&
-            Sidecar.modificationTime(claim).exists(_ < leaseCutoff)) {
-          val tomb = s"$claim-broken-${java.util.UUID.randomUUID().toString.take(8)}"
-          if (Sidecar.rename(claim, tomb)) Sidecar.delete(tomb)
+        if (outcomeOf(dir, id).isEmpty && claimAge.exists(_ < leaseCutoff)) {
+          // re-read the staleness IMMEDIATELY before the steal (the
+          // lockBreakingStale rule): between the check above and the
+          // rename, another janitor can steal the stale claim and a
+          // live resolver re-create a FRESH one — stealing that would
+          // break the lease invariant for a resolver that violated
+          // nothing
+          if (claimAge.exists(_ < leaseCutoff)) {
+            val tomb = s"$claim-broken-${java.util.UUID.randomUUID().toString.take(8)}"
+            if (Sidecar.rename(claim, tomb)) Sidecar.delete(tomb)
+          }
         }
-        // a slow writer's commit can still land between the listing
-        // above and the abort — abort() yields to it (loses the
-        // resolution or sees the outcome) and the janitor simply does
-        // not report that id
-        try { abort(dir, id); Some(id) }
-        catch { case _: IllegalStateException => None }
+        // a claim younger than the lease belongs to a LIVE resolver
+        // whose outcome is about to land — skip the id this pass
+        // instead of paying abort()'s await deadline for it
+        if (outcomeOf(dir, id).isEmpty && claimAge.isDefined) None
+        else {
+          // a slow writer's commit can still land between the listing
+          // above and the abort — abort() yields to it (loses the
+          // resolution or sees the outcome) and the janitor simply
+          // does not report that id
+          try { abort(dir, id); Some(id) }
+          catch { case _: IllegalStateException => None }
+        }
       }
   }
 
@@ -250,8 +300,16 @@ object TxLog {
     * only committed net of [[abortedSet]].
     */
   def committedState(dir: String): (Long, Set[Long]) = {
-    val w = watermark(dir)
-    (w, idsWithPrefix(dir, "commit-").filter(_ > w).toSet)
+    // ONE listing, markers before the watermark filter: reading the
+    // watermark first would let a concurrent compact advance it and
+    // delete a commit marker between the two reads — a committed tx
+    // transiently invisible (neither <= w nor in recent). With a
+    // single listing the two views are one snapshot; the harmless
+    // direction (a recent id the watermark also covers) stays correct
+    // under the OR in committedColumn/isCommitted.
+    val names = Sidecar.listNames(txDir(dir))
+    val w = watermarkFrom(dir, names)
+    (w, idsByPrefix(names, "commit-").filter(_ > w).toSet)
   }
 
   /** The retained abort list (exception list under and above the
@@ -311,28 +369,42 @@ object TxLog {
   def compact(dir: String, lockHorizonMs: Long = 60 * 60 * 1000L): Unit = {
     val lock = s"${txDir(dir)}/compact-lock"
     // a live compactor's lock means this run is a no-op; a dead one's
-    // is broken by the one-winner rename-steal (Sidecar.lockBreakingStale)
-    if (!Sidecar.lockBreakingStale(lock, lockHorizonMs)) return
+    // is broken by the one-winner rename-steal. The nonce keeps a
+    // compactor that outlived the horizon from releasing its BREAKER'S
+    // lock on the way out (two live compactors otherwise).
+    val nonce = Sidecar.acquireLock(lock, lockHorizonMs).getOrElse(return)
     try {
-      val w0 = watermark(dir)
-      val resolved = (idsWithPrefix(dir, "commit-") ++ idsWithPrefix(dir, "abort-"))
+      val names = Sidecar.listNames(txDir(dir))
+      val w0 = watermarkFrom(dir, names)
+      val resolved = (idsByPrefix(names, "commit-") ++ idsByPrefix(names, "abort-"))
         .filter(_ > w0).distinct.sorted
       var w = w0
       for (id <- resolved if id == w + 1) w = id
-      // never regress: a concurrent writer cannot have LOWERED the
-      // stored watermark (writes are max-guarded), so max() is safe
       val wFinal = math.max(w, watermark(dir))
-      if (wFinal > w0) Sidecar.writeString(s"${txDir(dir)}/watermark", wFinal.toString)
-      idsWithPrefix(dir, "commit-").filter(_ <= wFinal)
+      // the NEW marker lands BEFORE any old marker is deleted, so a
+      // reader's single-listing snapshot always carries either the
+      // commit marker or a covering watermark — never neither. The
+      // monotone-marker scheme (max over creates) cannot regress, so
+      // a racing pair can never publish a watermark smaller than one
+      // whose markers were already deleted.
+      if (wFinal > 0) Sidecar.createExclusive(s"${txDir(dir)}/watermark-$wFinal"): Unit
+      idsByPrefix(names, "watermark-").filter(_ < wFinal)
+        .foreach(v => Sidecar.delete(s"${txDir(dir)}/watermark-$v"))
+      // migrate the legacy rewritable file only once a covering marker
+      // exists (created just above — wFinal >= the legacy value by
+      // construction); deleting it without one would lose the watermark
+      if (names.contains("watermark") && wFinal > 0)
+        Sidecar.delete(s"${txDir(dir)}/watermark")
+      idsByPrefix(names, "commit-").filter(_ <= wFinal)
         .foreach(id => Sidecar.delete(s"${txDir(dir)}/commit-$id"))
-      idsWithPrefix(dir, "alloc-").filter(_ <= wFinal)
+      idsByPrefix(names, "alloc-").filter(_ <= wFinal)
         .foreach(id => Sidecar.delete(s"${txDir(dir)}/alloc-$id"))
       // resolution claims of folded ids: the outcome is in the
       // watermark (+ retained abort list) now; a stale aborter
       // re-creating one is voided by the post-claim watermark guard
-      idsWithPrefix(dir, "resolve-").filter(_ <= wFinal)
+      idsByPrefix(names, "resolve-").filter(_ <= wFinal)
         .foreach(id => Sidecar.delete(s"${txDir(dir)}/resolve-$id"))
-    } finally Sidecar.delete(lock)
+    } finally Sidecar.releaseLock(lock, nonce)
   }
 
   /** Drop abort markers for transactions whose staged versions have
