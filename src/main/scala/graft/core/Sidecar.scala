@@ -65,6 +65,46 @@ object Sidecar {
     }
   }
 
+  /** [[createExclusive]] with `content` landing atomically WITH the
+    * claim on local filesystems: the content is written to a hidden
+    * sibling first and the target is created as a hard LINK to it
+    * (link(2) fails if the target exists and is atomic), so no reader
+    * can ever observe the claimed file without its content. On
+    * HDFS-class stores create-no-overwrite is the atomic claim and the
+    * content lands before close — a reader in that sub-millisecond
+    * window sees an empty file, which every consumer here treats as
+    * "foreign owner" (a safe no-op, see [[releaseLock]]).
+    */
+  def createExclusiveWithContent(path: String, content: String): Boolean = {
+    val (fs, p) = fsFor(path)
+    fs.mkdirs(p.getParent)
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val target = java.nio.file.Paths.get(p.toUri.getPath)
+        val tmp = target.resolveSibling(
+          s".${p.getName}.claim-${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          java.nio.file.Files.write(tmp, bytes)
+          try { java.nio.file.Files.createLink(target, tmp); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.io.IOException => false
+          }
+        } catch { case _: java.io.IOException => false }
+        finally {
+          try java.nio.file.Files.deleteIfExists(tmp)
+          catch { case _: java.io.IOException => () }
+        }
+      case _ =>
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+  }
+
   def readString(path: String): Option[String] = {
     val (fs, p) = fsFor(path)
     if (!fs.exists(p)) None
@@ -198,39 +238,79 @@ object Sidecar {
   def lockBreakingStale(lock: String, horizonMs: Long): Boolean =
     acquireLock(lock, horizonMs).isDefined
 
-  /** [[lockBreakingStale]] returning an OWNERSHIP nonce: release with
-    * [[releaseLock]], which deletes the lock only while the recorded
-    * owner is still this nonce. An unconditional release from a holder
-    * that outlived the staleness horizon would delete the BREAKER'S
-    * lock and let a third party in concurrently; the nonce check makes
-    * that release a no-op (the at-worst outcome degrades to a leaked
-    * lock, which the staleness break already recovers).
+  /** [[lockBreakingStale]] returning an OWNERSHIP nonce: the nonce IS
+    * the lock file's content, written atomically with the claim
+    * ([[createExclusiveWithContent]]), so ownership has no separate
+    * owner-file whose stamp could race the claim (a pre-claim stamp
+    * can land AFTER a competing winner's and hijack its release; a
+    * post-claim stamp leaves a window where the winner is
+    * unreleasable). Release with [[releaseLock]], whose rename-based
+    * check-and-remove has exactly one winner per lock incarnation —
+    * a holder that outlived the staleness horizon and got broken can
+    * never remove its breaker's lock.
     */
   def acquireLock(lock: String, horizonMs: Long): Option[String] = {
     val nonce = java.util.UUID.randomUUID().toString
     def claim(): Option[String] =
-      if (createExclusive(lock)) { writeString(s"$lock.owner", nonce); Some(nonce) }
-      else None
+      if (createExclusiveWithContent(lock, nonce)) Some(nonce) else None
     claim().orElse {
       def staleNow = modificationTime(lock)
         .exists(_ < System.currentTimeMillis() - horizonMs)
       if (!staleNow) None
       else {
+        // break by RENAME to a unique tombstone: a rename's source must
+        // exist at the instant of the move, so racing breakers get
+        // exactly one winner — check-mtime-then-delete would let a pair
+        // delete a stale lock AND a fresh replacement. The mtime is
+        // re-read immediately before the steal to shrink the
+        // fresh-lock-replaced-stale window to microseconds.
         val tomb = s"$lock-broken-${java.util.UUID.randomUUID().toString.take(8)}"
-        // owner is stamped BEFORE re-claiming so the evicted holder's
-        // release sees a foreign nonce from the first possible instant
         if (!staleNow || !rename(lock, tomb)) None
-        else { delete(tomb); writeString(s"$lock.owner", nonce); claim().map(_ => nonce) }
+        else {
+          delete(tomb)
+          delete(s"$lock.owner") // legacy pre-r13 owner sidecar, if any
+          claim()
+        }
       }
     }
   }
 
-  /** Release `lock` if still owned by `nonce` (see [[acquireLock]]). */
-  def releaseLock(lock: String, nonce: String): Unit =
-    if (readString(s"$lock.owner").contains(nonce)) {
-      delete(s"$lock.owner")
-      delete(lock)
+  /** Release `lock` if still owned by `nonce` — SINGLE-WINNER, like
+    * the steal path: the lock is renamed to a private tombstone first
+    * (one winner per incarnation), its content verified against the
+    * nonce, and only a verified-own tombstone is deleted. A plain
+    * read-owner-then-delete would be a check-then-act race two
+    * filesystem ops wide: a holder that outlived the staleness horizon
+    * could verify its own nonce, then — after a breaker renamed the
+    * stale lock away, re-claimed, and stamped its own ownership —
+    * delete the BREAKER'S fresh lock and admit a third party
+    * concurrently. Here the rename removes exactly one incarnation; if
+    * its content turns out foreign (the pathological zombie case: the
+    * break happened between this caller's content pre-check and the
+    * rename), the foreign lock is restored by the reverse rename. The
+    * only unrecoverable interleaving left needs a THIRD claimant to
+    * slip into the microsecond tombstone window — strictly narrower
+    * than the race this replaces, and it degrades to the foreign
+    * holder losing its lock (its own release then no-ops on the
+    * content pre-check; the staleness break recovers the slot).
+    */
+  def releaseLock(lock: String, nonce: String): Unit = {
+    // a concurrent breaker's rename can race readString's exists/open
+    // pair — a mid-rename lock must read as "absent" (no-op), never
+    // throw out of the caller's finally
+    def contentIs(path: String): Boolean =
+      try readString(path).contains(nonce)
+      catch { case _: java.io.IOException => false }
+    if (!contentIs(lock)) return // foreign/absent: no-op
+    val tomb = s"$lock.rel-${java.util.UUID.randomUUID().toString.take(8)}"
+    if (!rename(lock, tomb)) return // lost to a racing breaker: no-op
+    if (contentIs(tomb)) delete(tomb) // ours: released
+    else if (exists(lock) || !rename(tomb, lock)) {
+      // restore failed (slot re-claimed meanwhile): drop the tombstone;
+      // the displaced holder's own release no-ops on its content check
+      delete(tomb)
     }
+  }
 
   /** Child names of `dir` (empty if absent). */
   def listNames(dir: String): Seq[String] = {
