@@ -37,9 +37,12 @@ object ProbeSimhash {
 
     def volume(keyed: org.apache.spark.sql.DataFrame): Long =
       // Column `/` is DOUBLE division — keep the count integral and
-      // halve on the driver
+      // halve on the driver; coalesce because sum over an EMPTY keyed
+      // frame is NULL (a degenerate corpus must print candidates=0,
+      // not NPE)
       keyed.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1))).first().getLong(0) / 2
+        .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+        .first().getLong(0) / 2
 
     if (replicate == 1) {
       val auto = Dedup.autoSimhashBits(n)

@@ -24,6 +24,15 @@ import graft.core.Sidecar
   *    watermark can advance past it instead of being wedged forever
   *    by one abandoned transaction. Abort markers are retained (the
   *    permanent exception list — see the watermark note below);
+  *  - `purged/<id>` — the id was aborted AND its staged versions
+  *    physically purged ([[purgeAborted]]): the permanent record that
+  *    keeps the point queries ([[commit]]/[[abort]]/[[isCommitted]])
+  *    fail-loud for an id whose abort marker [[forgetAborted]]
+  *    dropped. Lives in a subdirectory (one name in the hot listing)
+  *    and is never consulted by the scan predicate — see
+  *    [[purgedAbort]];
+  *  - `lease-ms` — the store-level resolve lease
+  *    ([[setResolveLeaseMs]]);
   *  - `watermark` — every tx `<= w` is RESOLVED (committed or
   *    aborted); committed means `<= w` and not in the abort list
   *    ([[compact]] folds the contiguous resolved prefix here and
@@ -127,9 +136,49 @@ object TxLog {
 
   /** The resolve-claim lease: a claim younger than this belongs to a
     * LIVE resolver (claims span exactly one sidecar write) and is never
-    * stolen, regardless of the janitor's alloc horizon.
+    * stolen, regardless of the janitor's alloc horizon. The default
+    * encodes the protocol's one residual assumption — no resolver
+    * pauses a full minute between two adjacent sidecar writes.
     */
-  private val resolveLeaseMs: Long = 60000
+  private val defaultResolveLeaseMs: Long = 60000
+
+  /** The store's resolve-claim lease (see above): a STORE-LEVEL
+    * setting like [[graft.core.Model.publishGraceMs]], because every
+    * session janitoring the store must honor the same lease — a
+    * per-call knob would let one aggressive session steal claims a
+    * conservatively-configured resolver still holds. Raise it before
+    * running on an environment whose GC/VM pauses can exceed a minute
+    * (the operating envelope: lease > the longest driver pause between
+    * a resolve claim and its outcome write; the cost of a larger lease
+    * is only how long a CRASHED resolver wedges its one tx before
+    * [[abortStale]] can break the claim).
+    */
+  def resolveLeaseMs(dir: String): Long =
+    Sidecar.readString(s"${txDir(dir)}/lease-ms")
+      .flatMap(_.trim.toLongOption).getOrElse(defaultResolveLeaseMs)
+
+  /** Persist the store-level resolve lease all sessions will honor —
+    * set it BEFORE resolvers start, not per-call.
+    */
+  def setResolveLeaseMs(dir: String, ms: Long): Unit = {
+    require(ms > 0, s"lease must be positive: $ms")
+    Sidecar.writeString(s"${txDir(dir)}/lease-ms", ms.toString)
+  }
+
+  /** Was `tx` aborted AND physically purged ([[purgeAborted]])? The
+    * marker lives in a SUBDIRECTORY (one extra name in the txlog
+    * listing, not one per id) and is consulted only by the point
+    * queries ([[commit]]/[[abort]]/[[isCommitted]]) on ids the
+    * watermark already covers — never by [[committedColumn]], whose
+    * predicate stays bounded by the in-flight window: after the purge
+    * no surviving row references the id, so the scan predicate's
+    * answer for it is unused. Without this record, a late duplicate
+    * `commit(purgedId)` would return SUCCESS (the abort marker is
+    * gone, the watermark covers the id) — a false durability signal
+    * inverting the fail-loud contract.
+    */
+  private def purgedAbort(dir: String, tx: Long): Boolean =
+    Sidecar.exists(s"${txDir(dir)}/purged/$tx")
 
   /** Outcome of `tx` once somebody resolved it: Some(true)=committed,
     * Some(false)=aborted, None=unresolved. Watermark-aware: a folded
@@ -138,7 +187,9 @@ object TxLog {
   private def outcomeOf(dir: String, tx: Long): Option[Boolean] =
     if (Sidecar.exists(s"${txDir(dir)}/abort-$tx")) Some(false)
     else if (Sidecar.exists(s"${txDir(dir)}/commit-$tx")) Some(true)
-    else if (tx <= watermark(dir)) Some(true) // folded; abort markers are retained, so absent = committed
+    // folded: abort markers are retained until purged, and a purge
+    // leaves the purged/<id> record — so absent-everywhere = committed
+    else if (tx <= watermark(dir)) Some(!purgedAbort(dir, tx))
     else None
 
   /** Wait for the resolution winner's outcome marker — the loser path.
@@ -168,7 +219,8 @@ object TxLog {
     outcomeOf(dir, tx) match {
       case Some(true)  => return // idempotent (incl. folded-committed)
       case Some(false) =>
-        throw new IllegalStateException(s"tx $tx was rolled back; cannot commit")
+        throw new IllegalStateException(s"tx $tx was rolled back" +
+          s"${if (purgedAbort(dir, tx)) " and purged" else ""}; cannot commit")
       case None =>
     }
     if (Sidecar.createExclusive(resolvePath(dir, tx))) {
@@ -177,7 +229,7 @@ object TxLog {
       // original — tx was already resolved; void the win
       if (tx <= watermark(dir)) {
         Sidecar.delete(resolvePath(dir, tx))
-        if (Sidecar.exists(s"${txDir(dir)}/abort-$tx"))
+        if (Sidecar.exists(s"${txDir(dir)}/abort-$tx") || purgedAbort(dir, tx))
           throw new IllegalStateException(s"tx $tx was rolled back; cannot commit")
         return // folded as committed — idempotent success
       }
@@ -216,7 +268,8 @@ object TxLog {
     if (Sidecar.createExclusive(resolvePath(dir, tx))) {
       if (tx <= watermark(dir)) { // stale re-creation of a folded claim
         Sidecar.delete(resolvePath(dir, tx))
-        if (Sidecar.exists(s"${txDir(dir)}/abort-$tx")) return // folded as aborted
+        if (Sidecar.exists(s"${txDir(dir)}/abort-$tx") || purgedAbort(dir, tx))
+          return // folded as aborted (marker retained or purged+recorded)
         throw new IllegalStateException(s"tx $tx is committed; cannot abort")
       }
       Sidecar.writeString(s"${txDir(dir)}/abort-$tx", "")
@@ -266,7 +319,8 @@ object TxLog {
         // commit()/abort() still converges the markers to one winner.
         val claim = resolvePath(dir, id)
         def claimAge: Option[Long] = Sidecar.modificationTime(claim)
-        val leaseCutoff = System.currentTimeMillis() - math.max(horizonMs, resolveLeaseMs)
+        val leaseCutoff = System.currentTimeMillis() -
+          math.max(horizonMs, resolveLeaseMs(dir))
         if (outcomeOf(dir, id).isEmpty && claimAge.exists(_ < leaseCutoff)) {
           // re-read the staleness IMMEDIATELY before the steal (the
           // lockBreakingStale rule): between the check above and the
@@ -320,7 +374,8 @@ object TxLog {
 
   def isCommitted(dir: String, tx: Long): Boolean = {
     val (w, recent) = committedState(dir)
-    (tx <= w || recent(tx)) && !abortedSet(dir).contains(tx)
+    (tx <= w || recent(tx)) && !abortedSet(dir).contains(tx) &&
+      !purgedAbort(dir, tx) // aborted-and-purged ids stay non-committed
   }
 
   /** The committed-set membership predicate for [[Mvcc.visible]]:
@@ -419,7 +474,15 @@ object TxLog {
     val bad = ids.filter(_ > w)
     require(bad.isEmpty,
       s"cannot forget aborts above the watermark $w: ${bad.toSeq.sorted.mkString(", ")}")
-    ids.foreach(id => Sidecar.delete(s"${txDir(dir)}/abort-$id"))
+    ids.foreach { id =>
+      // the purged record lands BEFORE the abort marker is dropped: a
+      // crash between the two leaves both (still reads aborted; a
+      // re-run finishes), never neither — the window where a late
+      // commit(id) would read "folded as committed" and return a false
+      // durability signal for a rolled-back transaction
+      Sidecar.createExclusive(s"${txDir(dir)}/purged/$id"): Unit
+      Sidecar.delete(s"${txDir(dir)}/abort-$id")
+    }
   }
 
   /** THE end-to-end rollback purge (the maintenance recipe `forgetAborted`
@@ -433,8 +496,10 @@ object TxLog {
     * and only then drop the markers. Returns the purged ids. Aborts
     * above the watermark stay: they may still be racing a commit.
     * Invariant (gated by TxLogSpec): after a purge cycle no surviving
-    * row has `tx_min`/`tx_max` in the purged set and no purged marker
-    * survives, while reads through [[committedColumn]] are unchanged.
+    * row has `tx_min`/`tx_max` in the purged set, the abort markers
+    * are gone (replaced by permanent `purged/<id>` records so the
+    * point queries stay fail-loud), and reads through
+    * [[committedColumn]] are unchanged.
     */
   def purgeAborted(dir: String, versioned: org.apache.spark.sql.DataFrame)(
       persist: org.apache.spark.sql.DataFrame => Unit): Set[Long] = {

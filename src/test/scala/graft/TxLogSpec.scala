@@ -218,6 +218,39 @@ class TxLogSpec extends GraftSuite {
     assert(visibleNow === before, "visible reads are unchanged by the purge")
     // idempotent: nothing left to purge
     assert(TxLog.purgeAborted(dir, rows)(_ => fail("must not persist when empty")) === Set.empty)
+    // the point-query contract survives the purge (the r12 inversion:
+    // with the abort marker gone and the watermark covering the id, a
+    // late duplicate commit() read "folded as committed" and returned
+    // a false durability signal) — the purged/<id> record keeps it loud
+    val e = intercept[IllegalStateException](TxLog.commit(dir, t2))
+    assert(e.getMessage.contains("purged"), s"commit(purged id) must say so: ${e.getMessage}")
+    TxLog.abort(dir, t2) // idempotent no-op: it WAS aborted
+    assert(!TxLog.isCommitted(dir, t2), "a purged abort never reads committed")
+  }
+
+  test("store-level resolve lease: claims younger than the lease are honored, older stolen") {
+    val dir = graft.queries.SessionPublish.tempDir("txlog-lease")
+    def backdate(path: String, ageMs: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(path),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+    assert(TxLog.resolveLeaseMs(dir) === 60000L, "default lease is the documented 60 s")
+    val t = TxLog.begin(dir)
+    // a crashed resolver: resolution claim on disk, no outcome marker
+    graft.core.Sidecar.createExclusive(s"$dir/txlog/resolve-$t")
+    backdate(s"$dir/txlog/alloc-$t", 10000)
+    backdate(s"$dir/txlog/resolve-$t", 5000)
+    // under the default 60 s lease the 5 s-old claim belongs to a live
+    // resolver: the janitor skips the id instead of stealing
+    assert(TxLog.abortStale(dir, horizonMs = 1000) === Seq.empty)
+    assert(TxLog.abortedSet(dir).isEmpty, "claim inside the lease must not be broken")
+    // the persisted store lease is honored by every session: at 1 s the
+    // same claim is past the lease — stolen, and the tx janitor-aborted
+    TxLog.setResolveLeaseMs(dir, 1000)
+    assert(TxLog.resolveLeaseMs(dir) === 1000L)
+    assert(TxLog.abortStale(dir, horizonMs = 1000) === Seq(t))
+    assert(TxLog.abortedSet(dir) === Set(t))
+    // the 12-rep commit/janitor race below runs under the DEFAULT lease
   }
 
   test("stale compact-lock break: rename-steal wins once, fresh locks are honored") {
