@@ -65,6 +65,16 @@ object ProbeSimhash {
       val schemes = Seq(
         ("fixed-4x16bit", Dedup.simhashBlockKeys(sh, 3, 64)),
         (s"tables-B$autoB", Dedup.simhashComboKeys(sh, 3, autoB, 64)))
+      // what simhashHammingPairsScaled's cost model would dispatch to
+      // at this N — printed beside the measured walls so SCALE.md can
+      // show decision-vs-measured on one row
+      val nTables = (0 until autoB).combinations(autoB - 3).size.toLong
+      val candF = Dedup.simhashCandidateVolume(schemes(0)._2)
+      val candT = Dedup.simhashCandidateVolume(schemes(1)._2)
+      val choice = if (Dedup.chooseSimhashTables(candF, n * 4, candT, n * nTables))
+        s"tables-B$autoB" else "fixed-4x16bit"
+      println(s"[probe] n=$n dispatch=$choice (candF=$candF candT=$candT " +
+        s"rowsF=${n * 4} rowsT=${n * nTables} rowCost=${Dedup.simhashShuffleRowCost})")
       for ((name, keyed) <- schemes) {
         val t0 = System.nanoTime()
         val cand = volume(keyed)

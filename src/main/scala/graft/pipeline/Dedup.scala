@@ -728,16 +728,67 @@ object Dedup {
     b
   }
 
+  /** Exact candidate-pair volume of a blocked scheme — Σ C(bucket, 2)
+    * over its (table, key) buckets: ONE partial-aggregated groupBy
+    * over the keyed rows, no join, so pricing a scheme costs a small
+    * fraction of running it. Coalesced: an empty corpus prices to 0,
+    * never NULL.
+    */
+  private[graft] def simhashCandidateVolume(keyed: DataFrame): Long =
+    keyed.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("c"))
+      // Column `/` is DOUBLE division — keep the sum integral, halve after
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+      .first().getLong(0) / 2
+
+  /** One exploded-and-shuffled row costs about this many candidate
+    * verifies (codegen `bit_count` evaluations over an SMJ stream) —
+    * the measured trade from SCALE.md's round-12/13 A/B probes: at
+    * N = 2.5 M the fixed scheme carries 333 M MORE candidates on 15 M
+    * FEWER keyed rows and is 1.4× faster; at 5 M, +1.06 B candidates
+    * on -30 M rows and 2.4× faster — so a keyed row is worth ≥ 35
+    * candidates; at 10 M the tables tier wins, bounding it ≤ 49.
+    * Candidate volume still dominates asymptotically (it grows N² for
+    * any fixed scheme while rows grow N·tables), so the dispatch
+    * decision is about WHERE the quadratic term overtakes, not whether.
+    */
+  private[graft] val simhashShuffleRowCost: Long = 40
+
+  /** The dispatch rule: run the permuted-table scheme iff its modeled
+    * cost `candidates + rowCost · keyedRows` undercuts the fixed
+    * scheme's. Pure — FuzzyDecontSpec pins both regimes with the
+    * measured probe volumes.
+    */
+  private[graft] def chooseSimhashTables(candFixed: Long, rowsFixed: Long,
+      candTables: Long, rowsTables: Long): Boolean =
+    candTables + simhashShuffleRowCost * rowsTables <
+      candFixed + simhashShuffleRowCost * rowsFixed
+
   /** The full-range scale entry for SimHash near-dup pairs: one count
     * job, then the cheapest EXACT blocking for that corpus size —
     * width-tier ([[autoSimhashBits]], `maxHamming+1` tables) while
-    * narrow fingerprints suffice, Manku permuted tables
-    * ([[autoSimhashBlocks]]) once the 64-bit key budget binds.
+    * narrow fingerprints suffice; once the 64-bit key budget binds,
+    * the choice between the saturated width tier and Manku permuted
+    * tables ([[autoSimhashBlocks]]) is COST-BASED: both schemes' exact
+    * candidate volumes are one cheap aggregate each over fingerprints
+    * computed once, and the modeled cost (candidates +
+    * [[simhashShuffleRowCost]] · keyed rows) picks the plan — a width
+    * heuristic alone routed N = 2–5 M corpora to the locally
+    * 1.4–2.4× slower plan (SCALE.md r12). The reference benchmarks
+    * its key encodings against each other and picks per-workload the
+    * same way (LowLevelDB perf/Main.hs:17-35, nibble-vs-byte 4.6×).
+    *
+    * Scheme choice never changes RESULTS: in the saturated regime both
+    * schemes block the same 64-bit fingerprint (the fixed tier keys on
+    * its low `capWidth·(k+1)` bits — bit i of a simhash is
+    * width-independent, so those ARE the narrower fingerprint's
+    * blocks) and verify exact Hamming over the full 64 bits, so either
+    * branch returns the identical pair set (measured identical at
+    * 2.5 M/5 M/10 M, SCALE.md).
     */
   def simhashHammingPairsScaled(df: DataFrame, idCol: String, text: Column,
       maxHamming: Int = 3, targetBucketRows: Int = 32): DataFrame = {
     val n = df.count()
-    // dispatch on key-width SATURATION, not on `bits == 64`: for
+    // saturation test on key-width NEED, not on `bits == 64`: for
     // maxHamming where 64 % (k+1) != 0 (k=2: 21-bit cap, bits <= 63)
     // the width tier saturates without ever reaching 64 total bits,
     // and a bits-based test would leave it quadratic at scale
@@ -747,8 +798,29 @@ object Dedup {
     if (need <= capWidth)
       simhashHammingPairs(df, idCol, text, maxHamming,
         autoSimhashBits(n, maxHamming, targetBucketRows))
-    else simhashHammingPairsTables(df, idCol, text, maxHamming,
-      autoSimhashBlocks(n, maxHamming, targetBucketRows), 64)
+    else {
+      // saturated regime: price both schemes on the SAME fingerprints.
+      // The cache lives only for the two pricing aggregates and is
+      // released before the returned plan (which recomputes the
+      // fingerprint pass lazily, exactly like the direct entries) — a
+      // library function must not pin executor blocks it cannot free.
+      val sh = simhashByDoc(df, idCol, text, 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (useTables, bTables) = try {
+        val bitsF = capWidth * (maxHamming + 1)
+        val b = autoSimhashBlocks(n, maxHamming, targetBucketRows)
+        val candF = simhashCandidateVolume(simhashBlockKeys(sh, maxHamming, bitsF))
+        val candT = simhashCandidateVolume(simhashComboKeys(sh, maxHamming, b, 64))
+        val tables = (0 until b).combinations(b - maxHamming).size.toLong
+        (chooseSimhashTables(candF, n * (maxHamming + 1), candT, n * tables), b)
+      } finally sh.unpersist(blocking = false)
+      val keyed = simhashByDoc(df, idCol, text, 64)
+      if (useTables)
+        verifiedPairs(simhashComboKeys(keyed, maxHamming, bTables, 64), maxHamming)
+      else
+        verifiedPairs(simhashBlockKeys(keyed, maxHamming,
+          capWidth * (maxHamming + 1)), maxHamming)
+    }
   }
 
   /** Expression-only SimHash (tests / single rows). */

@@ -154,6 +154,52 @@ class FuzzyDecontSpec extends GraftSuite {
     assert(scaled === manual)
   }
 
+  test("cost-based tier dispatch: measured probe volumes pick the measured-faster scheme") {
+    // the SCALE.md r12 A/B probes (candidates / keyed rows), where the
+    // fixed tier measured 1.4x / 2.4x FASTER despite 11x / 16x more
+    // candidates — a width-saturation dispatch routed both to tables
+    val f25 = Dedup.chooseSimhashTables(366332499L, 10000000L, 32864699L, 25000000L)
+    assert(!f25, "N=2.5M: fixed tier is the measured-cheaper plan")
+    val f5 = Dedup.chooseSimhashTables(1129232865L, 20000000L, 69364163L, 50000000L)
+    assert(!f5, "N=5M: fixed tier is still the measured-cheaper plan")
+    // past the crossover the fixed tier's quadratic candidate term
+    // dominates any table fan-out: ~N=50M estimates (fixed ~113B
+    // candidates vs tables ~0.7B on 5x the rows)
+    assert(Dedup.chooseSimhashTables(113000000000L, 200000000L, 700000000L, 1000000000L),
+      "N=50M: candidate volume dominates; tables tier wins")
+    // equal-cost degenerate (B == maxHamming+1: same keys, same rows)
+    // stays on the fixed path — no gratuitous plan change
+    assert(!Dedup.chooseSimhashTables(1000L, 100L, 1000L, 100L))
+  }
+
+  test("scaled entry, saturated regime: cost dispatch runs and the pair set stays exact") {
+    // force saturation at spec scale: maxHamming=7 -> 8-bit key cap,
+    // targetBucketRows=1 -> need = ceil(log2 300) = 9 > 8. The
+    // dispatcher prices BOTH schemes on shared 64-bit fingerprints and
+    // either branch must return the brute-force pair set (the
+    // dispatch-never-changes-results contract).
+    val docs = (1L to 300L)
+      .map(i => (i, (1 to 12).map(j => s"w${(i * j * 7) % 37}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhashByDoc(docs, "doc_id", col("text"), bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    val got = Dedup.simhashHammingPairsScaled(docs, "doc_id", col("text"),
+      maxHamming = 7, targetBucketRows = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "saturated-regime dispatch must stay pigeonhole-exact")
+  }
+
+  test("simhashCandidateVolume: exact sum-of-C(bucket,2), 0 on an empty corpus") {
+    val keyed = Seq((0, 1L, 10L), (0, 1L, 11L), (0, 1L, 12L), (0, 2L, 13L), (1, 1L, 10L))
+      .toDF("tbl", "key", "id").withColumn("simhash", lit(0L))
+    assert(Dedup.simhashCandidateVolume(keyed) === 3L) // C(3,2) + C(1,2) + C(1,2)
+    assert(Dedup.simhashCandidateVolume(keyed.filter(lit(false))) === 0L)
+  }
+
   test("autoBands puts the S-curve midpoint at the threshold") {
     // midpoint of (b, r) is (1/b)^(1/r)
     def mid(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
