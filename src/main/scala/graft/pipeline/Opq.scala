@@ -82,8 +82,11 @@ object Opq {
     */
   def train(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       nsub: Int, ksub: Int, iters: Int = 4, opqIters: Int = 6,
-      sampleRows: Int = 4096): OpqIndex = {
-    val sample = emb.orderBy(col(idCol)).limit(sampleRows)
+      sampleRows: Int = -1): OpqIndex = {
+    // default scales with the codebook (Pq.defaultSampleRows): 64
+    // points per centroid, never below the legacy 4096
+    val rows = if (sampleRows > 0) sampleRows else Pq.defaultSampleRows(ksub)
+    val sample = emb.orderBy(col(idCol)).limit(rows)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train OPQ on an empty corpus")
     val d = sample(0).length

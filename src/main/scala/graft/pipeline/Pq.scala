@@ -54,17 +54,30 @@ object Pq {
 
   def register(spark: SparkSession): Unit = NearestCell.register(spark)
 
+  /** Default training-sample size, scaled with the codebook: at least
+    * [[minSampleRows]] and at least 64 points per centroid — a flat
+    * 4096 at ksub = 256 is 16 points per centroid, well under the
+    * ~39×k rule of thumb in the public FAISS training guidance, and
+    * starves the larger codebooks the parameter exists for. Still a
+    * driver-bounded collect: 64 × 256 × dim floats is single-digit MB.
+    */
+  private[pipeline] val minSampleRows: Int = 4096
+  private[pipeline] def defaultSampleRows(ksub: Int): Int =
+    math.max(minSampleRows, 64 * ksub)
+
   /** Per-subspace Lloyd over a DETERMINISTIC driver-bounded sample
     * (first `sampleRows` vectors in id order; sampleRows x dim floats
     * on the driver — the same KB-to-MB bounded-collect class as IVF
-    * centroid training). Init is the first ksub sample subvectors;
+    * centroid training; the default scales with ksub,
+    * [[defaultSampleRows]]). Init is the first ksub sample subvectors;
     * assignment is argmin (|c|^2 - 2 v.c) with ties to the lower code
     * ([[NearestCell]]'s exact rule); an emptied cluster keeps its
     * previous entry. ksub clamps to the sample size.
     */
   def train(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
-      nsub: Int, ksub: Int, iters: Int = 4, sampleRows: Int = 4096): PqIndex = {
-    val sample = emb.orderBy(col(idCol)).limit(sampleRows)
+      nsub: Int, ksub: Int, iters: Int = 4, sampleRows: Int = -1): PqIndex = {
+    val rows = if (sampleRows > 0) sampleRows else defaultSampleRows(ksub)
+    val sample = emb.orderBy(col(idCol)).limit(rows)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train PQ on an empty corpus")
     trainOn(sample, nsub, ksub, iters)
@@ -507,7 +520,7 @@ object Pq {
     */
   def trainResidual(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       coarse: Ivf.IvfIndex, nsub: Int, ksub: Int, iters: Int = 4,
-      sampleRows: Int = 4096): PqIndex = {
+      sampleRows: Int = -1): PqIndex = {
     NearestCell.register(spark)
     val cell = Ivf.assign(col(vecCol), coarse)
     train(spark,

@@ -225,4 +225,24 @@ class PqSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(fullR == exact, "residual probe-all full-candidate rerank must be brute force")
   }
+
+  test("training sample floor scales with ksub (64 points per centroid, never below 4096)") {
+    assert(Pq.defaultSampleRows(16) === 4096, "small codebooks keep the legacy floor")
+    assert(Pq.defaultSampleRows(64) === 4096, "64*64 = 4096: the floors meet")
+    assert(Pq.defaultSampleRows(256) === 16384, "ksub=256 trains on 64 points per centroid")
+    // behavioral: on a corpus larger than the legacy 4096, the default
+    // at ksub=128 now reads 64*128 = 8192 rows — same codebooks as the
+    // explicit floor, different from an explicit legacy-4096 train
+    import spark.implicits._
+    val emb = (0 until 6000).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => (((i * 2654435761L + d * 40503L) % 1000) / 500f - 1f)))
+    }.toDF("vec_id", "embedding")
+    def books(sampleRows: Int) =
+      Pq.train(spark, emb, "vec_id", "embedding", nsub = 2, ksub = 128,
+        iters = 2, sampleRows = sampleRows).codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    val byDefault = Pq.train(spark, emb, "vec_id", "embedding", nsub = 2, ksub = 128,
+      iters = 2).codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    assert(byDefault === books(8192), "default must equal the explicit 64*ksub floor")
+    assert(byDefault !== books(4096), "the floor must actually widen the sample")
+  }
 }
