@@ -216,7 +216,12 @@ object Bench {
     "q_text_winnow_overlap_permille",
     // round 12: the winnow index takedown leg (warmup pays the full-
     // corpus index publish, memoized) — df caps recompute over survivors
-    "q_text_winnow_delete")
+    "q_text_winnow_delete",
+    // round 13: the remaining count-store takedown legs — negated-
+    // count folds on the LM gram store and the CDC chunk index
+    // (warmups pay the publishes, memoized)
+    "q_text_lm_delete",
+    "q_dedup_cdc_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -415,18 +420,24 @@ object Bench {
     // parses (Jackson rides the Spark classpath) — emit-and-check is
     // one step, never tail-scraping
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    // stdout layout for the driver's BOUNDED TAIL capture (~3 kB incl.
-    // sbt's epilogue — r9-r11 all overflowed it with one long line and
-    // read "parsed": null): the per-query medians go out as SMALL
-    // SELF-CONTAINED chunk lines (each independently parseable, newest
-    // nearest the end), and the very LAST line is a <=500-char contract
-    // (total, sf, artifact path, query/chunk counts) that fits ANY
-    // plausible window. A consumer that only reads the final line gets
-    // the totals + where the full data lives; one that reassembles
-    // chunk lines gets every per-query median the window held.
-    val chunks = results.map { case (k, v) => "\"" + k + "\":" + r3s(v) }.grouped(10).toSeq
+    // stdout layout for the driver's BOUNDED TAIL capture (measured
+    // from the r12 driver artifact: EXACTLY 2000 chars, of which the
+    // sbt epilogue + the contract line eat ~300): the per-query
+    // medians go out as SMALL SELF-CONTAINED chunk lines (each
+    // independently parseable, newest nearest the end), and the very
+    // LAST line is a <=500-char contract (total, sf, artifact path,
+    // query/chunk counts) that fits ANY plausible window. The full
+    // 116-median map CANNOT fit: ~28 bytes/entry x 116 > 2.7 kB under
+    // any full-name encoding, vs ~1.7 kB of usable window — so the
+    // committed BENCH_r{N}_full.json artifact is the CONTRACT for the
+    // complete map (ROUND13.md records the adjudication), and the
+    // chunk lines are best-effort window fill: 2-decimal medians, no
+    // repeated sf, so ~60 of 116 medians land in-window instead of
+    // r12's ~45.
+    def r2s(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chunks = results.map { case (k, v) => "\"" + k + "\":" + r2s(v) }.grouped(12).toSeq
     chunks.zipWithIndex.foreach { case (c, i) =>
-      println(s"""{"metric":"queries_chunk","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      println(s"""{"metric":"queries_chunk","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
     }
     // the length bound is enforced OUTSIDE the artifact try below: a
     // require swallowed by that catch would print the oversized line

@@ -140,6 +140,26 @@ object Cdc {
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Takedown on the published chunk-hash index: fold the tombstoned
+    * documents' own [[chunkIndex]] back in NEGATED and drop rows that
+    * zero out. Both counts subtract exactly — `n_copies` is a plain
+    * sum, and `n_docs` is distinct-doc counts over a PARTITION of the
+    * corpus (tombstoned ⊆ indexed, each doc counted once on each
+    * side) — so the survivors equal `chunkIndex(corpus \ tombstoned)`
+    * bit-for-bit (`q_dedup_cdc_delete` gates this). O(index +
+    * tombstone batch): the corpus text never re-reads; only the
+    * removed documents re-chunk. Caller contract (as for
+    * [[graft.pipeline.TextOps.winnowDelete]]): `tombstoned` carries
+    * the removed documents' text exactly as previously indexed.
+    */
+  def deleteFromChunkIndex(index: DataFrame, tombstoned: DataFrame,
+      idCol: String, text: Column, avgChunk: Int): DataFrame =
+    mergeChunkIndex(index,
+      chunkIndex(tombstoned, idCol, text, avgChunk)
+        .select(col("chunk_md5"),
+          (-col("n_copies")).as("n_copies"), (-col("n_docs")).as("n_docs")))
+      .filter(col("n_copies") > 0)
+
   /** Fold a batch's [[chunkIndex]] into the standing index: additive
     * integer sums, O(index + batch) — never the corpus.
     */

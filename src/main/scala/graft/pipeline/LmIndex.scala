@@ -64,18 +64,54 @@ object LmIndex {
       "kind" -> "lm", "n" -> (meta("n").toLong + n).toString))
   }
 
+  /** Takedown on the published count store: append the tombstoned
+    * documents' counts NEGATED. Counting is additive over disjoint
+    * document sets, so after the read side's segment sum every gram
+    * sits at exactly the count a republish of the surviving corpus
+    * would produce; grams only the removed docs contributed sum to
+    * ZERO and are dropped by the read-side `> 0` filter, making
+    * delete → [[score]] bit-identical to a full retrain without them
+    * (`q_text_lm_delete` gates this; exact-long sums, no float
+    * residue). O(tombstone batch): no published row is rewritten —
+    * the same additive-segment contract as [[append]]. Caller
+    * contract (as for [[TextOps.winnowDelete]]): `tombstoned` carries
+    * the removed documents' text exactly as previously published, and
+    * the same single-writer rule applies.
+    */
+  def delete(tombstoned: DataFrame, idCol: String, text: Column, path: String): Unit = {
+    val meta = readMeta(path)
+    val (uni, bi, tri) = counts(tombstoned, idCol, text)
+    uni.select(col("w"), (-col("c1")).as("c1"))
+      .write.mode("append").parquet(gramPath(path, "uni"))
+    bi.select(col("w1"), col("w"), (-col("c2")).as("c2"))
+      .write.mode("append").parquet(gramPath(path, "bi"))
+    tri.select(col("w2"), col("w1"), col("w"), (-col("c3")).as("c3"))
+      .write.mode("append").parquet(gramPath(path, "tri"))
+    val n = tombstoned.agg(sum(size(TextOps.tokens(text)).cast("long"))).head()
+      .getLong(0)
+    graft.core.Sidecar.writeProps(metaPath(path), Seq(
+      "kind" -> "lm", "n" -> (meta("n").toLong - n).toString))
+  }
+
   /** Score documents through the published counts: segment merge is
     * one sum-groupBy per table, then the shared scoring pipeline.
+    * Grams whose merged count is zero (fully taken down by [[delete]])
+    * are ABSENT, not present-with-zero — [[TextOps.scoreBackoff]]'s
+    * backoff arms fire on null, so a zero row would score -inf
+    * instead of backing off.
     */
   def score(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, text: Column): DataFrame = {
     val meta = readMeta(path)
     val uni = spark.read.parquet(gramPath(path, "uni"))
       .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+      .filter(col("c1") > 0)
     val bi = spark.read.parquet(gramPath(path, "bi"))
       .groupBy(col("w1"), col("w")).agg(sum(col("c2")).as("c2"))
+      .filter(col("c2") > 0)
     val tri = spark.read.parquet(gramPath(path, "tri"))
       .groupBy(col("w2"), col("w1"), col("w")).agg(sum(col("c3")).as("c3"))
+      .filter(col("c3") > 0)
     val tot = spark.range(1).select(lit(meta("n").toLong).as("n"))
     TextOps.scoreBackoff(docs, idCol, text, uni, bi, tri, tot)
   }
@@ -96,12 +132,15 @@ object LmIndex {
     val meta = readMeta(srcPath) // kind guard + counter fold
     spark.read.parquet(gramPath(srcPath, "uni"))
       .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+      .filter(col("c1") > 0) // zeroed-by-takedown grams compact away
       .write.mode("overwrite").parquet(gramPath(dstPath, "uni"))
     spark.read.parquet(gramPath(srcPath, "bi"))
       .groupBy(col("w1"), col("w")).agg(sum(col("c2")).as("c2"))
+      .filter(col("c2") > 0)
       .write.mode("overwrite").parquet(gramPath(dstPath, "bi"))
     spark.read.parquet(gramPath(srcPath, "tri"))
       .groupBy(col("w2"), col("w1"), col("w")).agg(sum(col("c3")).as("c3"))
+      .filter(col("c3") > 0)
       .write.mode("overwrite").parquet(gramPath(dstPath, "tri"))
     graft.core.Sidecar.writeProps(metaPath(dstPath), Seq(
       "kind" -> "lm", "n" -> meta("n")))

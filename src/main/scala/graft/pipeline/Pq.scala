@@ -62,7 +62,7 @@ object Pq {
     * driver-bounded collect: 64 × 256 × dim floats is single-digit MB.
     */
   private[pipeline] val minSampleRows: Int = 4096
-  private[pipeline] def defaultSampleRows(ksub: Int): Int =
+  private[graft] def defaultSampleRows(ksub: Int): Int =
     math.max(minSampleRows, 64 * ksub)
 
   /** Per-subspace Lloyd over a DETERMINISTIC driver-bounded sample

@@ -744,6 +744,36 @@ object DedupQueries extends QueryModule {
               |bh AS (SELECT DISTINCT chunk_md5 FROM cc WHERE doc_id % 7 = 3)
               |SELECT a.chunk_md5, a.n_copies, a.n_docs
               |FROM agg a JOIN bh USING (chunk_md5) WHERE a.n_copies >= 2""".stripMargin)
+    ),
+
+    // ---- CDC chunk-store takedown: negated-count fold ----
+    // The delete leg of the published chunk index: the tombstoned
+    // docs (doc_id%5=0) re-chunk, their index folds back in NEGATED,
+    // and zeroed rows drop — n_copies is a plain sum and n_docs a
+    // distinct count over a corpus partition, so both subtract
+    // exactly and the survivors must equal a from-scratch reindex of
+    // the remaining docs bit-for-bit. O(index + tombstone batch);
+    // the surviving corpus text never re-reads.
+    QueryDef(
+      "q_dedup_cdc_delete",
+      "published chunk index after doc_id%5=0 takedown == reindex of the survivors",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val idxPath = SessionPublish.once(s, "dedup_cdc_full_idx|" + dir) {
+          val p = SessionPublish.tempDir("graft-dedup-cdc-del") + "/index"
+          graft.pipeline.Cdc.chunkIndex(docs, "doc_id", col("text"), avgChunk = 32)
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        graft.pipeline.Cdc.deleteFromChunkIndex(s.read.parquet(idxPath),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", col("text"), avgChunk = 32)
+      },
+      Some(s"""WITH $cdcCtes,
+              |cc AS (SELECT md5(substring(d.text, s, (e - s + 1)::INT)) AS chunk_md5, d.doc_id
+              |       FROM ch JOIN documents d USING (doc_id) WHERE d.doc_id % 5 <> 0)
+              |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+              |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |FROM cc GROUP BY chunk_md5""".stripMargin)
     )
   )
 

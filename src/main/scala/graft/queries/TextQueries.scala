@@ -614,6 +614,40 @@ object TextQueries extends QueryModule {
       Some(lmBackoffOracle)
     ),
 
+    // ---- LM count-store takedown: negated-count append ----
+    // publish(doc%2=0) then delete(doc%4=0): the tombstoned docs'
+    // counts append NEGATED, segment sums cancel exactly (exact
+    // longs), and the read-side >0 filter drops fully-removed grams —
+    // so scoring the odd half must be BIT-IDENTICAL to an LM trained
+    // only on the survivors (doc%4=2). The oracle is the backoff
+    // chain retrained from scratch on that reduced slice.
+    QueryDef(
+      "q_text_lm_delete",
+      "stupid-backoff scores after count-store takedown == retrain without removed docs",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val path = SessionPublish.once(s, s"lmindex-delete|$dir") {
+          val p = SessionPublish.tempDir("graft-lmindex-delete")
+          graft.pipeline.LmIndex.publish(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"), p)
+          graft.pipeline.LmIndex.delete(
+            docs.filter(col("doc_id") % 4 === 0), "doc_id", col("text"), p)
+          p
+        }
+        graft.pipeline.LmIndex.score(s, path,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"))
+      },
+      Some(s"""WITH toks AS MATERIALIZED (
+           |  SELECT doc_id, p - 1 AS pos, ts[p] AS w,
+           |         CASE WHEN p >= 2 THEN ts[p-1] END AS w1,
+           |         CASE WHEN p >= 3 THEN ts[p-2] END AS w2
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+           |        WHERE doc_id % 2 = 1),
+           |       LATERAL unnest(generate_series(1, len(ts))) AS u(p)),
+           |${backoffChainSql("del_", "doc_id % 4 = 2")}
+           |SELECT doc_id, n_tokens, sum_lp_micro FROM del_base""".stripMargin)
+    ),
+
     // ---- CCNet perplexity filter: head / middle / tail buckets ----
     // The step after LM scoring in the CCNet pipeline (Wenzek et al.
     // LREC'20): rank candidate docs by per-token NLL under the

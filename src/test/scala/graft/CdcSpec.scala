@@ -83,6 +83,25 @@ class CdcSpec extends GraftSuite {
     }
   }
 
+  test("chunk-index takedown == reindex of the survivors, bit for bit") {
+    val docs = Tables.docs(spark, sf001).select(col("doc_id"), col("text"))
+    val full = Cdc.chunkIndex(docs, "doc_id", col("text"), 32)
+    val tomb = docs.filter(col("doc_id") % 5 === 0)
+    val got = Cdc.deleteFromChunkIndex(full, tomb, "doc_id", col("text"), 32)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = Cdc.chunkIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", col("text"), 32)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want, "negated fold must equal the from-scratch reindex")
+    // non-vacuous: the takedown actually removed rows AND decremented
+    // survivors (a chunk shared with a tombstoned doc loses copies)
+    val fullRows = full.as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.size < fullRows.size, "tombstone-only chunks must drop")
+    val fullByHash = fullRows.map(r => r._1 -> r._2).toMap
+    assert(got.exists(r => fullByHash(r._1) > r._2),
+      "shared chunks must lose the tombstoned copies, not vanish")
+  }
+
   private object Tables {
     def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
       graft.sources.Tables(s, dir).documents

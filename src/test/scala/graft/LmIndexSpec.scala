@@ -36,6 +36,54 @@ class LmIndexSpec extends GraftSuite {
     assert(after > before, s"seen grams must outscore OOV backoff: $after vs $before")
   }
 
+  test("takedown scores bit-identically to a retrain without the removed docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val path = graft.queries.SessionPublish.tempDir("lm-spec-del")
+    LmIndex.publish(docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"), path)
+    LmIndex.delete(docs.filter(col("doc_id") % 4 === 0), "doc_id", col("text"), path)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val direct = TextOps.stupidBackoffLogProb(
+        docs.filter(col("doc_id") % 4 === 2), odd, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaIdx = LmIndex.score(spark, path, odd, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaIdx === direct, "identical micro-nat sums after the takedown")
+    assert(LmIndex.readMeta(path)("n").toLong ===
+      docs.filter(col("doc_id") % 4 === 2)
+        .agg(sum(size(split(col("text"), " ")))).head().getLong(0),
+      "token total must decrement to the survivors' count")
+  }
+
+  test("a fully-removed gram backs off instead of scoring a zero count") {
+    val path = graft.queries.SessionPublish.tempDir("lm-spec-del-zero")
+    LmIndex.publish(Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", col("text"), path)
+    LmIndex.delete(Seq((2L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", col("text"), path)
+    val probe = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val got = LmIndex.score(spark, path, probe, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = TextOps.stupidBackoffLogProb(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), probe, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // a zero-count row surviving the merge would take the seen-gram
+    // arm and produce ln(0) = -inf; absence takes the OOV backoff
+    assert(got === want, "zeroed grams must be ABSENT, not present-with-zero")
+  }
+
+  test("compaction drops zeroed-by-takedown segment rows") {
+    val src = graft.queries.SessionPublish.tempDir("lm-spec-del-compact") + "/src"
+    val dst = graft.queries.SessionPublish.tempDir("lm-spec-del-compact") + "/dst"
+    LmIndex.publish(Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", col("text"), src)
+    LmIndex.delete(Seq((2L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", col("text"), src)
+    LmIndex.compact(spark, src, dst)
+    val uni = spark.read.parquet(s"$dst/uni").as[(String, Long)].collect().toMap
+    assert(uni.keySet === Set("a", "b", "c"), s"zeroed grams must compact away: $uni")
+    assert(uni.values.forall(_ > 0))
+  }
+
   test("a non-lm sidecar fails loud") {
     val path = graft.queries.SessionPublish.tempDir("lm-spec-kind")
     graft.core.Sidecar.writeProps(s"$path/_lmmeta", Seq("kind" -> "lex", "n" -> "1"))
