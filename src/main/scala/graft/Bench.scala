@@ -221,7 +221,11 @@ object Bench {
     // count folds on the LM gram store and the CDC chunk index
     // (warmups pay the publishes, memoized)
     "q_text_lm_delete",
-    "q_dedup_cdc_delete")
+    "q_dedup_cdc_delete",
+    // round 13: id-anti-join takedowns on the per-doc exact index and
+    // the MinHash band table (warmups pay the index publishes)
+    "q_dedup_exact_delete",
+    "q_dedup_minhash_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

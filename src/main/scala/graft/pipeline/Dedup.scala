@@ -38,6 +38,40 @@ object Dedup {
   def exactIndex(df: DataFrame, idCol: String, text: Column): DataFrame =
     df.groupBy(md5(text).as("content_hash")).agg(min(col(idCol)).as("keep_id"))
 
+  /** The MAINTAINABLE (takedown-capable) exact-dedup index: one row
+    * per DOCUMENT — `(content_hash, id)`, ~48 bytes each, the same
+    * per-doc scale class as [[bandTable]]. The narrow keeper summary
+    * ([[exactIndex]]'s shape) is [[exactKeepers]] over it; publishing
+    * THIS shape instead costs one id column and buys exact deletes:
+    * [[exactIndex]] stores only `min(id)` per hash, so when the keeper
+    * itself is tombstoned the surviving minimum is unrecoverable from
+    * the index — a narrow-index takedown would need the corpus text.
+    */
+  def exactIndexFull(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(md5(text).as("content_hash"), col(idCol).as("id"))
+
+  /** Keeper summary of an [[exactIndexFull]] index: `(content_hash,
+    * n, keep_id)` — equal to [[exactIndex]] (plus the copy count)
+    * over the same documents.
+    */
+  def exactKeepers(full: DataFrame): DataFrame =
+    full.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("keep_id"))
+
+  /** Takedown on an [[exactIndexFull]] index: drop the tombstoned
+    * ids. Per-doc purity makes the anti-join EXACTLY a reindex of the
+    * survivors — keepers recompute per read ([[exactKeepers]]), so a
+    * hash whose keeper was removed falls to the surviving minimum and
+    * a hash with no survivors vanishes (`q_dedup_exact_delete` gates
+    * this against a from-scratch reindex). Needs only the tombstoned
+    * IDS, never their text; tombstone sets are takedown-sized — the
+    * anti-join broadcasts them.
+    */
+  def exactIndexDelete(full: DataFrame, tombstones: DataFrame,
+      idCol: String): DataFrame =
+    full.join(broadcast(tombstones.select(col(idCol).as("id")).distinct()),
+      Seq("id"), "left_anti")
+
   /** Batch canonical map against the published [[exactIndex]]:
     * (id, keep_id) for every batch document — O(batch) hashing plus
     * one join against the narrow index; no corpus text, no corpus
@@ -148,6 +182,35 @@ object Dedup {
     val a = keyed.select(col("band"), col("id").as("da"))
     val b = keyed.select(col("band"), col("id").as("db"))
     a.join(b, Seq("band")).filter(col("da") < col("db")).select("da", "db").distinct()
+  }
+
+  /** Takedown on a published [[bandTable]]: drop the tombstoned ids.
+    * A document's band rows derive from its own text alone, so the
+    * anti-join equals `bandTable(corpus \ tombstoned)` bit-for-bit —
+    * the winnow-index argument one family over. Needs only the
+    * tombstoned IDS; broadcast-sized by the takedown contract.
+    */
+  def bandTableDelete(bands: DataFrame, tombstones: DataFrame,
+      idCol: String): DataFrame =
+    bands.join(broadcast(tombstones.select(col(idCol).as("id")).distinct()),
+      Seq("id"), "left_anti")
+
+  /** Full near-dup mine through a PUBLISHED band table — the read
+    * side of the takedown leg: candidates from the table's own band
+    * self-join (exactly [[lshCandidates]]' join, off stored rows),
+    * verified against `docs`' text. With `bands = bandTable(docs)`
+    * this IS `nearDuplicates(docs)`: band membership and true Jaccard
+    * are both per-pair properties, so removing documents removes
+    * exactly their pairs and nothing else (`q_dedup_minhash_delete`
+    * gates post-takedown mining against a from-scratch mine of the
+    * survivors).
+    */
+  def nearDuplicatesFromBands(bands: DataFrame, docs: DataFrame, idCol: String,
+      text: Column, threshold: Double, shingleN: Int = 3): DataFrame = {
+    val cand = bands.select(col("band"), col("id").as("da"))
+      .join(bands.select(col("band"), col("id").as("db")), Seq("band"))
+      .filter(col("da") < col("db")).select("da", "db").distinct()
+    verifyPairs(cand, docs.select(col(idCol).as("id"), text.as("t")), threshold, shingleN)
   }
 
   /** (id, rep) for every document: rep = the minimum id among docs
@@ -742,16 +805,20 @@ object Dedup {
 
   /** One exploded-and-shuffled row costs about this many candidate
     * verifies (codegen `bit_count` evaluations over an SMJ stream) —
-    * the measured trade from SCALE.md's round-12/13 A/B probes: at
-    * N = 2.5 M the fixed scheme carries 333 M MORE candidates on 15 M
-    * FEWER keyed rows and is 1.4× faster; at 5 M, +1.06 B candidates
-    * on -30 M rows and 2.4× faster — so a keyed row is worth ≥ 35
-    * candidates; at 10 M the tables tier wins, bounding it ≤ 49.
-    * Candidate volume still dominates asymptotically (it grows N² for
-    * any fixed scheme while rows grow N·tables), so the dispatch
-    * decision is about WHERE the quadratic term overtakes, not whether.
+    * calibrated from SCALE.md's round-13 A/B probe medians, where the
+    * fixed tier measures FASTER at every probed N despite far more
+    * candidates: 2.5 M (8.3 vs 16.7 s, +333 M candidates on -15 M
+    * keyed rows), 5 M (18.9 vs 71.5 s median-of-3, +1.06 B on -30 M),
+    * 10 M (78.6 vs 91.9 s, +3.68 B on -60 M). Honoring the 10 M
+    * measurement needs c > 61 (3.68 B extra candidates / 60 M extra
+    * rows); the 2.5 M bound needs c > 22 — c = 64 picks the measured
+    * winner at all three. Candidate volume still dominates
+    * asymptotically (N² for any fixed scheme vs N·tables for rows),
+    * so at c = 64 the dispatch flips to permuted tables by N ≈ 20 M
+    * (candF ≈ 15 B vs the tables tier's ≈ 13 B modeled cost) — the
+    * decision is WHERE the quadratic term overtakes, not whether.
     */
-  private[graft] val simhashShuffleRowCost: Long = 40
+  private[graft] val simhashShuffleRowCost: Long = 64
 
   /** The dispatch rule: run the permuted-table scheme iff its modeled
     * cost `candidates + rowCost · keyedRows` undercuts the fixed
@@ -772,8 +839,9 @@ object Dedup {
     * candidate volumes are one cheap aggregate each over fingerprints
     * computed once, and the modeled cost (candidates +
     * [[simhashShuffleRowCost]] · keyed rows) picks the plan — a width
-    * heuristic alone routed N = 2–5 M corpora to the locally
-    * 1.4–2.4× slower plan (SCALE.md r12). The reference benchmarks
+    * heuristic alone routed every probed saturated N (2.5–10 M) to
+    * the locally 1.2–3.8× slower tables plan (SCALE.md r13 medians).
+    * The reference benchmarks
     * its key encodings against each other and picks per-workload the
     * same way (LowLevelDB perf/Main.hs:17-35, nibble-vs-byte 4.6×).
     *

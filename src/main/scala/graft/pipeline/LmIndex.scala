@@ -53,7 +53,12 @@ object LmIndex {
     * is the read side's sum.
     */
   def append(batch: DataFrame, idCol: String, text: Column, path: String): Unit = {
-    val meta = readMeta(path)
+    // bump the RAW base total, not the delta-folded readMeta view: the
+    // streamed counter files stay in countersDir and re-fold on every
+    // read, so writing a folded total back as the base would count
+    // every standing delta twice from then on (LmIndexSpec pins the
+    // mixed batch-append-after-stream total)
+    val meta = baseMeta(path)
     val (uni, bi, tri) = counts(batch, idCol, text)
     uni.write.mode("append").parquet(gramPath(path, "uni"))
     bi.write.mode("append").parquet(gramPath(path, "bi"))
@@ -79,7 +84,8 @@ object LmIndex {
     * the same single-writer rule applies.
     */
   def delete(tombstoned: DataFrame, idCol: String, text: Column, path: String): Unit = {
-    val meta = readMeta(path)
+    val meta = baseMeta(path) // raw base, not delta-folded — see append
+
     val (uni, bi, tri) = counts(tombstoned, idCol, text)
     uni.select(col("w"), (-col("c1")).as("c1"))
       .write.mode("append").parquet(gramPath(path, "uni"))
@@ -159,11 +165,21 @@ object LmIndex {
     graft.core.Versions.publish(root)(dst => compact(spark, src, dst))
   }
 
-  private[graft] def readMeta(path: String): Map[String, String] = {
+  /** The base sidecar verbatim — streamed counter deltas NOT folded.
+    * Writers that rewrite the base total ([[append]]/[[delete]]) must
+    * start from this, never from [[readMeta]]'s folded view: the
+    * delta files stay in place and re-fold on every read.
+    */
+  private def baseMeta(path: String): Map[String, String] = {
     val meta = graft.core.Sidecar.readPropsExpected(metaPath(path))
       .getOrElse(throw new IllegalArgumentException(s"no lm sidecar at $path"))
     require(meta.get("kind").contains("lm"),
       s"sidecar at $path is kind=${meta.get("kind")}, not an lm index")
+    meta
+  }
+
+  private[graft] def readMeta(path: String): Map[String, String] = {
+    val meta = baseMeta(path)
     val deltas = graft.core.Sidecar.listNames(countersDir(path))
       .flatMap(f => graft.core.Sidecar.readProps(s"${countersDir(path)}/$f"))
     if (deltas.isEmpty) meta

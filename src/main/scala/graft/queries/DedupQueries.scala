@@ -198,6 +198,32 @@ object DedupQueries extends QueryModule {
              |WHERE d.doc_id % 7 = 3""".stripMargin)
     ),
 
+    // ---- exact-dedup index takedown: per-doc rows, keepers fall to
+    // the surviving minimum ----
+    // The narrow (hash, min-keeper) index cannot take a delete — a
+    // tombstoned keeper's surviving minimum is unrecoverable from it —
+    // so the maintainable shape is per-doc (hash, id): the takedown is
+    // an id anti-join (ids only, no text) and the keeper summary
+    // recomputes at read, falling to the surviving minimum or
+    // vanishing with the last copy. Oracle = reindex of the survivors.
+    QueryDef(
+      "q_dedup_exact_delete",
+      "exact-dup keepers after doc_id%5=0 takedown == reindex of the survivors",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val idxPath = SessionPublish.once(s, "dedup_exact_full_idx|" + dir) {
+          val p = SessionPublish.tempDir("graft-dedup-exact-del") + "/index"
+          Dedup.exactIndexFull(docs, "doc_id", col("text"))
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        Dedup.exactKeepers(Dedup.exactIndexDelete(s.read.parquet(idxPath),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id"))
+      },
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n, min(doc_id) AS keep_id
+             |FROM documents WHERE doc_id % 5 <> 0 GROUP BY md5(text)""".stripMargin)
+    ),
+
     // ---- n-gram Jaccard near-dup pairs (verification-grade) ----
     QueryDef(
       "q_dedup_jaccard",
@@ -240,6 +266,33 @@ object DedupQueries extends QueryModule {
         Dedup.nearDuplicates(Tables(s, dir).documents, "doc_id", col("text"), 0.7),
       Some(s"""WITH ${lshPairsCtes(0.7)}
               |SELECT da, db, jac FROM pairs""".stripMargin)
+    ),
+
+    // ---- MinHash band-table takedown: anti-join, then mine ----
+    // Delete doc_id%5=0 from the published band table (ids only, no
+    // text) and mine the survivors through it. Band rows and true
+    // Jaccard are both pair-local — removing documents removes exactly
+    // their pairs — so the oracle is the FULL corpus mine filtered to
+    // surviving endpoints, which equals a from-scratch mine of the
+    // survivors row-for-row.
+    QueryDef(
+      "q_dedup_minhash_delete",
+      "near-dup pairs via the band table after doc_id%5=0 takedown == survivor re-mine",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val bandsPath = SessionPublish.once(s, "dedup_bands_full|" + dir) {
+          val p = SessionPublish.tempDir("graft-dedup-bands-del") + "/bands"
+          Dedup.bandTable(docs, "doc_id", col("text")).write.mode("overwrite").parquet(p)
+          p
+        }
+        Dedup.nearDuplicatesFromBands(
+          Dedup.bandTableDelete(s.read.parquet(bandsPath),
+            docs.filter(col("doc_id") % 5 === 0), "doc_id"),
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", col("text"), 0.7)
+      },
+      Some(s"""WITH ${lshPairsCtes(0.7)}
+              |SELECT da, db, jac FROM pairs
+              |WHERE da % 5 <> 0 AND db % 5 <> 0""".stripMargin)
     ),
 
     // ---- incremental near-dup mining: a new batch against the

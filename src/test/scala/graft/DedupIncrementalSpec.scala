@@ -126,6 +126,39 @@ class DedupIncrementalSpec extends GraftSuite {
       s"batch id 3 undercuts corpus keeper 10 and must win: $got2")
   }
 
+  test("band-table takedown == re-band of the survivors; post-delete mine == survivor mine") {
+    val docs = Tables(spark, sf0001).documents
+    val tomb = docs.filter(col("doc_id") % 5 === 0)
+    val survivors = docs.filter(col("doc_id") % 5 =!= 0)
+    def bandRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val deleted = Dedup.bandTableDelete(
+      Dedup.bandTable(docs, "doc_id", col("text")), tomb, "doc_id")
+    assert(bandRows(deleted) ===
+      bandRows(Dedup.bandTable(survivors, "doc_id", col("text"))),
+      "anti-join must equal the from-scratch re-band bit-for-bit")
+    val got = pairSet(Dedup.nearDuplicatesFromBands(
+      deleted, survivors, "doc_id", col("text"), 0.7))
+    val want = pairSet(Dedup.nearDuplicates(survivors, "doc_id", col("text"), 0.7))
+    assert(got === want, "mining through the takedown table == survivor re-mine")
+    assert(want.nonEmpty, "fixture must actually have surviving near-dup pairs")
+  }
+
+  test("exact full-index takedown: keepers fall to the surviving minimum, empty hashes drop") {
+    val full = graft.pipeline.Dedup.exactIndexFull(
+      spark.createDataFrame(
+          Seq((1L, "dup"), (2L, "dup"), (3L, "only-tombstoned"), (4L, "solo")))
+        .toDF("doc_id", "text"), "doc_id", col("text"))
+    val kept = graft.pipeline.Dedup.exactKeepers(
+      graft.pipeline.Dedup.exactIndexDelete(full,
+        spark.createDataFrame(Seq(Tuple1(1L), Tuple1(3L))).toDF("doc_id"), "doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val md5of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(kept === Set((md5of("dup"), 1L, 2L), (md5of("solo"), 1L, 4L)),
+      s"keeper 1 must fall to 2, hash of doc 3 must vanish: $kept")
+  }
+
   test("CDC: merged chunk index == full republish; incremental == full mine on batch hashes") {
     import graft.pipeline.Cdc
     val docs = Tables(spark, sf0001).documents

@@ -155,13 +155,16 @@ class FuzzyDecontSpec extends GraftSuite {
   }
 
   test("cost-based tier dispatch: measured probe volumes pick the measured-faster scheme") {
-    // the SCALE.md r12 A/B probes (candidates / keyed rows), where the
-    // fixed tier measured 1.4x / 2.4x FASTER despite 11x / 16x more
-    // candidates — a width-saturation dispatch routed both to tables
+    // the SCALE.md r13 A/B probes (candidates / keyed rows), where the
+    // fixed tier measures FASTER at every probed N despite 11x-26x
+    // more candidates — a width-saturation dispatch routed all to the
+    // measurably slower tables plan
     val f25 = Dedup.chooseSimhashTables(366332499L, 10000000L, 32864699L, 25000000L)
     assert(!f25, "N=2.5M: fixed tier is the measured-cheaper plan")
     val f5 = Dedup.chooseSimhashTables(1129232865L, 20000000L, 69364163L, 50000000L)
     assert(!f5, "N=5M: fixed tier is still the measured-cheaper plan")
+    val f10 = Dedup.chooseSimhashTables(3823287635L, 40000000L, 147738328L, 100000000L)
+    assert(!f10, "N=10M: fixed still measures faster (78.6 vs 91.9 s) — honor it")
     // past the crossover the fixed tier's quadratic candidate term
     // dominates any table fan-out: ~N=50M estimates (fixed ~113B
     // candidates vs tables ~0.7B on 5x the rows)

@@ -84,6 +84,24 @@ class LmIndexSpec extends GraftSuite {
     assert(uni.values.forall(_ > 0))
   }
 
+  test("batch append after a streamed counter delta folds each token exactly once") {
+    val path = graft.queries.SessionPublish.tempDir("lm-spec-mixed")
+    LmIndex.publish(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", col("text"), path) // base n = 3
+    // a standing streamed delta (LmStream's counter channel)
+    graft.core.Sidecar.writeString(s"${LmIndex.countersDir(path)}/b1", "n=5\n")
+    LmIndex.append(Seq((2L, "d e")).toDF("doc_id", "text"),
+      "doc_id", col("text"), path) // batch n = 2
+    // an append that bumps the delta-FOLDED view would write base 3+5+2
+    // and the standing delta file would re-fold to 15
+    assert(LmIndex.readMeta(path)("n").toLong === 10L,
+      "base 3 + delta 5 + batch 2 — never the delta twice")
+    LmIndex.delete(Seq((2L, "d e")).toDF("doc_id", "text"),
+      "doc_id", col("text"), path)
+    assert(LmIndex.readMeta(path)("n").toLong === 8L,
+      "takedown decrements the base; the delta still folds once")
+  }
+
   test("a non-lm sidecar fails loud") {
     val path = graft.queries.SessionPublish.tempDir("lm-spec-kind")
     graft.core.Sidecar.writeProps(s"$path/_lmmeta", Seq("kind" -> "lex", "n" -> "1"))
