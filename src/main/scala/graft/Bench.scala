@@ -225,7 +225,11 @@ object Bench {
     // round 13: id-anti-join takedowns on the per-doc exact index and
     // the MinHash band table (warmups pay the index publishes)
     "q_dedup_exact_delete",
-    "q_dedup_minhash_delete")
+    "q_dedup_minhash_delete",
+    // round 14: the exact-index store lifecycle — tombstone-marker
+    // delete physically purged into the next version (warmup pays
+    // publish + delete + compact, memoized)
+    "q_dedup_exact_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -431,13 +435,13 @@ object Bench {
     // independently parseable, newest nearest the end), and the very
     // LAST line is a <=500-char contract (total, sf, artifact path,
     // query/chunk counts) that fits ANY plausible window. The full
-    // 116-median map CANNOT fit: ~28 bytes/entry x 116 > 2.7 kB under
-    // any full-name encoding, vs ~1.7 kB of usable window — so the
-    // committed BENCH_r{N}_full.json artifact is the CONTRACT for the
-    // complete map (ROUND13.md records the adjudication), and the
-    // chunk lines are best-effort window fill: 2-decimal medians, no
-    // repeated sf, so ~60 of 116 medians land in-window instead of
-    // r12's ~45.
+    // ~120-line median map CANNOT fit: ~28 bytes/entry x 121 headline
+    // lines > 2.8 kB under any full-name encoding, vs ~1.7 kB of
+    // usable window — so the committed BENCH_r{N}_full.json artifact
+    // is the CONTRACT for the complete map (ROUND13.md records the
+    // adjudication), and the chunk lines are best-effort window fill:
+    // 2-decimal medians, no repeated sf, so roughly the last 60
+    // medians land in-window instead of r12's ~45.
     def r2s(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     val chunks = results.map { case (k, v) => "\"" + k + "\":" + r2s(v) }.grouped(12).toSeq
     chunks.zipWithIndex.foreach { case (c, i) =>

@@ -150,7 +150,10 @@ object Cdc {
     * tombstone batch): the corpus text never re-reads; only the
     * removed documents re-chunk. Caller contract (as for
     * [[graft.pipeline.TextOps.winnowDelete]]): `tombstoned` carries
-    * the removed documents' text exactly as previously indexed.
+    * the removed documents' text exactly as previously indexed — and
+    * a violation fails LOUD: a negative post-merge count is
+    * impossible under the contract, so both counts pass through
+    * [[CountGuard]] (raise, never a silent drop/under-count).
     */
   def deleteFromChunkIndex(index: DataFrame, tombstoned: DataFrame,
       idCol: String, text: Column, avgChunk: Int): DataFrame =
@@ -158,7 +161,9 @@ object Cdc {
       chunkIndex(tombstoned, idCol, text, avgChunk)
         .select(col("chunk_md5"),
           (-col("n_copies")).as("n_copies"), (-col("n_docs")).as("n_docs")))
-      .filter(col("n_copies") > 0)
+      .filter(CountGuard.positive(col("n_copies"), "chunk n_copies"))
+      .select(col("chunk_md5"), col("n_copies"),
+        CountGuard.nonNegative(col("n_docs"), "chunk n_docs").as("n_docs"))
 
   /** Fold a batch's [[chunkIndex]] into the standing index: additive
     * integer sums, O(index + batch) — never the corpus.

@@ -64,13 +64,67 @@ object Dedup {
     * hash whose keeper was removed falls to the surviving minimum and
     * a hash with no survivors vanishes (`q_dedup_exact_delete` gates
     * this against a from-scratch reindex). Needs only the tombstoned
-    * IDS, never their text; tombstone sets are takedown-sized — the
-    * anti-join broadcasts them.
+    * IDS, never their text. No broadcast hint: a takedown-sized set
+    * broadcasts anyway under AQE's runtime size check, while an
+    * oversized batch degrades to a shuffle join instead of OOMing
+    * the driver — the hint would turn a soft contract ("tombstone
+    * sets are small") into a hard failure mode.
     */
   def exactIndexDelete(full: DataFrame, tombstones: DataFrame,
       idCol: String): DataFrame =
-    full.join(broadcast(tombstones.select(col(idCol).as("id")).distinct()),
+    full.join(tombstones.select(col(idCol).as("id")).distinct(),
       Seq("id"), "left_anti")
+
+  /** Store-level takedown on a PUBLISHED [[exactIndexFull]] layout:
+    * the tombstoned ids land as ONE hidden marker batch under the
+    * layout ([[Tombstones.delete]] — the ANN layouts' mechanism,
+    * unchanged) — O(tombstone batch), no index row rewritten, no
+    * republish. Readers hide them via [[exactIndexLive]];
+    * [[exactIndexCompact]] purges rows and markers together.
+    */
+  def exactIndexDeleteAt(layoutPath: String, tombstones: DataFrame,
+      idCol: String): Long =
+    Tombstones.delete(layoutPath, tombstones, idCol)
+
+  /** Live rows of a published [[exactIndexFull]] layout: tombstoned
+    * ids hidden by the standard marker anti-join; with no tombstones
+    * the plan is byte-identical to the bare scan (TombstoneSpec's
+    * contract).
+    */
+  def exactIndexLive(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String): DataFrame =
+    Tombstones.applyTo(spark.read.parquet(layoutPath), layoutPath, "id")
+
+  /** Compact a published [[exactIndexFull]] layout: physically drop
+    * tombstoned per-doc rows into a fresh layout (which starts
+    * tombstone-free) and coalesce delete-era small files. The FULL
+    * per-doc shape is what compacts — compacting to the narrow
+    * keeper summary would forfeit every future takedown (the narrow
+    * index is adjudicated non-deletable: a tombstoned keeper's
+    * surviving minimum is unrecoverable from it). O(index) rewrite,
+    * the same cost class as every republish-family compact.
+    */
+  def exactIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String,
+      maxRecordsPerFile: Long = 1L << 22): Unit =
+    exactIndexLive(spark, srcPath)
+      .write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dstPath)
+
+  /** [[exactIndexCompact]] into the next version of a versioned root,
+    * pointer flipped atomically ([[graft.core.Versions]]).
+    * delete-then-compact ≡ compact-then-delete ≡ survivor reindex
+    * (DedupIncrementalSpec pins the commute; `q_dedup_exact_compact`
+    * gates the compacted read against a from-scratch reindex).
+    * Returns the new live version.
+    */
+  def exactIndexCompactVersioned(spark: org.apache.spark.sql.SparkSession,
+      root: String): Long = {
+    val src = graft.core.Versions.currentPath(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no live version at $root — publish through Versions first"))
+    graft.core.Versions.publish(root)(dst => exactIndexCompact(spark, src, dst))
+  }
 
   /** Batch canonical map against the published [[exactIndex]]:
     * (id, keep_id) for every batch document — O(batch) hashing plus
@@ -175,24 +229,33 @@ object Dedup {
       explode(array((0 until bands).map(bandKey(_, rows)): _*)).as("band"))
   }
 
+  /** Candidate pairs from a band-key table `(id, band)` — the band
+    * self-join shared by [[lshCandidates]] (fresh table) and
+    * [[nearDuplicatesFromBands]] (published table): one definition,
+    * so a future change to the candidate join (salting, a distinct
+    * move) can never drift between the two paths.
+    */
+  private[graft] def candidatesFromBands(bands: DataFrame): DataFrame =
+    bands.select(col("band"), col("id").as("da"))
+      .join(bands.select(col("band"), col("id").as("db")), Seq("band"))
+      .filter(col("da") < col("db")).select("da", "db").distinct()
+
   /** Candidate near-duplicate pairs via MinHash-LSH. */
   def lshCandidates(df: DataFrame, idCol: String, text: Column,
-      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val keyed = bandTable(df, idCol, text, numHashes, bands, shingleN)
-    val a = keyed.select(col("band"), col("id").as("da"))
-    val b = keyed.select(col("band"), col("id").as("db"))
-    a.join(b, Seq("band")).filter(col("da") < col("db")).select("da", "db").distinct()
-  }
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame =
+    candidatesFromBands(bandTable(df, idCol, text, numHashes, bands, shingleN))
 
   /** Takedown on a published [[bandTable]]: drop the tombstoned ids.
     * A document's band rows derive from its own text alone, so the
     * anti-join equals `bandTable(corpus \ tombstoned)` bit-for-bit —
     * the winnow-index argument one family over. Needs only the
-    * tombstoned IDS; broadcast-sized by the takedown contract.
+    * tombstoned IDS. No broadcast hint (see [[exactIndexDelete]]):
+    * AQE broadcasts takedown-sized sets at runtime; an oversized
+    * batch degrades to a shuffle join rather than OOMing the driver.
     */
   def bandTableDelete(bands: DataFrame, tombstones: DataFrame,
       idCol: String): DataFrame =
-    bands.join(broadcast(tombstones.select(col(idCol).as("id")).distinct()),
+    bands.join(tombstones.select(col(idCol).as("id")).distinct(),
       Seq("id"), "left_anti")
 
   /** Full near-dup mine through a PUBLISHED band table — the read
@@ -206,12 +269,9 @@ object Dedup {
     * survivors).
     */
   def nearDuplicatesFromBands(bands: DataFrame, docs: DataFrame, idCol: String,
-      text: Column, threshold: Double, shingleN: Int = 3): DataFrame = {
-    val cand = bands.select(col("band"), col("id").as("da"))
-      .join(bands.select(col("band"), col("id").as("db")), Seq("band"))
-      .filter(col("da") < col("db")).select("da", "db").distinct()
-    verifyPairs(cand, docs.select(col(idCol).as("id"), text.as("t")), threshold, shingleN)
-  }
+      text: Column, threshold: Double, shingleN: Int = 3): DataFrame =
+    verifyPairs(candidatesFromBands(bands),
+      docs.select(col(idCol).as("id"), text.as("t")), threshold, shingleN)
 
   /** (id, rep) for every document: rep = the minimum id among docs
     * with byte-identical content (rep == id for unique docs). One
@@ -837,7 +897,10 @@ object Dedup {
     * the choice between the saturated width tier and Manku permuted
     * tables ([[autoSimhashBlocks]]) is COST-BASED: both schemes' exact
     * candidate volumes are one cheap aggregate each over fingerprints
-    * computed once, and the modeled cost (candidates +
+    * computed ONCE and materialized — the returned winner plan reads
+    * the same blocks, so pricing adds two one-row aggregates to the
+    * bare scheme's cost, never a second tokenization pass — and the
+    * modeled cost (candidates +
     * [[simhashShuffleRowCost]] · keyed rows) picks the plan — a width
     * heuristic alone routed every probed saturated N (2.5–10 M) to
     * the locally 1.2–3.8× slower tables plan (SCALE.md r13 medians).
@@ -867,27 +930,36 @@ object Dedup {
       simhashHammingPairs(df, idCol, text, maxHamming,
         autoSimhashBits(n, maxHamming, targetBucketRows))
     else {
-      // saturated regime: price both schemes on the SAME fingerprints.
-      // The cache lives only for the two pricing aggregates and is
-      // released before the returned plan (which recomputes the
-      // fingerprint pass lazily, exactly like the direct entries) — a
-      // library function must not pin executor blocks it cannot free.
-      val sh = simhashByDoc(df, idCol, text, 64)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (useTables, bTables) = try {
-        val bitsF = capWidth * (maxHamming + 1)
-        val b = autoSimhashBlocks(n, maxHamming, targetBucketRows)
-        val candF = simhashCandidateVolume(simhashBlockKeys(sh, maxHamming, bitsF))
-        val candT = simhashCandidateVolume(simhashComboKeys(sh, maxHamming, b, 64))
-        val tables = (0 until b).combinations(b - maxHamming).size.toLong
-        (chooseSimhashTables(candF, n * (maxHamming + 1), candT, n * tables), b)
-      } finally sh.unpersist(blocking = false)
-      val keyed = simhashByDoc(df, idCol, text, 64)
-      if (useTables)
-        verifiedPairs(simhashComboKeys(keyed, maxHamming, bTables, 64), maxHamming)
+      // saturated regime: fingerprint ONCE. The 64-bit pass is
+      // materialized eagerly (localCheckpoint — executor blocks with
+      // truncated lineage, the ProbeSimhash discipline) and BOTH the
+      // pricing aggregates and the returned winner plan read those
+      // blocks, so the corpus is tokenized exactly once end to end;
+      // r13 paid the pass twice (pricing cache released, plan
+      // recomputed from the text). Release contract: the blocks
+      // belong to the returned plan's RDD lineage and Spark's
+      // ContextCleaner frees them when the caller drops the result —
+      // nothing outlives the result's lifetime. A CacheManager
+      // persist could not express this: it pins until an explicit
+      // unpersist, which a library function returning a lazy plan
+      // has no safe point to issue (unpersisting before return is
+      // exactly the r13 double pass). Trade-off, documented: lineage
+      // truncation means an executor loss during the result's
+      // lifetime fails the job loudly instead of recomputing — rerun
+      // the call; on a cluster where that is unacceptable, write the
+      // fingerprints through a reliable checkpoint dir and run the
+      // direct entries over them.
+      val sh = simhashByDoc(df, idCol, text, 64).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bitsF = capWidth * (maxHamming + 1)
+      val b = autoSimhashBlocks(n, maxHamming, targetBucketRows)
+      val candF = simhashCandidateVolume(simhashBlockKeys(sh, maxHamming, bitsF))
+      val candT = simhashCandidateVolume(simhashComboKeys(sh, maxHamming, b, 64))
+      val tables = (0 until b).combinations(b - maxHamming).size.toLong
+      if (chooseSimhashTables(candF, n * (maxHamming + 1), candT, n * tables))
+        verifiedPairs(simhashComboKeys(sh, maxHamming, b, 64), maxHamming)
       else
-        verifiedPairs(simhashBlockKeys(keyed, maxHamming,
-          capWidth * (maxHamming + 1)), maxHamming)
+        verifiedPairs(simhashBlockKeys(sh, maxHamming, bitsF), maxHamming)
     }
   }
 

@@ -104,20 +104,22 @@ object LmIndex {
     * Grams whose merged count is zero (fully taken down by [[delete]])
     * are ABSENT, not present-with-zero — [[TextOps.scoreBackoff]]'s
     * backoff arms fire on null, so a zero row would score -inf
-    * instead of backing off.
+    * instead of backing off. A NEGATIVE merged count (impossible
+    * under the takedown contract) raises via [[CountGuard]] instead
+    * of silently backing off as absent.
     */
   def score(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, text: Column): DataFrame = {
     val meta = readMeta(path)
     val uni = spark.read.parquet(gramPath(path, "uni"))
       .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
-      .filter(col("c1") > 0)
+      .filter(CountGuard.positive(col("c1"), "unigram count c1"))
     val bi = spark.read.parquet(gramPath(path, "bi"))
       .groupBy(col("w1"), col("w")).agg(sum(col("c2")).as("c2"))
-      .filter(col("c2") > 0)
+      .filter(CountGuard.positive(col("c2"), "bigram count c2"))
     val tri = spark.read.parquet(gramPath(path, "tri"))
       .groupBy(col("w2"), col("w1"), col("w")).agg(sum(col("c3")).as("c3"))
-      .filter(col("c3") > 0)
+      .filter(CountGuard.positive(col("c3"), "trigram count c3"))
     val tot = spark.range(1).select(lit(meta("n").toLong).as("n"))
     TextOps.scoreBackoff(docs, idCol, text, uni, bi, tri, tot)
   }
@@ -138,15 +140,16 @@ object LmIndex {
     val meta = readMeta(srcPath) // kind guard + counter fold
     spark.read.parquet(gramPath(srcPath, "uni"))
       .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
-      .filter(col("c1") > 0) // zeroed-by-takedown grams compact away
+      // zeroed-by-takedown grams compact away; negative raises (CountGuard)
+      .filter(CountGuard.positive(col("c1"), "unigram count c1"))
       .write.mode("overwrite").parquet(gramPath(dstPath, "uni"))
     spark.read.parquet(gramPath(srcPath, "bi"))
       .groupBy(col("w1"), col("w")).agg(sum(col("c2")).as("c2"))
-      .filter(col("c2") > 0)
+      .filter(CountGuard.positive(col("c2"), "bigram count c2"))
       .write.mode("overwrite").parquet(gramPath(dstPath, "bi"))
     spark.read.parquet(gramPath(srcPath, "tri"))
       .groupBy(col("w2"), col("w1"), col("w")).agg(sum(col("c3")).as("c3"))
-      .filter(col("c3") > 0)
+      .filter(CountGuard.positive(col("c3"), "trigram count c3"))
       .write.mode("overwrite").parquet(gramPath(dstPath, "tri"))
     graft.core.Sidecar.writeProps(metaPath(dstPath), Seq(
       "kind" -> "lm", "n" -> meta("n")))

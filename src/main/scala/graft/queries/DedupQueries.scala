@@ -224,6 +224,40 @@ object DedupQueries extends QueryModule {
              |FROM documents WHERE doc_id % 5 <> 0 GROUP BY md5(text)""".stripMargin)
     ),
 
+    // ---- exact-dedup index lifecycle: tombstone delete + versioned
+    // compact ----
+    // The full per-doc index under a Versions root: the takedown lands
+    // as an O(batch) tombstone-marker batch (no index row rewritten —
+    // the ANN layouts' mechanism), then compaction physically purges
+    // the tombstoned rows into the NEXT version and flips the pointer.
+    // The FULL shape is what compacts — compacting to the narrow
+    // keeper summary would forfeit every future takedown. Keepers
+    // through the compacted store must equal a from-scratch reindex of
+    // the survivors; DedupIncrementalSpec pins the commute
+    // (delete-then-compact == compact-then-delete).
+    QueryDef(
+      "q_dedup_exact_compact",
+      "exact-dup keepers via tombstone delete + versioned compact == survivor reindex",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val root = SessionPublish.once(s, s"dedup-exact-compact|$dir") {
+          val r = SessionPublish.tempDir("graft-dedup-exact-compact") + "/index"
+          graft.core.Versions.publish(r) { v1 =>
+            Dedup.exactIndexFull(docs, "doc_id", col("text"))
+              .write.mode("overwrite").parquet(v1)
+          }
+          Dedup.exactIndexDeleteAt(graft.core.Versions.currentPath(r).get,
+            docs.filter(col("doc_id") % 7 === 2), "doc_id")
+          Dedup.exactIndexCompactVersioned(s, r): Unit
+          r
+        }
+        Dedup.exactKeepers(
+          Dedup.exactIndexLive(s, graft.core.Versions.currentPath(root).get))
+      },
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n, min(doc_id) AS keep_id
+             |FROM documents WHERE doc_id % 7 <> 2 GROUP BY md5(text)""".stripMargin)
+    ),
+
     // ---- n-gram Jaccard near-dup pairs (verification-grade) ----
     QueryDef(
       "q_dedup_jaccard",

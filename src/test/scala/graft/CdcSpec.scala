@@ -102,6 +102,25 @@ class CdcSpec extends GraftSuite {
       "shared chunks must lose the tombstoned copies, not vanish")
   }
 
+  test("takedown-contract violation fails loud: a negative merged count raises") {
+    // tombstoning documents the index does not (any longer) hold
+    // drives their chunk counts NEGATIVE — impossible under the
+    // contract, so the read must raise (CountGuard), never silently
+    // drop the rows as if they were legitimately zeroed. Double-apply
+    // the same tombstone batch: the second fold is exactly such a
+    // violation.
+    val docs = Tables.docs(spark, sf001).select(col("doc_id"), col("text"))
+    val full = Cdc.chunkIndex(docs, "doc_id", col("text"), 32)
+    val tomb = docs.filter(col("doc_id") % 5 === 0)
+    val once = Cdc.deleteFromChunkIndex(full, tomb, "doc_id", col("text"), 32)
+    val twice = Cdc.deleteFromChunkIndex(once, tomb, "doc_id", col("text"), 32)
+    val ex = intercept[Exception](twice.collect())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(ex).exists(_.contains("takedown contract violated")),
+      s"expected the CountGuard contract error, got: ${chain(ex).take(3)}")
+  }
+
   private object Tables {
     def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
       graft.sources.Tables(s, dir).documents

@@ -159,6 +159,45 @@ class DedupIncrementalSpec extends GraftSuite {
       s"keeper 1 must fall to 2, hash of doc 3 must vanish: $kept")
   }
 
+  test("exact-index store lifecycle: delete-then-compact == compact-then-delete == survivor reindex") {
+    val docs = Tables(spark, sf0001).documents
+    val tomb = docs.filter(col("doc_id") % 5 === 0)
+    val survivors = docs.filter(col("doc_id") % 5 =!= 0)
+    def keepers(df: org.apache.spark.sql.DataFrame) =
+      Dedup.exactKeepers(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = keepers(Dedup.exactIndexFull(survivors, "doc_id", col("text")))
+    assert(want.nonEmpty, "fixture must have surviving content")
+
+    def publishFull(tag: String): String = {
+      val r = graft.queries.SessionPublish.tempDir(s"exact-compact-$tag") + "/index"
+      graft.core.Versions.publish(r) { v =>
+        Dedup.exactIndexFull(docs, "doc_id", col("text"))
+          .write.mode("overwrite").parquet(v)
+      }
+      r
+    }
+
+    // order 1: delete (O(batch) tombstone markers) then compact
+    val r1 = publishFull("dc")
+    Dedup.exactIndexDeleteAt(graft.core.Versions.currentPath(r1).get, tomb, "doc_id")
+    assert(keepers(Dedup.exactIndexLive(spark, graft.core.Versions.currentPath(r1).get))
+      === want, "pre-compact live read must already equal the survivor reindex")
+    Dedup.exactIndexCompactVersioned(spark, r1)
+    val v1 = graft.core.Versions.currentPath(r1).get
+    assert(keepers(spark.read.parquet(v1)) === want,
+      "delete-then-compact == survivor reindex (bare scan, no anti-join)")
+    assert(graft.pipeline.Tombstones.ids(spark, v1).isEmpty,
+      "the compacted layout must start tombstone-free")
+
+    // order 2: compact first (a pure rewrite), then delete (markers pending)
+    val r2 = publishFull("cd")
+    Dedup.exactIndexCompactVersioned(spark, r2)
+    Dedup.exactIndexDeleteAt(graft.core.Versions.currentPath(r2).get, tomb, "doc_id")
+    assert(keepers(Dedup.exactIndexLive(spark, graft.core.Versions.currentPath(r2).get))
+      === want, "compact-then-delete == survivor reindex")
+  }
+
   test("CDC: merged chunk index == full republish; incremental == full mine on batch hashes") {
     import graft.pipeline.Cdc
     val docs = Tables(spark, sf0001).documents

@@ -71,6 +71,25 @@ class LmIndexSpec extends GraftSuite {
     assert(got === want, "zeroed grams must be ABSENT, not present-with-zero")
   }
 
+  test("takedown-contract violation fails loud: a negative merged gram count raises") {
+    // tombstoning a document the store never indexed drives a gram
+    // below zero — impossible under the contract, so scoring must
+    // RAISE (CountGuard), never silently back off the gram as absent
+    // (which would quietly mis-score every survivor containing it)
+    val path = graft.queries.SessionPublish.tempDir("lm-spec-del-neg")
+    LmIndex.publish(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", col("text"), path)
+    LmIndex.delete(Seq((2L, "a a b")).toDF("doc_id", "text"), // never indexed
+      "doc_id", col("text"), path)
+    val probe = Seq((9L, "a b")).toDF("doc_id", "text")
+    val ex = intercept[Exception](
+      LmIndex.score(spark, path, probe, "doc_id", col("text")).collect())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(ex).exists(_.contains("takedown contract violated")),
+      s"expected the CountGuard contract error, got: ${chain(ex).take(3)}")
+  }
+
   test("compaction drops zeroed-by-takedown segment rows") {
     val src = graft.queries.SessionPublish.tempDir("lm-spec-del-compact") + "/src"
     val dst = graft.queries.SessionPublish.tempDir("lm-spec-del-compact") + "/dst"

@@ -253,6 +253,53 @@ class TxLogSpec extends GraftSuite {
     // the 12-rep commit/janitor race below runs under the DEFAULT lease
   }
 
+  test("operating-envelope violation: a too-short lease lets the janitor steal a LIVE claim — one winner, loser fails loud") {
+    // the runbook's documented failure mode, pinned as a tested fact:
+    // the resolve lease is MISCONFIGURED below the resolver's real
+    // pause (the envelope says lease > worst driver pause), a live
+    // resolver claims resolution and stalls past it, and the janitor
+    // runs. What must hold: exactly one outcome stands (the janitor's
+    // abort), and the paused winner's commit fails LOUD — never a
+    // silent success, never two surviving outcomes.
+    val dir = graft.queries.SessionPublish.tempDir("txlog-lease-envelope")
+    def backdate(path: String, ageMs: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(path),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+    val t = TxLog.begin(dir)
+    // the LIVE resolver wins the resolution claim (commit()'s first
+    // step) and then pauses: claim-on-disk + backdate reproduces the
+    // paused winner exactly up to its next sidecar write
+    assert(graft.core.Sidecar.createExclusive(s"$dir/txlog/resolve-$t"))
+    backdate(s"$dir/txlog/alloc-$t", 10000)
+    backdate(s"$dir/txlog/resolve-$t", 5000)
+    TxLog.setResolveLeaseMs(dir, 1000) // misconfigured: < the 5 s pause
+    // janitor: the live claim reads stale under the short lease —
+    // stolen by rename, the id aborted. The envelope violation's
+    // consequence is an aborted LIVE transaction, reported honestly.
+    assert(TxLog.abortStale(dir, horizonMs = 1000) === Seq(t))
+    assert(TxLog.abortedSet(dir) === Set(t))
+    // the paused winner wakes and finishes its commit: fail-loud, and
+    // the committed state never flips
+    val e = intercept[IllegalStateException](TxLog.commit(dir, t))
+    assert(e.getMessage.contains("rolled back"),
+      s"the losing commit must name the abort: ${e.getMessage}")
+    assert(!TxLog.isCommitted(dir, t))
+    assert(graft.core.Sidecar.exists(s"$dir/txlog/abort-$t") &&
+      !graft.core.Sidecar.exists(s"$dir/txlog/commit-$t"),
+      "exactly one outcome marker stands")
+    // the transient both-markers window (the winner's commit marker
+    // landing just before its collision check deletes it): outcome
+    // reads check the abort marker FIRST, so even mid-convergence no
+    // reader can see a phantom commit
+    graft.core.Sidecar.writeString(s"$dir/txlog/commit-$t", "")
+    assert(!TxLog.isCommitted(dir, t),
+      "abort-first outcome order: both-markers must read aborted")
+    intercept[IllegalStateException](TxLog.commit(dir, t))
+    graft.core.Sidecar.delete(s"$dir/txlog/commit-$t") // the winner's own cleanup
+    assert(!TxLog.isCommitted(dir, t) && TxLog.abortedSet(dir) === Set(t))
+  }
+
   test("stale compact-lock break: rename-steal wins once, fresh locks are honored") {
     val dir = graft.queries.SessionPublish.tempDir("txlog-lockbreak")
     val t1 = TxLog.begin(dir)
