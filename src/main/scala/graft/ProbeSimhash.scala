@@ -31,7 +31,14 @@ object ProbeSimhash {
       else base.crossJoin(spark.range(replicate).select(col("id").as("__r")))
         .select((col("doc_id") * replicate + col("__r")).as("doc_id"),
           array_join(transform(split(col("text"), " "),
-            t => concat(t, lit("_"), col("__r"))), " ").as("text")))
+            t => concat(t, lit("_"), col("__r"))), " ").as("text"))
+        // the crossJoin preserves the base table's partitioning — ONE
+        // split for a single-file sf0.1 parquet — which would serialize
+        // every downstream tokenize/fingerprint map stage on one task
+        // (observed: a 10 M-doc fingerprint pass pinned to 1 core for
+        // 19+ min). A real corpus arrives in many splits; make the
+        // replica look like one.
+        .repartition(256))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = docs.count()
 
@@ -55,6 +62,28 @@ object ProbeSimhash {
           Dedup.simhashByDoc(docs, "doc_id", col("text"), bits), 3, bits))
         println(f"[probe] n=$n%d bits=$bits%d (auto=$auto%d) candidates=$cand%d " +
           f"pairs=$pairs%d time=$sec%.2f s")
+      }
+    } else if (args.length > 2 && args(2) == "scaled") {
+      // r14 single-pass evidence: the full scaled ENTRY (tier count +
+      // pricing + dispatch + winner execution) vs the BARE chosen
+      // scheme at this N, both end-to-end from the same materialized
+      // corpus. Criterion (r13 verdict item 2): entry wall within
+      // ~1.2x of the bare scheme — it was ~2x by construction when
+      // the entry re-fingerprinted the corpus for the returned plan.
+      // 3 reps (single-shot walls on this box swing +-3x; report all,
+      // median in SCALE.md).
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val pairsScaled = Dedup.simhashHammingPairsScaled(
+          docs, "doc_id", col("text")).count()
+        val tScaled = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pairsBare = Dedup.simhashHammingPairs(docs, "doc_id", col("text"),
+          maxHamming = 3, bits = 64).count()
+        val tBare = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] rep=$rep n=$n%d scaled-entry=$tScaled%.2f s " +
+          f"(pairs=$pairsScaled%d) bare-fixed64=$tBare%.2f s (pairs=$pairsBare%d) " +
+          f"ratio=${tScaled / tBare}%.3f")
       }
     } else {
       // fingerprint ONCE (the shared cost), then price each blocking

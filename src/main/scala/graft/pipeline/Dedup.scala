@@ -890,6 +890,18 @@ object Dedup {
     candTables + simhashShuffleRowCost * rowsTables <
       candFixed + simhashShuffleRowCost * rowsFixed
 
+  /** Exact-pricing short-circuit: candidate volumes are non-negative,
+    * so when the tables scheme's ROW cost alone already reaches the
+    * fixed scheme's full modeled cost, [[chooseSimhashTables]] returns
+    * false for EVERY possible candTables — pricing it (an n·tables-row
+    * explode + shuffle, the expensive half of pricing) is provably
+    * pointless. Pure; FuzzyDecontSpec pins consistency with the rule.
+    */
+  private[graft] def tablesCannotWin(candFixed: Long, rowsFixed: Long,
+      rowsTables: Long): Boolean =
+    simhashShuffleRowCost * rowsTables >=
+      candFixed + simhashShuffleRowCost * rowsFixed
+
   /** The full-range scale entry for SimHash near-dup pairs: one count
     * job, then the cheapest EXACT blocking for that corpus size —
     * width-tier ([[autoSimhashBits]], `maxHamming+1` tables) while
@@ -954,9 +966,20 @@ object Dedup {
       val bitsF = capWidth * (maxHamming + 1)
       val b = autoSimhashBlocks(n, maxHamming, targetBucketRows)
       val candF = simhashCandidateVolume(simhashBlockKeys(sh, maxHamming, bitsF))
-      val candT = simhashCandidateVolume(simhashComboKeys(sh, maxHamming, b, 64))
       val tables = (0 until b).combinations(b - maxHamming).size.toLong
-      if (chooseSimhashTables(candF, n * (maxHamming + 1), candT, n * tables))
+      // price the tables scheme's exact candidate volume ONLY where
+      // the decision needs it ([[tablesCannotWin]]): its pricing
+      // aggregate explodes n·tables rows through a shuffle — 2.5x the
+      // fixed scheme's — and below the crossover band that job's only
+      // possible outcome is confirming the fixed tier. Inside the
+      // band (and past it), the exact volume is still computed and
+      // the rule is still chooseSimhashTables — the short-circuit
+      // never changes a decision, only skips a provably-decided job.
+      val useTables = !tablesCannotWin(candF, n * (maxHamming + 1), n * tables) && {
+        val candT = simhashCandidateVolume(simhashComboKeys(sh, maxHamming, b, 64))
+        chooseSimhashTables(candF, n * (maxHamming + 1), candT, n * tables)
+      }
+      if (useTables)
         verifiedPairs(simhashComboKeys(sh, maxHamming, b, 64), maxHamming)
       else
         verifiedPairs(simhashBlockKeys(sh, maxHamming, bitsF), maxHamming)

@@ -175,6 +175,28 @@ class FuzzyDecontSpec extends GraftSuite {
     assert(!Dedup.chooseSimhashTables(1000L, 100L, 1000L, 100L))
   }
 
+  test("pricing short-circuit: tablesCannotWin implies the rule rejects tables for EVERY candT") {
+    // the r14 single-pass probe numbers: at 10M the fixed tier's full
+    // modeled cost (3.82B candidates + 64*40M rows) is just under the
+    // tables tier's row cost alone (64*100M) — the short-circuit fires
+    // and the candT aggregate (a 100M-row explode+shuffle) is skipped
+    assert(Dedup.tablesCannotWin(3823287635L, 40000000L, 100000000L),
+      "the 10M probe point must short-circuit")
+    // consistency with the rule: wherever the bound fires, no candidate
+    // volume can make chooseSimhashTables pick tables (candT >= 0, and
+    // 0 is its best case)
+    for ((cf, rf, rt) <- Seq(
+        (3823287635L, 40000000L, 100000000L),
+        (0L, 0L, 0L), (1000L, 100L, 200L), (1L << 40, 1L << 20, 1L << 26)))
+      if (Dedup.tablesCannotWin(cf, rf, rt))
+        assert(!Dedup.chooseSimhashTables(cf, rf, 0L, rt),
+          s"bound fired but the rule could still pick tables at ($cf,$rf,$rt)")
+    // and it must NOT fire where tables genuinely wins (the N=50M
+    // regime from the dispatch spec above)
+    assert(!Dedup.tablesCannotWin(113000000000L, 200000000L, 1000000000L),
+      "past the crossover the exact candT must be priced")
+  }
+
   test("scaled entry, saturated regime: cost dispatch runs and the pair set stays exact") {
     // force saturation at spec scale: maxHamming=7 -> 8-bit key cap,
     // targetBucketRows=1 -> need = ceil(log2 300) = 9 > 8. The
