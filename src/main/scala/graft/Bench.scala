@@ -226,10 +226,11 @@ object Bench {
     // the MinHash band table (warmups pay the index publishes)
     "q_dedup_exact_delete",
     "q_dedup_minhash_delete",
-    // round 14: the exact-index store lifecycle — tombstone-marker
-    // delete physically purged into the next version (warmup pays
-    // publish + delete + compact, memoized)
-    "q_dedup_exact_compact")
+    // round 14: the exact-index and band-table store lifecycles —
+    // tombstone-marker deletes physically purged into the next
+    // version (warmups pay publish + delete + compact, memoized)
+    "q_dedup_exact_compact",
+    "q_dedup_minhash_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

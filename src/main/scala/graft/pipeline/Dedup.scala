@@ -258,6 +258,56 @@ object Dedup {
     bands.join(tombstones.select(col(idCol).as("id")).distinct(),
       Seq("id"), "left_anti")
 
+  /** Store-level takedown on a PUBLISHED [[bandTable]] layout: one
+    * tombstone-marker batch ([[Tombstones.delete]]) — O(tombstone
+    * batch), no band row rewritten, no republish. The upgrade over
+    * [[bandTableDelete]]-then-republish at 100 TB: the band table is
+    * the biggest dedup index (bands·N rows), and a takedown now costs
+    * one small file write instead of an O(index) rewrite; readers pay
+    * the marker anti-join ([[bandTableLive]]) until
+    * [[bandTableCompact]] purges rows and markers together.
+    */
+  def bandTableDeleteAt(layoutPath: String, tombstones: DataFrame,
+      idCol: String): Long =
+    Tombstones.delete(layoutPath, tombstones, idCol)
+
+  /** Live rows of a published [[bandTable]] layout: tombstoned ids
+    * hidden by the standard marker anti-join; with no tombstones the
+    * plan is the bare scan (TombstoneSpec's contract). Feed this to
+    * [[nearDuplicatesFromBands]] — band membership is per-doc, so
+    * hiding a doc's band rows removes exactly its candidate pairs.
+    */
+  def bandTableLive(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String): DataFrame =
+    Tombstones.applyTo(spark.read.parquet(layoutPath), layoutPath, "id")
+
+  /** Compact a published [[bandTable]] layout: physically drop
+    * tombstoned band rows into a fresh layout (tombstone-free) and
+    * coalesce delete-era small files. O(index) rewrite — the cost the
+    * marker delete deferred, paid once per maintenance window instead
+    * of once per takedown batch.
+    */
+  def bandTableCompact(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String,
+      maxRecordsPerFile: Long = 1L << 22): Unit =
+    bandTableLive(spark, srcPath)
+      .write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dstPath)
+
+  /** [[bandTableCompact]] into the next version of a versioned root,
+    * pointer flipped atomically; delete-then-compact ≡
+    * compact-then-delete ≡ survivor re-band (DedupIncrementalSpec
+    * pins the commute, `q_dedup_minhash_compact` gates the read).
+    * Returns the new live version.
+    */
+  def bandTableCompactVersioned(spark: org.apache.spark.sql.SparkSession,
+      root: String): Long = {
+    val src = graft.core.Versions.currentPath(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no live version at $root — publish through Versions first"))
+    graft.core.Versions.publish(root)(dst => bandTableCompact(spark, src, dst))
+  }
+
   /** Full near-dup mine through a PUBLISHED band table — the read
     * side of the takedown leg: candidates from the table's own band
     * self-join (exactly [[lshCandidates]]' join, off stored rows),

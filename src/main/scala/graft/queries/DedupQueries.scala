@@ -329,6 +329,41 @@ object DedupQueries extends QueryModule {
               |WHERE da % 5 <> 0 AND db % 5 <> 0""".stripMargin)
     ),
 
+    // ---- band-table store lifecycle: tombstone delete + versioned
+    // compact ----
+    // The band table is the biggest dedup index (bands x N rows); the
+    // marker delete makes its takedown O(batch) instead of an O(index)
+    // republish, and compaction pays the rewrite once per maintenance
+    // window. Mining through the compacted live view must equal the
+    // survivor re-mine — band membership and true Jaccard are per-pair
+    // properties, the q_dedup_minhash_delete argument carried through
+    // the store tier (DedupIncrementalSpec pins the delete/compact
+    // commute).
+    QueryDef(
+      "q_dedup_minhash_compact",
+      "near-dup pairs via tombstone delete + versioned band-table compact == survivor re-mine",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val root = SessionPublish.once(s, "dedup_bands_compact|" + dir) {
+          val r = SessionPublish.tempDir("graft-dedup-bands-compact") + "/bands"
+          graft.core.Versions.publish(r) { v1 =>
+            Dedup.bandTable(docs, "doc_id", col("text"))
+              .write.mode("overwrite").parquet(v1)
+          }
+          Dedup.bandTableDeleteAt(graft.core.Versions.currentPath(r).get,
+            docs.filter(col("doc_id") % 5 === 1), "doc_id")
+          Dedup.bandTableCompactVersioned(s, r): Unit
+          r
+        }
+        Dedup.nearDuplicatesFromBands(
+          Dedup.bandTableLive(s, graft.core.Versions.currentPath(root).get),
+          docs.filter(col("doc_id") % 5 =!= 1), "doc_id", col("text"), 0.7)
+      },
+      Some(s"""WITH ${lshPairsCtes(0.7)}
+              |SELECT da, db, jac FROM pairs
+              |WHERE da % 5 <> 1 AND db % 5 <> 1""".stripMargin)
+    ),
+
     // ---- incremental near-dup mining: a new batch against the
     // PUBLISHED corpus band table — the 100 TB ingestion shape (band
     // the batch, join the standing index, never re-mine the corpus).

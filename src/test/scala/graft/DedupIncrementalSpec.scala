@@ -198,6 +198,41 @@ class DedupIncrementalSpec extends GraftSuite {
       === want, "compact-then-delete == survivor reindex")
   }
 
+  test("band-table store lifecycle: delete + versioned compact == survivor re-band, both orders") {
+    val docs = Tables(spark, sf0001).documents
+    val tomb = docs.filter(col("doc_id") % 5 === 0)
+    val survivors = docs.filter(col("doc_id") % 5 =!= 0)
+    def bandRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = bandRows(Dedup.bandTable(survivors, "doc_id", col("text")))
+    assert(want.nonEmpty)
+
+    def publishBands(tag: String): String = {
+      val r = graft.queries.SessionPublish.tempDir(s"bands-compact-$tag") + "/bands"
+      graft.core.Versions.publish(r) { v =>
+        Dedup.bandTable(docs, "doc_id", col("text")).write.mode("overwrite").parquet(v)
+      }
+      r
+    }
+
+    val r1 = publishBands("dc") // delete then compact
+    Dedup.bandTableDeleteAt(graft.core.Versions.currentPath(r1).get, tomb, "doc_id")
+    assert(bandRows(Dedup.bandTableLive(spark, graft.core.Versions.currentPath(r1).get))
+      === want, "pre-compact live view == survivor re-band")
+    Dedup.bandTableCompactVersioned(spark, r1)
+    val v1 = graft.core.Versions.currentPath(r1).get
+    assert(bandRows(spark.read.parquet(v1)) === want,
+      "delete-then-compact == survivor re-band (bare scan)")
+    assert(graft.pipeline.Tombstones.ids(spark, v1).isEmpty,
+      "compacted band layout starts tombstone-free")
+
+    val r2 = publishBands("cd") // compact then delete
+    Dedup.bandTableCompactVersioned(spark, r2)
+    Dedup.bandTableDeleteAt(graft.core.Versions.currentPath(r2).get, tomb, "doc_id")
+    assert(bandRows(Dedup.bandTableLive(spark, graft.core.Versions.currentPath(r2).get))
+      === want, "compact-then-delete == survivor re-band")
+  }
+
   test("CDC: merged chunk index == full republish; incremental == full mine on batch hashes") {
     import graft.pipeline.Cdc
     val docs = Tables(spark, sf0001).documents
