@@ -116,6 +116,8 @@ object Dedup {
     * delete-then-compact ≡ compact-then-delete ≡ survivor reindex
     * (DedupIncrementalSpec pins the commute; `q_dedup_exact_compact`
     * gates the compacted read against a from-scratch reindex).
+    * Tombstone batches landing after the compact's scan re-apply to
+    * the new version ([[Tombstones.compactVersionedRecheck]]).
     * Returns the new live version.
     */
   def exactIndexCompactVersioned(spark: org.apache.spark.sql.SparkSession,
@@ -123,7 +125,8 @@ object Dedup {
     val src = graft.core.Versions.currentPath(root).getOrElse(
       throw new IllegalArgumentException(
         s"no live version at $root — publish through Versions first"))
-    graft.core.Versions.publish(root)(dst => exactIndexCompact(spark, src, dst))
+    Tombstones.compactVersionedRecheck(spark, root, src)(dst =>
+      exactIndexCompact(spark, src, dst))
   }
 
   /** Batch canonical map against the published [[exactIndex]]:
@@ -298,6 +301,8 @@ object Dedup {
     * pointer flipped atomically; delete-then-compact ≡
     * compact-then-delete ≡ survivor re-band (DedupIncrementalSpec
     * pins the commute, `q_dedup_minhash_compact` gates the read).
+    * Tombstone batches landing after the compact's scan re-apply to
+    * the new version ([[Tombstones.compactVersionedRecheck]]).
     * Returns the new live version.
     */
   def bandTableCompactVersioned(spark: org.apache.spark.sql.SparkSession,
@@ -305,7 +310,8 @@ object Dedup {
     val src = graft.core.Versions.currentPath(root).getOrElse(
       throw new IllegalArgumentException(
         s"no live version at $root — publish through Versions first"))
-    graft.core.Versions.publish(root)(dst => bandTableCompact(spark, src, dst))
+    Tombstones.compactVersionedRecheck(spark, root, src)(dst =>
+      bandTableCompact(spark, src, dst))
   }
 
   /** Full near-dup mine through a PUBLISHED band table — the read

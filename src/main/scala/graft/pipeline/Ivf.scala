@@ -335,14 +335,18 @@ object Ivf {
     * atomic for readers (no "flip readers by hand" step). The source
     * version stays on disk for in-flight reads until
     * [[graft.core.Versions.retire]] collects it. Returns the new
-    * live version number.
+    * live version number. Tombstone batches landing after the
+    * compact's scan are re-applied to the new version
+    * ([[Tombstones.compactVersionedRecheck]] — the lost-delete
+    * guard; takedown writers still count as writers during the
+    * window).
     */
   def compactVersioned(spark: SparkSession, root: String, idCol: String,
       maxRecordsPerFile: Long = 1L << 22): Long = {
     val src = graft.core.Versions.currentPath(root).getOrElse(
       throw new IllegalArgumentException(
         s"no live version at $root — publish a layout through Versions first"))
-    graft.core.Versions.publish(root) { dst =>
+    Tombstones.compactVersionedRecheck(spark, root, src) { dst =>
       compactPartitioned(spark, src, dst, idCol, maxRecordsPerFile)
     }
   }

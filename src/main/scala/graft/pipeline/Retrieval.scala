@@ -159,6 +159,29 @@ object Retrieval {
   private[graft] def postingsPath(path: String) = s"$path/postings"
   private[graft] def metaPath(path: String) = s"$path/_lexmeta"
 
+  /** Per-document length sidecar: (id, dl) under `doclens/db=<id mod
+    * buckets>/` — what makes [[deleteDocs]] O(batch). A takedown needs
+    * each victim's dl for the exact counter correction; without this
+    * table the only source is the postings themselves, and postings
+    * are partitioned by TOKEN bucket, so an id lookup reads the whole
+    * index. Bucketed by id, the lookup lists and reads only the
+    * victims' partitions. Two longs per document — ~0.002% of the
+    * postings at any corpus size. Batch publishes and appends write
+    * it; [[compactIndex]] REBUILDS it from the live postings, healing
+    * ids the batch path never saw (streaming appends stage postings
+    * only — their deletes fall back to a pushed-filter postings scan
+    * until the next compact, see [[victimDls]]).
+    */
+  private[graft] def doclensPath(path: String) = s"$path/doclens"
+
+  private def writeDoclens(docs: DataFrame, idCol: String, text: Column,
+      path: String, buckets: Int, mode: String): Unit =
+    docs.select(col(idCol).cast("long").as("id"),
+        size(TextOps.tokens(text)).cast("long").as("dl"))
+      .withColumn("db", pmod(col("id"), lit(buckets.toLong)))
+      .repartition(col("db"))
+      .write.mode(mode).partitionBy("db").parquet(doclensPath(path))
+
   /** Streaming counter deltas ([[graft.streaming.LexStream]]): one
     * batch-keyed props file per committed micro-batch, summed into the
     * base sidecar at read time. Keyed filenames make the write
@@ -204,6 +227,7 @@ object Retrieval {
       .repartition(col("tb"))
       .sortWithinPartitions(col("tb"), col("token"))
       .write.mode("overwrite").partitionBy("tb").parquet(postingsPath(path))
+    writeDoclens(docs, idCol, text, path, buckets, mode = "overwrite")
     val st = corpusStats(docs, text).head()
     graft.core.Sidecar.writeProps(metaPath(path), Seq(
       "kind" -> "lex", "buckets" -> buckets.toString,
@@ -228,6 +252,7 @@ object Retrieval {
       .repartition(col("tb"))
       .sortWithinPartitions(col("tb"), col("token"))
       .write.mode("append").partitionBy("tb").parquet(postingsPath(path))
+    writeDoclens(newDocs, idCol, text, path, buckets, mode = "append")
     val st = newDocs.agg(count(lit(1)),
       sum(size(TextOps.tokens(text)).cast("long"))).head()
     graft.core.Sidecar.writeProps(metaPath(path), Seq(
@@ -281,7 +306,9 @@ object Retrieval {
     * and one base sidecar, and the overlay dirs (tombstones,
     * counters) disappear. ONE shuffle keyed by token bucket with
     * `maxRecordsPerFile` re-splitting — the same contract as
-    * [[Ivf.compactPartitioned]], lexical edition. The streaming
+    * [[Ivf.compactPartitioned]], lexical edition — plus one narrow
+    * (id, dl) aggregate rebuilding the [[doclensPath]] sidecar from
+    * the live postings. The streaming
     * replay markers ARE carried: the compacted postings contain those
     * batches, and losing the markers would make a restarted
     * [[graft.streaming.LexStream]] re-append them. The source layout
@@ -293,12 +320,19 @@ object Retrieval {
     val meta = readLexMeta(srcPath) // kind guard + folds counter deltas
     val tp = spark.read.parquet(postingsPath(srcPath))
     val live = readTombstones(spark, srcPath)
-      .fold(tp)(t => tp.join(broadcast(t), Seq("id"), "left_anti"))
+      .fold(tp)(t => tp.join(t, Seq("id"), "left_anti"))
     live.repartition(col("tb"))
       .sortWithinPartitions(col("tb"), col("token"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("tb").parquet(postingsPath(dstPath))
+    // doclens REBUILT from the live postings (not copied): heals ids
+    // the batch-path sidecar never saw (streamed-in docs), and the
+    // fresh table starts tombstone-free like the postings
+    live.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .withColumn("db", pmod(col("id"), lit(meta("buckets").toLong)))
+      .repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(doclensPath(dstPath))
     graft.core.Sidecar.writeProps(metaPath(dstPath), Seq(
       "kind" -> "lex", "buckets" -> meta("buckets"),
       "n" -> meta("n"), "sum_dl" -> meta("sum_dl")))
@@ -311,6 +345,18 @@ object Retrieval {
     * the live version of a versioned index root into the next version
     * dir and flip the pointer atomically. Returns the new live
     * version.
+    *
+    * Maintenance-window rule: lexical takedowns are WRITERS — a
+    * [[deleteDocs]] writes a coupled (tombstone batch, negative
+    * counter delta) pair, so one landing between this compact's
+    * meta/tombstone snapshot and the pointer flip would be applied to
+    * neither side or HALF-applied (counters without markers or vice
+    * versa). Unlike the marker-only stores (which get an automatic
+    * post-flip re-apply, [[Tombstones.compactVersionedRecheck]] —
+    * markers carry no counters, so re-application is always safe),
+    * the coupled write cannot be replayed without double-counting
+    * risk: pause takedowns during the maintenance window, the
+    * single-writer rule every append tier already carries.
     */
   def compactIndexVersioned(spark: SparkSession, root: String,
       maxRecordsPerFile: Long = 1L << 22): Long = {
@@ -326,21 +372,19 @@ object Retrieval {
     * the ANN tiers' id-level tombstones: deletes write a batch of
     * (id, dl) tombstone rows (staged dir, atomic rename in) plus one
     * batch-keyed NEGATIVE counter delta, and every read path
-    * anti-joins the (broadcast, tombstone-sized) id set. Corpus stats
+    * anti-joins the (tombstone-sized, stats-broadcast) id set. Corpus stats
     * therefore track the LIVE corpus exactly, so a deleted index
     * scores bit-identically to a republish without the deleted docs
     * (LexDeleteSpec pins it). dl rides the tombstone so the counter
-    * correction never rescans postings; the one postings scan here is
-    * per takedown batch — rare by contract. A republish folds
-    * tombstones away.
+    * correction never rescans postings, and the dl LOOKUP is a
+    * bucket-pruned read of the [[doclensPath]] sidecar — O(victim
+    * batch), the whole takedown never touches the index
+    * ([[victimDls]]; only ids the sidecar has never seen fall back to
+    * a postings scan). A republish folds tombstones away.
     */
   def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     if (ids.isEmpty) return
-    readLexMeta(path): Unit // kind guard
-    val dls = spark.read.parquet(postingsPath(path))
-      .filter(col("id").isin(ids: _*))
-      .groupBy(col("id")).agg(max(col("dl")).as("dl"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dls = victimDls(spark, path, ids.distinct)
     val live = ids.distinct.filter(dls.contains) // unseen ids: no-op
     if (live.isEmpty) return
     // tombstones already present must not double-correct the counters
@@ -358,12 +402,51 @@ object Retrieval {
       s"n=${-fresh.size}\nsum_dl=${-fresh.map(dls(_)).sum}\n")
   }
 
+  /** (id -> dl) for the victim ids. The common path is a PRUNED read
+    * of the [[doclensPath]] sidecar: only the victims' `db` partitions
+    * are listed and read (LexDeleteSpec pins selectedPartitions), so a
+    * takedown batch costs O(batch) regardless of index size. Ids the
+    * sidecar does not carry — streamed-in documents before their first
+    * compact, or a pre-sidecar layout — fall back to ONE pushed-filter
+    * postings scan for just those ids (the pre-r15 cost, now paid only
+    * for the exceptional remainder). Genuinely unseen ids appear in
+    * neither source and stay no-ops.
+    */
+  private[graft] def victimDls(spark: SparkSession, path: String,
+      ids: Seq[Long]): Map[Long, Long] = {
+    val meta = readLexMeta(path) // kind guard
+    val fromLens: Map[Long, Long] =
+      if (graft.core.Sidecar.listNames(doclensPath(path)).isEmpty) Map.empty
+      else {
+        val dbs = ids.map(math.floorMod(_, meta("buckets").toLong)).distinct
+        doclensLookup(spark, path, ids, dbs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    val missing = ids.filterNot(fromLens.contains)
+    if (missing.isEmpty) fromLens
+    else fromLens ++ spark.read.parquet(postingsPath(path))
+      .filter(col("id").isin(missing: _*))
+      .groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+  }
+
+  /** The pruned doclens lookup plan (factored out so LexDeleteSpec
+    * can pin the partition pruning on the executed plan).
+    */
+  private[graft] def doclensLookup(spark: SparkSession, path: String,
+      ids: Seq[Long], dbs: Seq[Long]): DataFrame =
+    spark.read.parquet(doclensPath(path))
+      .filter(col("db").isin(dbs: _*) && col("id").isin(ids: _*))
+      .select(col("id"), col("dl"))
+
   private[graft] def readTombstones(spark: SparkSession, path: String): Option[DataFrame] =
     if (graft.core.Sidecar.listNames(lexTombstonesPath(path)).isEmpty) None
     else Some(spark.read.parquet(s"${lexTombstonesPath(path)}/*").select(col("id")))
 
   /** Postings of `path` pruned to `tbs` buckets and `terms`, with
-    * tombstoned docs anti-joined out (broadcast, tombstone-sized;
+    * tombstoned docs anti-joined out (tombstone-sized — the planner
+    * broadcasts it from file stats, no hard hint so an oversized
+    * backlog degrades to a shuffle join instead of OOMing the driver;
     * absent tombstones leave the plan untouched).
     */
   private def livePostings(spark: SparkSession, path: String,
@@ -372,7 +455,7 @@ object Retrieval {
       .filter(col("tb").isin(tbs: _*))
       .filter(col("token").isin(terms: _*))
     readTombstones(spark, path)
-      .fold(tp)(t => tp.join(broadcast(t), Seq("id"), "left_anti"))
+      .fold(tp)(t => tp.join(t, Seq("id"), "left_anti"))
   }
 
   /** Exact phrase match at scan speed — the one-shot twin of

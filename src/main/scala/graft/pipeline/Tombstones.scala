@@ -21,12 +21,16 @@ import graft.core.Sidecar
   *    never a half-readable batch;
   *  - every layout read path ([[Ivf.topKPartitioned]],
   *    [[Ivf.topKBatch]], [[Pq.topKPartitionedPq]] and its residual
-  *    twin) routes through [[applyTo]]: a broadcast ANTI join against
-  *    the union of tombstone batches. Tombstone cardinality is
-  *    takedown-list-sized — MBs against a corpus of TBs — so the join
-  *    never shuffles the corpus; with NO tombstones the plan is
-  *    byte-identical to the pre-delete plan (no join node at all,
-  *    TombstoneSpec pins it);
+  *    twin) routes through [[applyTo]]: an ANTI join against the
+  *    union of tombstone batches. Tombstone cardinality is
+  *    takedown-list-sized — MBs against a corpus of TBs — so the
+  *    planner broadcasts it from its file-size stats (and AQE
+  *    re-checks at runtime); there is deliberately NO hard
+  *    `broadcast()` hint, so an oversized backlog degrades to a
+  *    shuffle join instead of OOMing the driver — the same policy as
+  *    every other takedown anti-join ([[Dedup.exactIndexDelete]]).
+  *    With NO tombstones the plan is byte-identical to the
+  *    pre-delete plan (no join node at all, TombstoneSpec pins it);
   *  - [[Ivf.compactPartitioned]] is the defrag: it rewrites live rows
   *    only into a fresh layout (which therefore starts with an empty
   *    tombstone set) and coalesces the small files streaming appends
@@ -84,13 +88,14 @@ object Tombstones {
     else Some(spark.read.option("recursiveFileLookup", "true").parquet(dir))
   }
 
-  /** Hide tombstoned ids from a layout read: broadcast anti join when
-    * tombstones exist, the untouched frame when they don't.
+  /** Hide tombstoned ids from a layout read: anti join when
+    * tombstones exist (size-planned broadcast, no hard hint — see the
+    * object doc), the untouched frame when they don't.
     */
   def applyTo(df: DataFrame, layoutPath: String, idCol: String): DataFrame =
     ids(df.sparkSession, layoutPath) match {
       case None     => df
-      case Some(ts) => df.join(broadcast(ts), df(idCol) === ts("id"), "left_anti")
+      case Some(ts) => df.join(ts, df(idCol) === ts("id"), "left_anti")
     }
 
   /** Drop every tombstone batch — an escape hatch for un-deleting
@@ -100,4 +105,41 @@ object Tombstones {
     */
   def clear(layoutPath: String): Unit =
     Sidecar.delete(tombDir(layoutPath), recursive = true)
+
+  /** Versioned compact with a post-flip tombstone RECHECK — the
+    * lost-delete guard for every marker store's maintenance window
+    * ([[Ivf.compactVersioned]], [[Dedup.exactIndexCompactVersioned]],
+    * [[Dedup.bandTableCompactVersioned]], the winnow store).
+    *
+    * The window: a compact scans `src`'s live rows, writes the next
+    * version, and flips the pointer — a tombstone batch landing in
+    * `src/_tombstones` AFTER the compact's scan but BEFORE the flip
+    * would be applied to neither side (its rows were already copied
+    * live; the fresh layout starts marker-free). For takedown stores
+    * that is a silently resurrected document. So: snapshot the batch
+    * list BEFORE the compact runs, re-list after the flip, and
+    * RE-APPLY every batch not in the snapshot as a fresh marker on
+    * the new live version. Re-application is idempotent-safe in both
+    * directions — a marker for an id the scan already purged hides
+    * nothing, a marker for one it copied hides it — because markers
+    * carry only ids, never counters (the coupled-artifact stores,
+    * lexical/LM/CDC, cannot use this guard; their deletes write data
+    * and are writers under the single-writer rule, see the
+    * IMPLEMENTATION.md runbook).
+    *
+    * Residual window, documented not closed: a takedown writer that
+    * resolved the version pointer before the flip and writes after
+    * the re-list still loses its batch — takedown writers must pause
+    * during the maintenance window (they count as writers).
+    */
+  def compactVersionedRecheck(spark: SparkSession, root: String,
+      src: String)(write: String => Unit): Long = {
+    val pre = Sidecar.listNames(tombDir(src)).toSet
+    val v = graft.core.Versions.publish(root)(write)
+    val dst = graft.core.Versions.versionDir(root, v)
+    Sidecar.listNames(tombDir(src)).filterNot(pre).foreach { name =>
+      delete(dst, spark.read.parquet(s"${tombDir(src)}/$name"), "id"): Unit
+    }
+    v
+  }
 }

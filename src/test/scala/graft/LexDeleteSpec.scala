@@ -57,6 +57,75 @@ class LexDeleteSpec extends GraftSuite {
       "a repeated delete must not double-correct counters")
   }
 
+  test("the takedown dl lookup is a bucket-pruned doclens read, never a postings scan") {
+    val root = graft.queries.SessionPublish.tempDir("lexdel-prune") + "/idx"
+    Retrieval.publishIndex(docs, "doc_id", col("text"), root, buckets = 8)
+    val victims = Seq(1L, 9L) // both in db = 1 (id mod 8)
+    val dbs = victims.map(math.floorMod(_, 8L)).distinct
+    // static scan shape, AQE off (repo-wide pattern, LexIndexSpec)
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      Retrieval.doclensLookup(spark, root, victims, dbs)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    assert(scans.nonEmpty)
+    val total = spark.read.parquet(s"$root/doclens").select(col("db")).distinct().count()
+    assert(scans.forall(_.selectedPartitions.partitionCount <= dbs.size),
+      "the lookup must read only the victims' id buckets")
+    assert(scans.forall(_.selectedPartitions.partitionCount < total),
+      s"must prune: $total doclens buckets exist")
+    // and the values agree with the postings-derived truth
+    val got = Retrieval.victimDls(spark, root, victims)
+    val want = spark.read.parquet(s"$root/postings")
+      .filter(col("id").isin(victims: _*))
+      .groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("ids absent from doclens fall back to the postings scan (streamed-in docs)") {
+    val root = graft.queries.SessionPublish.tempDir("lexdel-fallback") + "/idx"
+    Retrieval.publishIndex(docs, "doc_id", col("text"), root, buckets = 8)
+    // simulate a pre-sidecar layout / streamed-only ids: drop doclens
+    graft.core.Sidecar.delete(s"$root/doclens", recursive = true)
+    val victims = Retrieval.searchIndex(spark, root, terms, 3)
+      .select("id").as[Long].collect().toSeq
+    Retrieval.deleteDocs(spark, root, victims)
+    val clean = graft.queries.SessionPublish.tempDir("lexdel-fallback-clean") + "/idx"
+    Retrieval.publishIndex(docs.filter(!col("doc_id").isin(victims: _*)),
+      "doc_id", col("text"), clean, buckets = 8)
+    assert(bm25(root) === bm25(clean),
+      "the fallback path must still equal a republish without the victims")
+  }
+
+  test("a post-compact takedown uses the rebuilt doclens and stays exact") {
+    val r = graft.queries.SessionPublish.tempDir("lexdel-postcompact")
+    var first: Seq[Long] = Nil
+    graft.core.Versions.publish(r) { v1 =>
+      Retrieval.publishIndex(docs, "doc_id", col("text"), v1, buckets = 8)
+      first = Retrieval.searchIndex(spark, v1, terms, 1)
+        .select("id").as[Long].collect().toSeq
+      Retrieval.deleteDocs(spark, v1, first)
+    }
+    Retrieval.compactIndexVersioned(spark, r)
+    val live = graft.core.Versions.currentPath(r).get
+    assert(graft.core.Sidecar.listNames(s"$live/doclens").nonEmpty,
+      "compaction must rebuild the doclens sidecar")
+    val next = Retrieval.searchIndex(spark, live, terms, 2)
+      .select("id").as[Long].collect().toSeq
+    Retrieval.deleteDocs(spark, live, next)
+
+    val clean = graft.queries.SessionPublish.tempDir("lexdel-postcompact-clean") + "/idx"
+    Retrieval.publishIndex(
+      docs.filter(!col("doc_id").isin((first ++ next): _*)),
+      "doc_id", col("text"), clean, buckets = 8)
+    assert(bm25(live) === bm25(clean),
+      "compact-then-delete must equal a republish without all victims")
+  }
+
   test("no tombstones -> no anti-join in the read plan") {
     val root = graft.queries.SessionPublish.tempDir("lexdel-plan") + "/idx"
     Retrieval.publishIndex(docs, "doc_id", col("text"), root, buckets = 8)

@@ -189,6 +189,37 @@ class TombstoneSpec extends GraftSuite {
       "an uncontended delete removes the empty staging root")
   }
 
+  test("compactVersionedRecheck re-applies a tombstone batch landing after the compact scan") {
+    val idx = Ivf.train(spark, emb, "vec_id", "embedding", nlist = 8)
+    val root = java.nio.file.Files.createTempDirectory("ivf-recheck").toString + "/layout"
+    graft.core.Versions.publish(root) { v1 =>
+      Ivf.writePartitioned(emb, "embedding", idx, v1)
+    }
+    val src = graft.core.Versions.currentPath(root).get
+    import spark.implicits._
+    // an ordinary pre-compact takedown: purged physically by the scan
+    Tombstones.delete(src, Seq(3L).toDF("vec_id"), "vec_id")
+    // compact with a takedown batch landing AFTER the scan ran but
+    // BEFORE the pointer flip — the lost-delete window
+    Tombstones.compactVersionedRecheck(spark, root, src) { dst =>
+      Ivf.compactPartitioned(spark, src, dst, "vec_id")
+      Tombstones.delete(src, Seq(11L, 29L).toDF("vec_id"), "vec_id"): Unit
+    }
+    val dst = graft.core.Versions.currentPath(root).get
+    assert(dst != src)
+    val live = Tombstones.applyTo(spark.read.parquet(dst), dst, "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!live.contains(3L), "the pre-compact tombstone must stay deleted")
+    assert(!live.contains(11L) && !live.contains(29L),
+      "a batch landing after the compact scan must be re-applied to the new version")
+    assert(live.size.toLong == emb.count() - 3)
+    // the re-applied batch is a MARKER on the new version (its rows
+    // were copied live by the scan and are still physically present)
+    val raw = spark.read.parquet(dst).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(raw.contains(11L) && raw.contains(29L),
+      "re-application is a marker write, not a rewrite")
+  }
+
   test("a staged (un-renamed) tombstone batch is invisible to readers") {
     val (idx, path) = freshLayout()
     import spark.implicits._
