@@ -226,6 +226,15 @@ object Bench {
     // the MinHash band table (warmups pay the index publishes)
     "q_dedup_exact_delete",
     "q_dedup_minhash_delete",
+    // round 15: store-tier completions — marker takedown + versioned
+    // compact on the winnow index, the CDC negated-append chunk store
+    // (read-side segment merge), and the O(batch) incremental miner
+    // driven through a marker-bearing band table
+    "q_text_winnow_store_delete",
+    "q_text_winnow_store_compact",
+    "q_dedup_cdc_store",
+    "q_dedup_cdc_store_compact",
+    "q_dedup_incremental_marked",
     // round 14: the exact-index and band-table store lifecycles —
     // tombstone-marker deletes physically purged into the next
     // version (warmups pay publish + delete + compact, memoized)

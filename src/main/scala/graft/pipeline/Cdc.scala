@@ -154,6 +154,11 @@ object Cdc {
     * a violation fails LOUD: a negative post-merge count is
     * impossible under the contract, so both counts pass through
     * [[CountGuard]] (raise, never a silent drop/under-count).
+    * PERSISTENCE note: this computes in O(index + batch) but the
+    * caller must republish the merged index to keep it — for a
+    * standing artifact use the negated-append store
+    * ([[publishChunkStore]]/[[deleteFromChunkStore]]), whose takedown
+    * WRITES only O(batch).
     */
   def deleteFromChunkIndex(index: DataFrame, tombstoned: DataFrame,
       idCol: String, text: Column, avgChunk: Int): DataFrame =
@@ -172,6 +177,121 @@ object Cdc {
     index.unionByName(batchIndex)
       .groupBy(col("chunk_md5"))
       .agg(sum(col("n_copies")).as("n_copies"), sum(col("n_docs")).as("n_docs"))
+
+  // --------------------------------------------------------------
+  // Published chunk-hash STORE — the negated-append tier
+  // ([[graft.pipeline.LmIndex]]'s pattern at chunk granularity).
+  // The plan-level [[deleteFromChunkIndex]] computes in O(batch) but
+  // its caller must REWRITE the merged index to persist the result —
+  // an O(index) republish per takedown. The store instead persists
+  // segments: appends and deletes each write only their own batch's
+  // rows (deletes NEGATED), and the read side merges with one
+  // sum-groupBy — the aggregation [[deleteFromChunkIndex]] paid per
+  // takedown, now paid per READ and folded away by compaction. Counts
+  // are exact longs; zeroed rows drop at read; negative merged counts
+  // (a contract violation: deleting never-indexed text, or twice)
+  // fail loud through [[CountGuard]].
+  //
+  // Contracts, same as the plan-level fold: document sets DISJOINT
+  // across appends (each doc's chunks land in exactly one batch —
+  // what makes n_docs additive); a delete batch carries the removed
+  // docs' text exactly as previously indexed; single writer per store
+  // path (takedowns APPEND data segments, so they are writers —
+  // route concurrency through [[graft.core.Versions]] roots).
+  // --------------------------------------------------------------
+
+  private[graft] def chunksPath(path: String) = s"$path/chunks"
+  private[graft] def metaPath(path: String) = s"$path/_cdcmeta"
+
+  private def storeAvgChunk(path: String): Int = {
+    val meta = graft.core.Sidecar.readPropsExpected(metaPath(path))
+      .getOrElse(throw new IllegalArgumentException(s"no cdc sidecar at $path"))
+    require(meta.get("kind").contains("cdc"),
+      s"sidecar at $path is kind=${meta.get("kind")}, not a cdc chunk store")
+    meta("avg_chunk").toInt
+  }
+
+  /** Publish `docs`' [[chunkIndex]] as a negated-append store. The
+    * sidecar pins `avgChunk` so every later append/delete re-chunks
+    * with the published geometry (a drifted parameter would subtract
+    * different boundaries than were added — a silent corruption, made
+    * impossible here).
+    */
+  def publishChunkStore(docs: DataFrame, idCol: String, text: Column,
+      avgChunk: Int, path: String): Unit = {
+    chunkIndex(docs, idCol, text, avgChunk)
+      .write.mode("overwrite").parquet(chunksPath(path))
+    graft.core.Sidecar.writeProps(metaPath(path), Seq(
+      "kind" -> "cdc", "avg_chunk" -> avgChunk.toString))
+  }
+
+  /** Append a NEW document batch (id-disjoint from everything already
+    * in the store): O(batch) chunking + segment write, no published
+    * row rewritten.
+    */
+  def appendChunkStore(newDocs: DataFrame, idCol: String, text: Column,
+      path: String): Unit =
+    chunkIndex(newDocs, idCol, text, storeAvgChunk(path))
+      .write.mode("append").parquet(chunksPath(path))
+
+  /** Takedown: append the tombstoned documents' own index NEGATED —
+    * O(tombstone batch), the cost class [[deleteFromChunkIndex]]'s
+    * republish could not reach. Both counts subtract exactly (sums
+    * over a corpus partition, the [[deleteFromChunkIndex]] argument);
+    * the read side drops zeroed rows and raises on negative ones.
+    */
+  def deleteFromChunkStore(tombstoned: DataFrame, idCol: String, text: Column,
+      path: String): Unit =
+    chunkIndex(tombstoned, idCol, text, storeAvgChunk(path))
+      .select(col("chunk_md5"),
+        (-col("n_copies")).as("n_copies"), (-col("n_docs")).as("n_docs"))
+      .write.mode("append").parquet(chunksPath(path))
+
+  /** The store's merged live index: one sum-groupBy over the
+    * segments; rows zeroed by takedowns are ABSENT (not present with
+    * zero), a negative merged count raises ([[CountGuard]] — the
+    * takedown contract makes it impossible, so it must never pass
+    * silently). Row-for-row equal to `chunkIndex(surviving docs)`
+    * (`q_dedup_cdc_store` gates it).
+    */
+  def readChunkStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    storeAvgChunk(path): Unit // kind guard
+    spark.read.parquet(chunksPath(path))
+      .groupBy(col("chunk_md5"))
+      .agg(sum(col("n_copies")).as("n_copies"), sum(col("n_docs")).as("n_docs"))
+      .filter(CountGuard.positive(col("n_copies"), "chunk n_copies"))
+      .select(col("chunk_md5"), col("n_copies"),
+        CountGuard.nonNegative(col("n_docs"), "chunk n_docs").as("n_docs"))
+  }
+
+  /** Compact the store at `srcPath` into `dstPath`: segments sum-merge
+    * into one clean row set (the aggregation every read pays, paid
+    * once), zeroed rows drop, the sidecar carries. Same
+    * publish-then-swap contract as the LM compaction.
+    */
+  def compactChunkStore(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val avg = storeAvgChunk(srcPath)
+    readChunkStore(spark, srcPath)
+      .write.mode("overwrite").parquet(chunksPath(dstPath))
+    graft.core.Sidecar.writeProps(metaPath(dstPath), Seq(
+      "kind" -> "cdc", "avg_chunk" -> avg.toString))
+  }
+
+  /** [[compactChunkStore]] into the next version of a versioned root,
+    * pointer flipped atomically. Takedowns are WRITERS here (they
+    * append negated segments — the coupled-store rule, see
+    * [[graft.pipeline.Retrieval.compactIndexVersioned]]): pause them
+    * during the maintenance window. Returns the new live version.
+    */
+  def compactChunkStoreVersioned(spark: org.apache.spark.sql.SparkSession,
+      root: String): Long = {
+    val src = graft.core.Versions.currentPath(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no live version at $root — publish through Versions first"))
+    graft.core.Versions.publish(root)(dst => compactChunkStore(spark, src, dst))
+  }
 
   /** Batch shared-chunk mining against the published [[chunkIndex]]:
     * for every chunk content occurring in the batch, the TOTAL copy

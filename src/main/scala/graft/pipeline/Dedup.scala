@@ -983,10 +983,21 @@ object Dedup {
     * blocks) and verify exact Hamming over the full 64 bits, so either
     * branch returns the identical pair set (measured identical at
     * 2.5 M/5 M/10 M, SCALE.md).
+    *
+    * The opening `df.count()` prices the corpus: on a parquet source
+    * it answers from footer metadata (no data scan); on a NON-parquet
+    * source it is one extra pass over the input — pass `nHint` (an
+    * exact or close row count the caller already has, e.g. from its
+    * own ingest accounting) to skip the job entirely. The count only
+    * steers WHICH exact blocking scheme runs, never the pair set
+    * (both saturated schemes verify full 64-bit Hamming), so an
+    * approximate hint is safe: a wrong tier is a performance choice,
+    * not a correctness one.
     */
   def simhashHammingPairsScaled(df: DataFrame, idCol: String, text: Column,
-      maxHamming: Int = 3, targetBucketRows: Int = 32): DataFrame = {
-    val n = df.count()
+      maxHamming: Int = 3, targetBucketRows: Int = 32,
+      nHint: Option[Long] = None): DataFrame = {
+    val n = nHint.getOrElse(df.count())
     // saturation test on key-width NEED, not on `bits == 64`: for
     // maxHamming where 64 % (k+1) != 0 (k=2: 21-bit cap, bits <= 63)
     // the width tier saturates without ever reaching 64 total bits,

@@ -422,11 +422,68 @@ object TextOps {
     * cap by since-removed boilerplate copies RESURFACES after the
     * takedown (`q_text_winnow_delete` gates this against a
     * from-scratch mine of the reduced corpus). Tombstone sets are
-    * takedown-sized — the anti-join broadcasts them.
+    * takedown-sized — stats/AQE broadcast them; no hard hint, so an
+    * oversized set degrades to a shuffle join instead of OOMing the
+    * driver ([[graft.pipeline.Dedup.exactIndexDelete]]'s policy).
     */
   def winnowDelete(index: org.apache.spark.sql.DataFrame, idCol: String,
       tombstones: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    index.join(broadcast(tombstones.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+    index.join(tombstones.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Store-level takedown on a PUBLISHED winnow index layout: the
+    * tombstoned ids land as ONE hidden marker batch
+    * ([[graft.pipeline.Tombstones.delete]]) — O(tombstone batch), no
+    * index row rewritten, no republish (the [[winnowDelete]]-then-
+    * republish alternative rewrites fingerprints·N rows per takedown).
+    * Readers mine through [[winnowLive]], and because the df cap is a
+    * QUERY-TIME aggregate over whatever view feeds the mine
+    * ([[winnowMatches]]/[[winnowOverlapPairs]] recompute it), the
+    * marker view preserves the takedown semantics exactly: caps
+    * recompute over survivors, suppressed fingerprints resurface —
+    * the property `q_text_winnow_delete` gates carries over to the
+    * store tier unchanged (`q_text_winnow_store_delete` gates it).
+    */
+  def winnowDeleteAt(layoutPath: String, tombstones: org.apache.spark.sql.DataFrame,
+      idCol: String): Long =
+    graft.pipeline.Tombstones.delete(layoutPath, tombstones, idCol)
+
+  /** Live rows of a published winnow index layout: tombstoned ids
+    * hidden by the standard marker anti-join; with no tombstones the
+    * plan is the bare scan (TombstoneSpec's contract). Feed this to
+    * [[winnowMatches]]/[[winnowOverlapPairs]] — winnowing is per-doc
+    * pure, so hiding a doc's rows removes exactly its fingerprints.
+    */
+  def winnowLive(spark: org.apache.spark.sql.SparkSession, layoutPath: String,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Tombstones.applyTo(
+      spark.read.parquet(layoutPath), layoutPath, idCol)
+
+  /** Compact a published winnow index layout: physically drop
+    * tombstoned rows into a fresh layout (tombstone-free) and
+    * coalesce delete-era small files — the O(index) rewrite the
+    * marker delete deferred, paid once per maintenance window.
+    */
+  def winnowCompact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      dstPath: String, idCol: String, maxRecordsPerFile: Long = 1L << 22): Unit =
+    winnowLive(spark, srcPath, idCol)
+      .write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dstPath)
+
+  /** [[winnowCompact]] into the next version of a versioned root,
+    * pointer flipped atomically; tombstone batches landing after the
+    * compact's scan re-apply to the new version
+    * ([[graft.pipeline.Tombstones.compactVersionedRecheck]]).
+    * delete-then-compact ≡ compact-then-delete ≡ survivor re-winnow
+    * (WinnowIndexSpec pins the commute). Returns the new live version.
+    */
+  def winnowCompactVersioned(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String): Long = {
+    val src = graft.core.Versions.currentPath(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no live version at $root — publish through Versions first"))
+    graft.pipeline.Tombstones.compactVersionedRecheck(spark, root, src)(dst =>
+      winnowCompact(spark, src, dst, idCol))
+  }
 
   def winnowOverlapPairs(index: org.apache.spark.sql.DataFrame, idCol: String,
       minShared: Int = 2, maxDf: Int = 1000,

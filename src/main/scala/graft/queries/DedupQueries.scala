@@ -392,6 +392,43 @@ object DedupQueries extends QueryModule {
               |SELECT da, db, jac FROM pairs WHERE da % 7 = 3 OR db % 7 = 3""".stripMargin)
     ),
 
+    // ---- incremental mining through a MARKER-BEARING band table ----
+    // The 100 TB steady state the other gates miss in combination: a
+    // standing layout that has absorbed takedowns (live tombstone
+    // markers, not yet compacted) keeps ingesting batches. The
+    // O(batch) incremental leg mines through bandTableLive — the
+    // marker anti-join must remove exactly the victims' candidate
+    // pairs (band membership is per-doc), so the result equals the
+    // incremental mine against a survivor-only republish, which is
+    // the full-corpus mine restricted to batch-endpoint pairs with no
+    // tombstoned endpoint.
+    QueryDef(
+      "q_dedup_incremental_marked",
+      "batch near-dup pairs via a band table carrying live tombstone markers",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val corpus0 = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+        val bandsPath = SessionPublish.once(s, "dedup_bands_marked|" + dir) {
+          val p = SessionPublish.tempDir("graft-dedup-bands-marked") + "/bands"
+          Dedup.bandTable(corpus0, "doc_id", col("text"))
+            .write.mode("overwrite").parquet(p)
+          Dedup.bandTableDeleteAt(p,
+            corpus0.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id")
+          p
+        }
+        Dedup.nearDuplicatesIncremental(
+          corpus0.filter(col("doc_id") % 5 =!= 0),
+          Dedup.bandTableLive(s, bandsPath),
+          batch, "doc_id", col("text"), 0.7)
+      },
+      Some(s"""WITH ${lshPairsCtes(0.7)}
+              |SELECT da, db, jac FROM pairs
+              |WHERE (da % 7 = 3 OR db % 7 = 3)
+              |  AND (da % 7 = 3 OR da % 5 <> 0)
+              |  AND (db % 7 = 3 OR db % 5 <> 0)""".stripMargin)
+    ),
+
     // ---- STREAMING near-dup ingestion: base publish + streamed
     // batches under the staged-marker exactly-once protocol. The
     // store's invariant IS the oracle: after streaming any split in
@@ -893,6 +930,70 @@ object DedupQueries extends QueryModule {
       Some(s"""WITH $cdcCtes,
               |cc AS (SELECT md5(substring(d.text, s, (e - s + 1)::INT)) AS chunk_md5, d.doc_id
               |       FROM ch JOIN documents d USING (doc_id) WHERE d.doc_id % 5 <> 0)
+              |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+              |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |FROM cc GROUP BY chunk_md5""".stripMargin)
+    ),
+
+    // ---- CDC chunk STORE: the negated-append tier ----
+    // q_dedup_cdc_delete's fold computes in O(batch) but persists by
+    // republish; the store persists SEGMENTS — publish evens, append
+    // odds, take down doc_id%5=4 as one negated O(batch) segment
+    // write (no published row rewritten, the LmIndex pattern at chunk
+    // granularity) — and the read-side sum-groupBy must equal a
+    // from-scratch reindex of the survivors, zeroed rows absent.
+    QueryDef(
+      "q_dedup_cdc_store",
+      "chunk store read after publish+append+negated takedown == survivor reindex",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val path = SessionPublish.once(s, "dedup_cdc_store|" + dir) {
+          val p = SessionPublish.tempDir("graft-dedup-cdc-store") + "/store"
+          graft.pipeline.Cdc.publishChunkStore(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", col("text"), avgChunk = 32, p)
+          graft.pipeline.Cdc.appendChunkStore(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", col("text"), p)
+          graft.pipeline.Cdc.deleteFromChunkStore(docs.filter(col("doc_id") % 5 === 4),
+            "doc_id", col("text"), p)
+          p
+        }
+        graft.pipeline.Cdc.readChunkStore(s, path)
+      },
+      Some(s"""WITH $cdcCtes,
+              |cc AS (SELECT md5(substring(d.text, s, (e - s + 1)::INT)) AS chunk_md5, d.doc_id
+              |       FROM ch JOIN documents d USING (doc_id) WHERE d.doc_id % 5 <> 4)
+              |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+              |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |FROM cc GROUP BY chunk_md5""".stripMargin)
+    ),
+
+    // ---- CDC chunk store: versioned compaction ----
+    // publish + append + negated takedown -> compactChunkStoreVersioned
+    // (segments sum-merge once, zeroed rows drop, atomic pointer
+    // flip). The compacted read must equal the same survivor reindex.
+    QueryDef(
+      "q_dedup_cdc_store_compact",
+      "chunk store read via versioned compaction == survivor reindex",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val root = SessionPublish.once(s, "dedup_cdc_store_compact|" + dir) {
+          val r = SessionPublish.tempDir("graft-dedup-cdc-store-compact") + "/store"
+          graft.core.Versions.publish(r) { v1 =>
+            graft.pipeline.Cdc.publishChunkStore(docs.filter(col("doc_id") % 2 === 0),
+              "doc_id", col("text"), avgChunk = 32, v1)
+            graft.pipeline.Cdc.appendChunkStore(docs.filter(col("doc_id") % 2 === 1),
+              "doc_id", col("text"), v1)
+            graft.pipeline.Cdc.deleteFromChunkStore(docs.filter(col("doc_id") % 5 === 1),
+              "doc_id", col("text"), v1)
+          }
+          graft.pipeline.Cdc.compactChunkStoreVersioned(s, r): Unit
+          r
+        }
+        graft.pipeline.Cdc.readChunkStore(s, graft.core.Versions.currentPath(root).get)
+      },
+      Some(s"""WITH $cdcCtes,
+              |cc AS (SELECT md5(substring(d.text, s, (e - s + 1)::INT)) AS chunk_md5, d.doc_id
+              |       FROM ch JOIN documents d USING (doc_id) WHERE d.doc_id % 5 <> 1)
               |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
               |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
               |FROM cc GROUP BY chunk_md5""".stripMargin)

@@ -1088,6 +1088,77 @@ object TextQueries extends QueryModule {
               |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
     ),
 
+    // ---- winnow STORE lifecycle: tombstone-marker delete ----
+    // The store-tier upgrade of q_text_winnow_delete: the takedown is
+    // ONE hidden marker batch (Tombstones.delete, O(batch)) instead of
+    // an anti-join + O(index) republish, and the mine goes through the
+    // marker-bearing live view. The df cap is a QUERY-TIME aggregate
+    // over whatever view feeds the mine, so the marker view preserves
+    // the republish-without semantics exactly — caps recompute over
+    // survivors, suppressed fingerprints resurface. Oracle = the
+    // from-scratch mine of the reduced corpus, same as the plan-level
+    // gate (different victim set).
+    QueryDef(
+      "q_text_winnow_store_delete",
+      "overlap pairs via the winnow store after a doc_id%11=7 marker takedown",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val path = SessionPublish.once(s, "winnow_store_del|" + dir) {
+          val p = SessionPublish.tempDir("graft-winnow-store-del") + "/index"
+          TextOps.winnow(docs, "doc_id", col("text"), k = 3, w = 4)
+            .write.mode("overwrite").parquet(p)
+          TextOps.winnowDeleteAt(p,
+            docs.filter(col("doc_id") % 11 === 7).select(col("doc_id")), "doc_id")
+          p
+        }
+        TextOps.winnowOverlapPairs(TextOps.winnowLive(s, path, "doc_id"),
+          "doc_id", minShared = 2, maxDf = 1000)
+      },
+      Some(s"""WITH $winnowCtes,
+              |sv AS (SELECT * FROM wf WHERE doc_id % 11 <> 7),
+              |cdf AS (SELECT fp FROM sv GROUP BY fp HAVING count(DISTINCT doc_id) <= 1000),
+              |p AS (SELECT w.fp, w.doc_id, w.pos FROM sv w JOIN cdf USING (fp))
+              |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+              |  min(a.pos) AS a_pos, min(b.pos) AS b_pos
+              |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
+    ),
+
+    // ---- winnow STORE lifecycle: versioned compaction ----
+    // delete (markers) -> winnowCompactVersioned (atomic pointer
+    // flip; post-flip tombstone recheck) -> mine through the
+    // compacted live view, which is a bare scan again (markers and
+    // rows purged together). Must equal the survivor re-mine.
+    QueryDef(
+      "q_text_winnow_store_compact",
+      "overlap pairs via marker delete + versioned winnow-store compact",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val root = SessionPublish.once(s, "winnow_store_compact|" + dir) {
+          val r = SessionPublish.tempDir("graft-winnow-store-compact") + "/index"
+          graft.core.Versions.publish(r) { v1 =>
+            TextOps.winnow(docs, "doc_id", col("text"), k = 3, w = 4)
+              .write.mode("overwrite").parquet(v1)
+          }
+          TextOps.winnowDeleteAt(graft.core.Versions.currentPath(r).get,
+            docs.filter(col("doc_id") % 11 === 3).select(col("doc_id")), "doc_id")
+          TextOps.winnowCompactVersioned(s, r, "doc_id"): Unit
+          r
+        }
+        TextOps.winnowOverlapPairs(
+          TextOps.winnowLive(s, graft.core.Versions.currentPath(root).get, "doc_id"),
+          "doc_id", minShared = 2, maxDf = 1000)
+      },
+      Some(s"""WITH $winnowCtes,
+              |sv AS (SELECT * FROM wf WHERE doc_id % 11 <> 3),
+              |cdf AS (SELECT fp FROM sv GROUP BY fp HAVING count(DISTINCT doc_id) <= 1000),
+              |p AS (SELECT w.fp, w.doc_id, w.pos FROM sv w JOIN cdf USING (fp))
+              |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+              |  min(a.pos) AS a_pos, min(b.pos) AS b_pos
+              |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
+    ),
+
     // ---- winnow overlap under the CORPUS-RELATIVE df cap ----
     // The production form of the boilerplate guard: the cap is 10‰ of
     // the index's distinct documents (floor 1) instead of an absolute

@@ -121,6 +121,67 @@ class CdcSpec extends GraftSuite {
       s"expected the CountGuard contract error, got: ${chain(ex).take(3)}")
   }
 
+  test("chunk store: publish+append+negated delete == survivor reindex; compact folds segments") {
+    val docs = Tables.docs(spark, sf001).select(col("doc_id"), col("text"))
+    val root = graft.queries.SessionPublish.tempDir("cdc-store") + "/store"
+    graft.core.Versions.publish(root) { v1 =>
+      Cdc.publishChunkStore(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", col("text"), avgChunk = 32, v1)
+      Cdc.appendChunkStore(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", col("text"), v1)
+      Cdc.deleteFromChunkStore(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", col("text"), v1)
+    }
+    val live = graft.core.Versions.currentPath(root).get
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = rows(Cdc.chunkIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", col("text"), 32))
+    assert(rows(Cdc.readChunkStore(spark, live)) === want,
+      "store read must equal a from-scratch reindex of the survivors")
+
+    // segment files accumulated by the three writes fold into one set
+    def dataFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    val before = dataFiles(s"$live/chunks")
+    Cdc.compactChunkStoreVersioned(spark, root)
+    val compacted = graft.core.Versions.currentPath(root).get
+    assert(compacted != live)
+    assert(rows(Cdc.readChunkStore(spark, compacted)) === want,
+      "compaction must be invisible to readers")
+    assert(dataFiles(s"$compacted/chunks") < before,
+      "compaction must coalesce the delete-era segments")
+  }
+
+  test("chunk store: a double-applied takedown fails loud at read") {
+    val docs = Tables.docs(spark, sf001).select(col("doc_id"), col("text"))
+    val path = graft.queries.SessionPublish.tempDir("cdc-store-guard") + "/store"
+    Cdc.publishChunkStore(docs, "doc_id", col("text"), avgChunk = 32, path)
+    val tomb = docs.filter(col("doc_id") % 5 === 0)
+    Cdc.deleteFromChunkStore(tomb, "doc_id", col("text"), path)
+    Cdc.deleteFromChunkStore(tomb, "doc_id", col("text"), path)
+    val ex = intercept[Exception](Cdc.readChunkStore(spark, path).collect())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(ex).exists(_.contains("takedown contract violated")),
+      s"expected the CountGuard contract error, got: ${chain(ex).take(3)}")
+  }
+
+  test("chunk store: append/delete refuse a layout with a drifted or missing sidecar") {
+    val docs = Tables.docs(spark, sf001).select(col("doc_id"), col("text")).limit(5)
+    val path = graft.queries.SessionPublish.tempDir("cdc-store-kind") + "/store"
+    intercept[IllegalArgumentException](
+      Cdc.appendChunkStore(docs, "doc_id", col("text"), path))
+    // a sidecar of another kind must fail the kind guard
+    graft.core.Sidecar.writeProps(s"$path/_cdcmeta", Seq("kind" -> "lm", "avg_chunk" -> "32"))
+    intercept[IllegalArgumentException](
+      Cdc.deleteFromChunkStore(docs, "doc_id", col("text"), path))
+  }
+
   private object Tables {
     def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
       graft.sources.Tables(s, dir).documents

@@ -33,6 +33,35 @@ class DedupIncrementalSpec extends GraftSuite {
     assert(gi.nonEmpty, "split should leave at least one batch-involving pair at sf0.001")
   }
 
+  test("incremental through live tombstone markers == incremental against a survivor republish") {
+    val docs = Tables(spark, sf0001).documents
+    val corpus0 = docs.filter(col("doc_id") % 7 =!= 3)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val survivors = corpus0.filter(col("doc_id") % 5 =!= 0)
+
+    // standing layout with LIVE markers (takedown absorbed, no compact)
+    val path = graft.queries.SessionPublish.tempDir("bands-marked-inc") + "/bands"
+    Dedup.bandTable(corpus0, "doc_id", col("text"))
+      .write.mode("overwrite").parquet(path)
+    Dedup.bandTableDeleteAt(path,
+      corpus0.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id")
+
+    val marked = pairSet(Dedup.nearDuplicatesIncremental(
+      survivors, Dedup.bandTableLive(spark, path), batch,
+      "doc_id", col("text"), 0.7))
+    val republished = pairSet(Dedup.nearDuplicatesIncremental(
+      survivors, Dedup.bandTable(survivors, "doc_id", col("text")), batch,
+      "doc_id", col("text"), 0.7))
+    assert(marked == republished,
+      "mining through markers must equal mining against a survivor-only re-band")
+    // non-vacuous: the takedown actually removed at least one pair
+    val unmarked = pairSet(Dedup.nearDuplicatesIncremental(
+      corpus0, Dedup.bandTable(corpus0, "doc_id", col("text")), batch,
+      "doc_id", col("text"), 0.7))
+    assert(marked != unmarked && marked.subsetOf(unmarked),
+      s"expected the markers to remove pairs: marked=${marked.size} unmarked=${unmarked.size}")
+  }
+
   test("batch-batch and batch-corpus pairs surface; corpus-corpus pairs never re-form") {
     val corpus = spark.createDataFrame(Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

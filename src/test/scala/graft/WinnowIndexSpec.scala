@@ -100,6 +100,48 @@ class WinnowIndexSpec extends GraftSuite {
       "the df cap must recompute over survivors after a takedown")
   }
 
+  test("winnow store lifecycle: delete-then-compact == compact-then-delete == survivor re-winnow") {
+    val all = corpus.unionAll(batch)
+    val victims = Seq(2L, 10L)
+    val want = TextOps.winnow(all.filter(!col("doc_id").isin(victims: _*)),
+      "doc_id", col("text"), k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    def readSet(path: String): Set[(Long, Long, String)] =
+      TextOps.winnowLive(spark, path, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    def freshRoot(tag: String): String = {
+      val r = graft.queries.SessionPublish.tempDir(s"winnow-store-$tag") + "/index"
+      graft.core.Versions.publish(r) { v1 =>
+        TextOps.winnow(all, "doc_id", col("text"), k = 3, w = 4)
+          .write.mode("overwrite").parquet(v1)
+      }
+      r
+    }
+
+    // order 1: marker delete, pre-compact live view already correct,
+    // then versioned compact purges rows + markers
+    val r1 = freshRoot("dc")
+    TextOps.winnowDeleteAt(graft.core.Versions.currentPath(r1).get,
+      victims.toDF("doc_id"), "doc_id")
+    assert(readSet(graft.core.Versions.currentPath(r1).get) === want,
+      "pre-compact live view must equal the survivor re-winnow")
+    TextOps.winnowCompactVersioned(spark, r1, "doc_id")
+    val live1 = graft.core.Versions.currentPath(r1).get
+    assert(readSet(live1) === want, "delete-then-compact == survivor re-winnow")
+    assert(!graft.core.Sidecar.exists(s"$live1/_tombstones"),
+      "the compacted layout must start tombstone-free")
+
+    // order 2: compact first (pure rewrite), then marker delete
+    val r2 = freshRoot("cd")
+    TextOps.winnowCompactVersioned(spark, r2, "doc_id")
+    TextOps.winnowDeleteAt(graft.core.Versions.currentPath(r2).get,
+      victims.toDF("doc_id"), "doc_id")
+    assert(readSet(graft.core.Versions.currentPath(r2).get) === want,
+      "compact-then-delete == survivor re-winnow")
+  }
+
   test("maxDfPermille: the cap tracks the corpus fraction, not an absolute row count") {
     // 10 docs, 6 of which carry the boilerplate run (df = 6): an
     // absolute cap of 1000 passes it at ANY corpus size, while 500‰
