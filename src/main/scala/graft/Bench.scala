@@ -232,6 +232,7 @@ object Bench {
     // driven through a marker-bearing band table
     "q_text_winnow_store_delete",
     "q_text_winnow_store_compact",
+    "q_text_winnow_stream",
     "q_dedup_cdc_store",
     "q_dedup_cdc_store_compact",
     "q_dedup_incremental_marked",

@@ -1159,6 +1159,48 @@ object TextQueries extends QueryModule {
               |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
     ),
 
+    // ---- STREAMING winnow ingestion: base publish + 2 streamed
+    // micro-batches under the staged-marker exactly-once protocol.
+    // Winnowing is per-doc pure, so the streamed index must equal the
+    // one-shot full-corpus index, and mining over it must equal the
+    // one-shot overlap mine — the SAME SQL as q_text_winnow_overlap,
+    // now also proving no fingerprint row was lost or double-landed
+    // across the publish/stage/promote machinery (q_dedup_stream's
+    // design, winnow edition) ----
+    QueryDef(
+      "q_text_winnow_stream",
+      "overlap pairs off the streamed winnow store (base + 2 micro-batches) == one-shot mine",
+      (s, dir) => {
+        val root = SessionPublish.once(s, "winnow_stream|" + dir) {
+          val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+          val base = docs.filter(col("doc_id") % 7 =!= 3)
+          val b1 = docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 2 === 0)
+          val b2 = docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 2 =!= 0)
+          val p = graft.streaming.WinnowStream.Params(k = 3, w = 4)
+          val r = SessionPublish.tempDir("graft-winnow-stream") + "/store"
+          graft.streaming.WinnowStream.publish(base, "doc_id", col("text"), p, r)
+          val srcDir = SessionPublish.tempDir("graft-winnow-stream-src")
+          val ckpt = SessionPublish.tempDir("graft-winnow-stream-ckpt")
+          b1.coalesce(1).write.mode("append").parquet(srcDir)
+          b2.coalesce(1).write.mode("append").parquet(srcDir)
+          graft.streaming.WinnowStream.ingestDocuments(s, srcDir, docs.schema,
+            "doc_id", "text", p, r, ckpt, maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+          r
+        }
+        TextOps.winnowOverlapPairs(
+          graft.streaming.WinnowStream.live(s, root).withColumnRenamed("id", "doc_id"),
+          "doc_id", minShared = 2, maxDf = 1000)
+      },
+      Some(s"""WITH $winnowCtes,
+              |cdf AS (SELECT fp FROM wf GROUP BY fp HAVING count(DISTINCT doc_id) <= 1000),
+              |p AS (SELECT w.fp, w.doc_id, w.pos FROM wf w JOIN cdf USING (fp))
+              |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+              |  min(a.pos) AS a_pos, min(b.pos) AS b_pos
+              |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin)
+    ),
+
     // ---- winnow overlap under the CORPUS-RELATIVE df cap ----
     // The production form of the boilerplate guard: the cap is 10‰ of
     // the index's distinct documents (floor 1) instead of an absolute
