@@ -59,15 +59,25 @@ object ProbeMarkers {
       }
 
     // shape axis: (tag, batches, ids per batch) — cardinality relative
-    // to the corpus (1% / 10%), fragmentation at fixed cardinality
+    // to the corpus (1% / 10%), fragmentation at fixed cardinality.
+    // CEILING division for the fragmented shapes: floor would carry up
+    // to 99 fewer ids than the 1-batch twin, and for any corpus under
+    // 10k docs would write NO tombstones at all — silently timing the
+    // marker-free fast path under a "fragmented backlog" label.
     val pct1 = math.max((n / 100L).toInt, 1)
     val pct10 = math.max((n / 10L).toInt, 1)
+    def perBatch(total: Int, batches: Int): Int = {
+      val k = (total + batches - 1) / batches
+      require(k > 0, s"corpus too small ($n docs) for $batches-batch shapes " +
+        "— the probe would mislabel a no-marker fast-path measurement")
+      k
+    }
     val shapes = Seq(
       ("none", 0, 0),                     // fast path: no join in the plan
       ("1pct_1batch", 1, pct1),           // one takedown batch, 1% of ids
-      ("1pct_100batches", 100, pct1 / 100), // same cardinality, 100 files
+      ("1pct_100batches", 100, perBatch(pct1, 100)), // same cardinality, 100 files
       ("10pct_1batch", 1, pct10),         // 10% of ids, one file
-      ("10pct_100batches", 100, pct10 / 100)) // 10%, 100 files
+      ("10pct_100batches", 100, perBatch(pct10, 100))) // 10%, 100 files
     shapes.foreach { case (tag, b, k) =>
       Tombstones.clear(live)
       addBacklog(b, k)

@@ -979,14 +979,23 @@ object GraphAnalytics {
 
     var h = nodes.withColumn("h", lit(1000000L))
     var a = nodes.limit(0).withColumn("a", lit(0L))
-    for (_ <- 1 to rounds) {
+    // half-round job descriptions: driver-side metadata only (no plan
+    // or execution change) — lets a SparkListener attribute each
+    // stage's wall/GC to its half-round (graft.ProbeHits, the r16
+    // stage-evidence instrument for the q_graph_hits watch line)
+    val sc = e.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    for (r <- 1 to rounds) {
+      sc.setJobDescription(s"hits:r$r:auth")
       a = normalized(
         e.join(h.select(col("id").as("src"), col("h")), Seq("src"))
           .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw")), "a")
+      sc.setJobDescription(s"hits:r$r:hub")
       h = normalized(
         e.join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw")), "h")
     }
+    sc.setJobDescription(prevDesc)
     nodes.join(h, Seq("id"), "left").join(a, Seq("id"), "left")
       .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_micro"),
         coalesce(col("a"), lit(0L)).as("auth_micro"))

@@ -312,6 +312,18 @@ object Sidecar {
     }
   }
 
+  /** Total bytes of all files under `dir`, recursively (0 if absent) —
+    * the size evidence behind conditional broadcast hints: a join side
+    * whose backing files total a few MB is safe to broadcast
+    * regardless of `spark.sql.autoBroadcastJoinThreshold`, and one
+    * that has grown past the bound must not be.
+    */
+  def treeSize(dir: String): Long = {
+    val (fs, p) = fsFor(dir)
+    try { if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength }
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
   /** Child names of `dir` (empty if absent). */
   def listNames(dir: String): Seq[String] = {
     val (fs, p) = fsFor(dir)

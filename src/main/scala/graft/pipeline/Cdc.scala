@@ -239,13 +239,18 @@ object Cdc {
     * republish could not reach. Both counts subtract exactly (sums
     * over a corpus partition, the [[deleteFromChunkIndex]] argument);
     * the read side drops zeroed rows and raises on negative ones.
+    * Negated segments make this a COUPLED write: it runs under the
+    * store's maintenance lock ([[graft.core.MaintLock]]) and raises
+    * if a [[compactChunkStoreVersioned]] window is open.
     */
   def deleteFromChunkStore(tombstoned: DataFrame, idCol: String, text: Column,
       path: String): Unit =
-    chunkIndex(tombstoned, idCol, text, storeAvgChunk(path))
-      .select(col("chunk_md5"),
-        (-col("n_copies")).as("n_copies"), (-col("n_docs")).as("n_docs"))
-      .write.mode("append").parquet(chunksPath(path))
+    graft.core.MaintLock.withLock(path, "Cdc.deleteFromChunkStore") {
+      chunkIndex(tombstoned, idCol, text, storeAvgChunk(path))
+        .select(col("chunk_md5"),
+          (-col("n_copies")).as("n_copies"), (-col("n_docs")).as("n_docs"))
+        .write.mode("append").parquet(chunksPath(path))
+    }
 
   /** The store's merged live index: one sum-groupBy over the
     * segments; rows zeroed by takedowns are ABSENT (not present with
@@ -282,15 +287,20 @@ object Cdc {
   /** [[compactChunkStore]] into the next version of a versioned root,
     * pointer flipped atomically. Takedowns are WRITERS here (they
     * append negated segments — the coupled-store rule, see
-    * [[graft.pipeline.Retrieval.compactIndexVersioned]]): pause them
-    * during the maintenance window. Returns the new live version.
+    * [[graft.pipeline.Retrieval.compactIndexVersioned]]): the
+    * maintenance window is enforced by the source version's lock
+    * ([[graft.core.MaintLock]]) — this compact holds it, a mistimed
+    * [[deleteFromChunkStore]] raises instead of landing half-applied.
+    * Returns the new live version.
     */
   def compactChunkStoreVersioned(spark: org.apache.spark.sql.SparkSession,
       root: String): Long = {
     val src = graft.core.Versions.currentPath(root).getOrElse(
       throw new IllegalArgumentException(
         s"no live version at $root — publish through Versions first"))
-    graft.core.Versions.publish(root)(dst => compactChunkStore(spark, src, dst))
+    graft.core.MaintLock.withLock(src, "Cdc.compactChunkStoreVersioned") {
+      graft.core.Versions.publish(root)(dst => compactChunkStore(spark, src, dst))
+    }
   }
 
   /** Batch shared-chunk mining against the published [[chunkIndex]]:

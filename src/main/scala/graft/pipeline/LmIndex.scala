@@ -81,9 +81,18 @@ object LmIndex {
     * the same additive-segment contract as [[append]]. Caller
     * contract (as for [[TextOps.winnowDelete]]): `tombstoned` carries
     * the removed documents' text exactly as previously published, and
-    * the same single-writer rule applies.
+    * the same single-writer rule applies. The (negated counts, token
+    * total) pair makes this a COUPLED write: it runs under the
+    * store's maintenance lock ([[graft.core.MaintLock]]) and raises
+    * if a [[compactVersioned]] window is open.
     */
-  def delete(tombstoned: DataFrame, idCol: String, text: Column, path: String): Unit = {
+  def delete(tombstoned: DataFrame, idCol: String, text: Column, path: String): Unit =
+    graft.core.MaintLock.withLock(path, "LmIndex.delete") {
+      deleteLocked(tombstoned, idCol, text, path)
+    }
+
+  private def deleteLocked(tombstoned: DataFrame, idCol: String, text: Column,
+      path: String): Unit = {
     val meta = baseMeta(path) // raw base, not delta-folded — see append
 
     val (uni, bi, tri) = counts(tombstoned, idCol, text)
@@ -159,13 +168,19 @@ object LmIndex {
   }
 
   /** [[compact]] into the next version of a versioned root, pointer
-    * flipped atomically. Returns the new live version.
+    * flipped atomically. Holds the source version's maintenance lock
+    * across the snapshot→flip window ([[graft.core.MaintLock]] — LM
+    * takedowns write coupled negated counts and must not land inside
+    * it; a mistimed [[delete]] raises instead of silently corrupting
+    * the counts, MaintLockSpec). Returns the new live version.
     */
   def compactVersioned(spark: SparkSession, root: String): Long = {
     val src = graft.core.Versions.currentPath(root).getOrElse(
       throw new IllegalArgumentException(
         s"no live version at $root — publish through Versions first"))
-    graft.core.Versions.publish(root)(dst => compact(spark, src, dst))
+    graft.core.MaintLock.withLock(src, "LmIndex.compactVersioned") {
+      graft.core.Versions.publish(root)(dst => compact(spark, src, dst))
+    }
   }
 
   /** The base sidecar verbatim — streamed counter deltas NOT folded.

@@ -167,12 +167,24 @@ object Retrieval {
     * index. Bucketed by id, the lookup lists and reads only the
     * victims' partitions. Two longs per document — ~0.002% of the
     * postings at any corpus size. Batch publishes and appends write
-    * it; [[compactIndex]] REBUILDS it from the live postings, healing
-    * ids the batch path never saw (streaming appends stage postings
-    * only — their deletes fall back to a pushed-filter postings scan
-    * until the next compact, see [[victimDls]]).
+    * it; streaming appends write theirs batch-keyed under
+    * [[doclensStreamDir]] (same db bucketing, replay-idempotent by
+    * overwrite); [[compactIndex]] rebuilds ONE clean sidecar from the
+    * union of both plus the live postings, which also preserves
+    * zero-token docs (they have no postings rows but are counted in
+    * n/Σdl — a postings-only rebuild would silently turn their
+    * post-compact deletes into counter-leaking no-ops).
     */
   private[graft] def doclensPath(path: String) = s"$path/doclens"
+
+  /** Streamed (id, dl) rows: one `bk=<batch key>/db=<bucket>/` tree
+    * per committed [[graft.streaming.LexStream]] micro-batch —
+    * batch-keyed like the counter deltas, so a replay overwrites the
+    * same directory with the same bytes. Reads prune on `db` exactly
+    * like the base sidecar ([[victimDls]]); [[compactIndex]] folds the
+    * trees into the rebuilt base sidecar and drops the dir.
+    */
+  private[graft] def doclensStreamDir(path: String) = s"$path/doclens_stream"
 
   private def writeDoclens(docs: DataFrame, idCol: String, text: Column,
       path: String, buckets: Int, mode: String): Unit =
@@ -308,7 +320,8 @@ object Retrieval {
     * `maxRecordsPerFile` re-splitting — the same contract as
     * [[Ivf.compactPartitioned]], lexical edition — plus one narrow
     * (id, dl) aggregate rebuilding the [[doclensPath]] sidecar from
-    * the live postings. The streaming
+    * the surviving source sidecars unioned with the live postings
+    * (zero-token docs preserved, streamed ids healed). The streaming
     * replay markers ARE carried: the compacted postings contain those
     * batches, and losing the markers would make a restarted
     * [[graft.streaming.LexStream]] re-append them. The source layout
@@ -326,10 +339,23 @@ object Retrieval {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("tb").parquet(postingsPath(dstPath))
-    // doclens REBUILT from the live postings (not copied): heals ids
-    // the batch-path sidecar never saw (streamed-in docs), and the
-    // fresh table starts tombstone-free like the postings
-    live.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+    // doclens REBUILT from the union of the surviving source sidecars
+    // (base + streamed trees, tombstones anti-joined out) and the live
+    // postings: the sidecars contribute ZERO-TOKEN docs (counted in
+    // n/Σdl but owning no postings rows — a postings-only rebuild
+    // would turn their post-compact deletes into counter-leaking
+    // no-ops), the postings heal ids no sidecar ever saw
+    // (pre-sidecar layouts); dl values agree wherever both sources
+    // carry an id, so max() is pure dedup
+    val srcLens = Seq(doclensPath(srcPath), doclensStreamDir(srcPath))
+      .filter(graft.core.Sidecar.listNames(_).nonEmpty)
+      .map(spark.read.parquet(_).select(col("id"), col("dl")))
+    val sideLens = srcLens.reduceOption(_ unionByName _)
+      .map(u => readTombstones(spark, srcPath)
+        .fold(u)(t => u.join(t, Seq("id"), "left_anti")))
+    val postLens = live.select(col("id"), col("dl"))
+    sideLens.fold(postLens)(_ unionByName postLens)
+      .groupBy(col("id")).agg(max(col("dl")).as("dl"))
       .withColumn("db", pmod(col("id"), lit(meta("buckets").toLong)))
       .repartition(col("db"))
       .write.mode("overwrite").partitionBy("db").parquet(doclensPath(dstPath))
@@ -346,25 +372,31 @@ object Retrieval {
     * dir and flip the pointer atomically. Returns the new live
     * version.
     *
-    * Maintenance-window rule: lexical takedowns are WRITERS — a
-    * [[deleteDocs]] writes a coupled (tombstone batch, negative
-    * counter delta) pair, so one landing between this compact's
-    * meta/tombstone snapshot and the pointer flip would be applied to
-    * neither side or HALF-applied (counters without markers or vice
-    * versa). Unlike the marker-only stores (which get an automatic
-    * post-flip re-apply, [[Tombstones.compactVersionedRecheck]] —
-    * markers carry no counters, so re-application is always safe),
-    * the coupled write cannot be replayed without double-counting
-    * risk: pause takedowns during the maintenance window, the
-    * single-writer rule every append tier already carries.
+    * Maintenance-window rule, ENFORCED: lexical takedowns are
+    * WRITERS — a [[deleteDocs]] writes a coupled (tombstone batch,
+    * negative counter delta) pair, so one landing between this
+    * compact's meta/tombstone snapshot and the pointer flip would be
+    * applied to neither side or HALF-applied (counters without
+    * markers or vice versa). Unlike the marker-only stores (which get
+    * an automatic post-flip re-apply,
+    * [[Tombstones.compactVersionedRecheck]] — markers carry no
+    * counters, so re-application is always safe), the coupled write
+    * cannot be replayed without double-counting risk. Both writers
+    * therefore take the source version's maintenance lock
+    * ([[graft.core.MaintLock]]): this compact holds it across the
+    * whole snapshot→flip window, and a mistimed [[deleteDocs]] raises
+    * [[graft.core.MaintLock.StoreBusy]] instead of silently
+    * corrupting counters (MaintLockSpec pins both directions).
     */
   def compactIndexVersioned(spark: SparkSession, root: String,
       maxRecordsPerFile: Long = 1L << 22): Long = {
     val src = graft.core.Versions.currentPath(root).getOrElse(
       throw new IllegalArgumentException(
         s"no live version at $root — publish an index through Versions first"))
-    graft.core.Versions.publish(root) { dst =>
-      compactIndex(spark, src, dst, maxRecordsPerFile)
+    graft.core.MaintLock.withLock(src, "compactIndexVersioned") {
+      graft.core.Versions.publish(root) { dst =>
+        compactIndex(spark, src, dst, maxRecordsPerFile)
+      }
     }
   }
 
@@ -381,8 +413,19 @@ object Retrieval {
     * batch), the whole takedown never touches the index
     * ([[victimDls]]; only ids the sidecar has never seen fall back to
     * a postings scan). A republish folds tombstones away.
+    *
+    * The (marker, counter) pair makes this a COUPLED write: it runs
+    * under the store's maintenance lock and raises
+    * [[graft.core.MaintLock.StoreBusy]] if a
+    * [[compactIndexVersioned]] window is open (see its doc).
     */
-  def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+  def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    if (ids.nonEmpty) graft.core.MaintLock.withLock(path, "deleteDocs") {
+      deleteDocsLocked(spark, path, ids)
+    }
+
+  private def deleteDocsLocked(spark: SparkSession, path: String,
+      ids: Seq[Long]): Unit = {
     if (ids.isEmpty) return
     val dls = victimDls(spark, path, ids.distinct)
     val live = ids.distinct.filter(dls.contains) // unseen ids: no-op
@@ -403,25 +446,29 @@ object Retrieval {
   }
 
   /** (id -> dl) for the victim ids. The common path is a PRUNED read
-    * of the [[doclensPath]] sidecar: only the victims' `db` partitions
-    * are listed and read (LexDeleteSpec pins selectedPartitions), so a
-    * takedown batch costs O(batch) regardless of index size. Ids the
-    * sidecar does not carry — streamed-in documents before their first
-    * compact, or a pre-sidecar layout — fall back to ONE pushed-filter
-    * postings scan for just those ids (the pre-r15 cost, now paid only
-    * for the exceptional remainder). Genuinely unseen ids appear in
-    * neither source and stay no-ops.
+    * of the [[doclensPath]] sidecar — and, when streamed batches have
+    * landed since the last compact, of the batch-keyed
+    * [[doclensStreamDir]] trees: in BOTH only the victims' `db`
+    * partitions are listed and read (LexDeleteSpec pins
+    * selectedPartitions on each), so a takedown batch costs O(batch)
+    * regardless of index size, for batch-published AND streamed-in
+    * documents alike. Only ids neither sidecar carries — a
+    * pre-sidecar layout — fall back to ONE pushed-filter postings
+    * scan for just those ids (the pre-r15 cost, now genuinely
+    * exceptional). Genuinely unseen ids appear in no source and stay
+    * no-ops.
     */
   private[graft] def victimDls(spark: SparkSession, path: String,
       ids: Seq[Long]): Map[Long, Long] = {
     val meta = readLexMeta(path) // kind guard
-    val fromLens: Map[Long, Long] =
-      if (graft.core.Sidecar.listNames(doclensPath(path)).isEmpty) Map.empty
-      else {
-        val dbs = ids.map(math.floorMod(_, meta("buckets").toLong)).distinct
-        doclensLookup(spark, path, ids, dbs)
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      }
+    val dbs = ids.map(math.floorMod(_, meta("buckets").toLong)).distinct
+    def pruned(root: String): Map[Long, Long] =
+      if (graft.core.Sidecar.listNames(root).isEmpty) Map.empty
+      else doclensLookup(spark, root, ids, dbs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // streamed rows are id-disjoint from the base (append contract),
+    // so the maps never disagree on a key
+    val fromLens = pruned(doclensPath(path)) ++ pruned(doclensStreamDir(path))
     val missing = ids.filterNot(fromLens.contains)
     if (missing.isEmpty) fromLens
     else fromLens ++ spark.read.parquet(postingsPath(path))
@@ -430,23 +477,35 @@ object Retrieval {
       .collect().map(r => r.getLong(0) -> r.getLong(1))
   }
 
-  /** The pruned doclens lookup plan (factored out so LexDeleteSpec
-    * can pin the partition pruning on the executed plan).
+  /** The pruned doclens lookup plan over either sidecar root — the
+    * base [[doclensPath]] or the batch-keyed [[doclensStreamDir]],
+    * whose extra `bk=` partition level prunes on `db` identically
+    * (factored out so LexDeleteSpec can pin the partition pruning on
+    * the executed plan).
     */
-  private[graft] def doclensLookup(spark: SparkSession, path: String,
+  private[graft] def doclensLookup(spark: SparkSession, root: String,
       ids: Seq[Long], dbs: Seq[Long]): DataFrame =
-    spark.read.parquet(doclensPath(path))
+    spark.read.parquet(root)
       .filter(col("db").isin(dbs: _*) && col("id").isin(ids: _*))
       .select(col("id"), col("dl"))
 
+  /** Lexical tombstone ids with the size-conditional broadcast hint
+    * ([[Tombstones.broadcastHintMaxBytes]]): under the bound the
+    * broadcast is GUARANTEED regardless of the deployment's
+    * `autoBroadcastJoinThreshold` (ops commonly set it to -1, which
+    * without a hint would shuffle the corpus-scale postings by id for
+    * a KB-sized marker set); an oversized backlog loses the hint and
+    * degrades to a shuffle join instead of OOMing the driver.
+    */
   private[graft] def readTombstones(spark: SparkSession, path: String): Option[DataFrame] =
     if (graft.core.Sidecar.listNames(lexTombstonesPath(path)).isEmpty) None
-    else Some(spark.read.parquet(s"${lexTombstonesPath(path)}/*").select(col("id")))
+    else Some(Tombstones.hintSized(
+      spark.read.parquet(s"${lexTombstonesPath(path)}/*").select(col("id")),
+      lexTombstonesPath(path)))
 
   /** Postings of `path` pruned to `tbs` buckets and `terms`, with
-    * tombstoned docs anti-joined out (tombstone-sized — the planner
-    * broadcasts it from file stats, no hard hint so an oversized
-    * backlog degrades to a shuffle join instead of OOMing the driver;
+    * tombstoned docs anti-joined out (tombstone-sized, broadcast
+    * guaranteed by the size-conditional hint in [[readTombstones]];
     * absent tombstones leave the plan untouched).
     */
   private def livePostings(spark: SparkSession, path: String,

@@ -24,11 +24,16 @@ import graft.core.Sidecar
   *    twin) routes through [[applyTo]]: an ANTI join against the
   *    union of tombstone batches. Tombstone cardinality is
   *    takedown-list-sized — MBs against a corpus of TBs — so the
-  *    planner broadcasts it from its file-size stats (and AQE
-  *    re-checks at runtime); there is deliberately NO hard
-  *    `broadcast()` hint, so an oversized backlog degrades to a
-  *    shuffle join instead of OOMing the driver — the same policy as
-  *    every other takedown anti-join ([[Dedup.exactIndexDelete]]).
+  *    join side is broadcast CONDITIONALLY on measured marker bytes
+  *    ([[broadcastHintMaxBytes]]): under the bound a hard hint
+  *    guarantees the broadcast even where ops disabled
+  *    `spark.sql.autoBroadcastJoinThreshold` (a common setting —
+  *    without the hint every marker-store read would shuffle the
+  *    corpus-scale layout by id for a KB-sized marker set); past the
+  *    bound the hint is withheld and an oversized backlog degrades
+  *    to a shuffle join instead of OOMing the driver — the same
+  *    policy as every other takedown anti-join
+  *    ([[Dedup.exactIndexDelete]]).
   *    With NO tombstones the plan is byte-identical to the
   *    pre-delete plan (no join node at all, TombstoneSpec pins it);
   *  - [[Ivf.compactPartitioned]] is the defrag: it rewrites live rows
@@ -88,12 +93,33 @@ object Tombstones {
     else Some(spark.read.option("recursiveFileLookup", "true").parquet(dir))
   }
 
+  /** Bound under which a marker set gets a hard `broadcast()` hint
+    * (64 MB of parquet — tens of millions of ids, far past any sane
+    * takedown backlog and still trivially broadcastable). Measured
+    * against the marker FILES, so the decision needs no job.
+    */
+  val broadcastHintMaxBytes: Long = 64L << 20
+
+  /** [[ids]] with the size-conditional broadcast hint applied — the
+    * frame every marker anti-join should join against.
+    */
+  def hintedIds(spark: SparkSession, layoutPath: String): Option[DataFrame] =
+    ids(spark, layoutPath).map(hintSized(_, tombDir(layoutPath)))
+
+  /** Hard-hint `df` for broadcast iff its backing files under `dir`
+    * total under [[broadcastHintMaxBytes]] — shared with the lexical
+    * tombstone reader ([[Retrieval]]), which keeps its own marker
+    * layout.
+    */
+  private[pipeline] def hintSized(df: DataFrame, dir: String): DataFrame =
+    if (Sidecar.treeSize(dir) <= broadcastHintMaxBytes) broadcast(df) else df
+
   /** Hide tombstoned ids from a layout read: anti join when
-    * tombstones exist (size-planned broadcast, no hard hint — see the
-    * object doc), the untouched frame when they don't.
+    * tombstones exist (broadcast guaranteed by a size-conditional
+    * hint — see the object doc), the untouched frame when they don't.
     */
   def applyTo(df: DataFrame, layoutPath: String, idCol: String): DataFrame =
-    ids(df.sparkSession, layoutPath) match {
+    hintedIds(df.sparkSession, layoutPath) match {
       case None     => df
       case Some(ts) => df.join(ts, df(idCol) === ts("id"), "left_anti")
     }

@@ -24,7 +24,12 @@ import graft.pipeline.{Retrieval, TextOps}
   * folds the deltas into the base sidecar at read time (exact longs,
   * order-free), so a streamed index scores bit-identically to a batch
   * republish of the union — the [[Retrieval.appendIndex]] contract,
-  * LexStreamSpec-pinned. A republish folds counters away.
+  * LexStreamSpec-pinned. A republish folds counters away. The
+  * batch's (id, dl) doclens rows land under the same batch-keyed
+  * discipline ([[Retrieval.doclensStreamDir]]), so takedowns of
+  * streamed-in docs stay bucket-pruned ([[Retrieval.victimDls]])
+  * instead of falling back to a postings scan; a compact folds the
+  * trees into the rebuilt base sidecar.
   *
   * Batches must be id-disjoint from the published corpus (the
   * append-family contract); single-writer per root, concurrent
@@ -68,6 +73,21 @@ object LexStream {
       // after the promote on BOTH paths: batch-keyed, deterministic,
       // atomic rename — replays rewrite identical bytes
       val keyFile = StagedCommit.keyToFile(StagedCommit.batchKey(checkpointDir, batchId))
+      // (id, dl) doclens rows for the batch, under a batch-keyed tree
+      // (`bk=<key>/db=<id bucket>/`): a replay OVERWRITES the same
+      // directory with the same bytes — idempotent like the counter
+      // file — and the db partitioning keeps takedown dl lookups of
+      // streamed-in docs bucket-pruned (Retrieval.victimDls), closing
+      // the postings-scan fallback for streaming-heavy deployments
+      // (an all-empty batch writes nothing: a bk tree holding zero
+      // parquet files would break schema inference on the stream root)
+      if (dn > 0)
+        b.select(col("id").cast("long").as("id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+          .withColumn("db", pmod(col("id"), lit(buckets.toLong)))
+          .repartition(col("db"))
+          .write.mode("overwrite").partitionBy("db")
+          .parquet(s"${Retrieval.doclensStreamDir(root)}/bk=$keyFile")
       graft.core.Sidecar.writeString(s"${Retrieval.countersDir(root)}/$keyFile",
         s"n=$dn\nsum_dl=$ddl\n")
       res

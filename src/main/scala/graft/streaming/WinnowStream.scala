@@ -43,9 +43,21 @@ object WinnowStream {
 
   /** Publish the store from a base corpus: the (id, pos, fp) index
     * plus the geometry sidecar every append is checked against.
+    *
+    * A republish over a PREVIOUS store lifetime at the same root
+    * clears that lifetime's overlay state first: its tombstone
+    * markers (they reference the OLD corpus — left in place they
+    * would silently hide same-id docs of the fresh publish from
+    * [[live]]) and its applied-batch markers + staging (a stream
+    * restarted against the fresh corpus must not skip batches a dead
+    * store consumed) — the fail-loud discipline the geometry sidecar
+    * guard already follows.
     */
   def publish(docs: DataFrame, idCol: String, text: Column, params: Params,
       root: String): Unit = {
+    graft.pipeline.Tombstones.clear(indexPath(root))
+    Sidecar.delete(markerDir(root), recursive = true)
+    Sidecar.delete(stagingDir(root), recursive = true)
     TextOps.winnow(docs.select(col(idCol).as("id"), text.as("text")),
         "id", col("text"), params.k, params.w)
       .write.mode("overwrite").parquet(indexPath(root))

@@ -66,7 +66,7 @@ class LexDeleteSpec extends GraftSuite {
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val scans = try {
-      Retrieval.doclensLookup(spark, root, victims, dbs)
+      Retrieval.doclensLookup(spark, s"$root/doclens", victims, dbs)
         .queryExecution.executedPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
         }
@@ -124,6 +124,69 @@ class LexDeleteSpec extends GraftSuite {
       "doc_id", col("text"), clean, buckets = 8)
     assert(bm25(live) === bm25(clean),
       "compact-then-delete must equal a republish without all victims")
+  }
+
+  test("a streamed-in doc's takedown is bucket-pruned (doclens_stream), pre-compact") {
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val streamed = docs.filter(col("doc_id") % 3 === 0)
+    val root = graft.queries.SessionPublish.tempDir("lexdel-streamed") + "/idx"
+    Retrieval.publishIndex(base, "doc_id", col("text"), root, buckets = 8)
+    val ckpt = graft.queries.SessionPublish.tempDir("lexdel-streamed-ckpt")
+    assert(graft.streaming.LexStream.appendBatch(spark, streamed, ckpt, 0L,
+      "doc_id", col("text"), root).nonEmpty, "the batch must commit")
+    assert(graft.core.Sidecar.listNames(s"$root/doclens_stream").nonEmpty,
+      "a committed stream batch must stage its doclens rows")
+
+    // victims are STREAMED ids: their dl lookup must come from the
+    // batch-keyed stream sidecar, bucket-pruned — never a postings scan
+    val victims = streamed.select("doc_id").as[Long].collect().sorted.take(2).toSeq
+    val dbs = victims.map(math.floorMod(_, 8L)).distinct
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      Retrieval.doclensLookup(spark, s"$root/doclens_stream", victims, dbs)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    assert(scans.nonEmpty)
+    val total = spark.read.parquet(s"$root/doclens_stream")
+      .select(col("db")).distinct().count()
+    assert(scans.forall(_.selectedPartitions.partitionCount <= dbs.size),
+      "the streamed dl lookup must read only the victims' id buckets")
+    assert(scans.forall(_.selectedPartitions.partitionCount < total),
+      s"must prune: $total stream doclens buckets exist")
+    // and victimDls resolves them WITHOUT the postings fallback
+    assert(Retrieval.victimDls(spark, root, victims).keySet === victims.toSet)
+
+    // the takedown itself stays exact: delete == republish-without
+    Retrieval.deleteDocs(spark, root, victims)
+    val clean = graft.queries.SessionPublish.tempDir("lexdel-streamed-clean") + "/idx"
+    Retrieval.publishIndex(docs.filter(!col("doc_id").isin(victims: _*)),
+      "doc_id", col("text"), clean, buckets = 8)
+    assert(bm25(root) === bm25(clean))
+  }
+
+  test("zero-token docs survive compaction: their takedown still corrects counters") {
+    val empty = Seq((9999991L, "")).toDF("doc_id", "text")
+    val corpus = docs.unionByName(empty)
+    val r = graft.queries.SessionPublish.tempDir("lexdel-zerotok")
+    graft.core.Versions.publish(r) { v1 =>
+      Retrieval.publishIndex(corpus, "doc_id", col("text"), v1, buckets = 8)
+    }
+    Retrieval.compactIndexVersioned(spark, r)
+    val live = graft.core.Versions.currentPath(r).get
+    val nBefore = Retrieval.readLexMeta(live)("n").toLong
+    assert(nBefore === corpus.count(), "publish counts the empty doc in n")
+    // pre-fix, the empty doc vanished from the postings-only doclens
+    // rebuild and this delete silently no-opped, leaking n
+    Retrieval.deleteDocs(spark, live, Seq(9999991L))
+    assert(Retrieval.readLexMeta(live)("n").toLong === nBefore - 1,
+      "deleting a zero-token doc after a compact must still decrement n")
+    val clean = graft.queries.SessionPublish.tempDir("lexdel-zerotok-clean") + "/idx"
+    Retrieval.publishIndex(docs, "doc_id", col("text"), clean, buckets = 8)
+    assert(bm25(live) === bm25(clean),
+      "post-compact delete of the empty doc must equal a republish without it")
   }
 
   test("no tombstones -> no anti-join in the read plan") {

@@ -57,6 +57,23 @@ class TombstoneSpec extends GraftSuite {
     assert(postIds == exact, "post-delete probe-all must equal brute force minus victims")
   }
 
+  test("a small marker set is broadcast even with auto-broadcast disabled") {
+    // the ops setting the size-conditional hint exists for:
+    // autoBroadcastJoinThreshold = -1 (common in production) must not
+    // turn every marker-store read into a corpus-wide shuffle by id
+    val (_, path) = freshLayout()
+    import spark.implicits._
+    Tombstones.delete(path, Seq(1L, 2L, 3L).toDF("vec_id"), "vec_id"): Unit
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Tombstones.applyTo(spark.read.parquet(path), path, "vec_id")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+        s"a KB-sized marker set must broadcast under autoBroadcast=-1:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("append-after-delete stays hidden until compaction") {
     val (idx, path) = freshLayout()
     import spark.implicits._

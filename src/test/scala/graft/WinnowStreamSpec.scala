@@ -109,4 +109,25 @@ class WinnowStreamSpec extends GraftSuite {
       oneShot(docs.filter(col("doc_id") % 7 =!= 0)),
       "marker takedown must hide exactly the victims' fingerprints")
   }
+
+  test("republishing over a store that had takedowns and streamed batches starts clean") {
+    val root = java.nio.file.Files.createTempDirectory("winnow-repub").toString + "/store"
+    WinnowStream.publish(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", col("text"), params, root)
+    // previous lifetime: a takedown and a committed stream batch
+    TextOps.winnowDeleteAt(WinnowStream.indexPath(root),
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id")), "id")
+    val ckpt = java.nio.file.Files.createTempDirectory("winnow-repub-ckpt").toString
+    assert(WinnowStream.appendBatch(spark, docs.filter(col("doc_id") % 5 === 0),
+      ckpt, 0L, "doc_id", col("text"), params, root).nonEmpty)
+    assert(Sidecar.listNames(s"$root/_winnow_applied").nonEmpty, "fixture: marker exists")
+
+    // republish the SAME root: the old lifetime's markers must not
+    // hide fresh docs or make a restarted stream skip batches
+    WinnowStream.publish(docs, "doc_id", col("text"), params, root)
+    assert(rowsOf(WinnowStream.live(spark, root)) === oneShot(docs),
+      "stale tombstones must not hide freshly republished docs")
+    assert(Sidecar.listNames(s"$root/_winnow_applied").isEmpty,
+      "stale applied-batch markers must not survive a republish")
+  }
 }
