@@ -227,12 +227,17 @@ object Cdc {
 
   /** Append a NEW document batch (id-disjoint from everything already
     * in the store): O(batch) chunking + segment write, no published
-    * row rewritten.
+    * row rewritten. Runs under the store's maintenance lock
+    * ([[graft.core.MaintLock]]) so a batch cannot land inside a
+    * [[compactChunkStoreVersioned]] snapshot→flip window and be lost
+    * from the flipped version.
     */
   def appendChunkStore(newDocs: DataFrame, idCol: String, text: Column,
       path: String): Unit =
-    chunkIndex(newDocs, idCol, text, storeAvgChunk(path))
-      .write.mode("append").parquet(chunksPath(path))
+    graft.core.MaintLock.withLock(path, "Cdc.appendChunkStore") {
+      chunkIndex(newDocs, idCol, text, storeAvgChunk(path))
+        .write.mode("append").parquet(chunksPath(path))
+    }
 
   /** Takedown: append the tombstoned documents' own index NEGATED —
     * O(tombstone batch), the cost class [[deleteFromChunkIndex]]'s

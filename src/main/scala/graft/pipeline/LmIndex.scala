@@ -50,9 +50,18 @@ object LmIndex {
 
   /** Append a document batch: O(batch) counting, segment-file writes,
     * one exact counter bump. No published row is rewritten — merging
-    * is the read side's sum.
+    * is the read side's sum. Coupled (segments + token total): runs
+    * under the store's maintenance lock ([[graft.core.MaintLock]])
+    * and raises if a [[compactVersioned]] window is open, so a batch
+    * cannot be half-captured or lost across the snapshot→flip line.
     */
-  def append(batch: DataFrame, idCol: String, text: Column, path: String): Unit = {
+  def append(batch: DataFrame, idCol: String, text: Column, path: String): Unit =
+    graft.core.MaintLock.withLock(path, "LmIndex.append") {
+      appendLocked(batch, idCol, text, path)
+    }
+
+  private def appendLocked(batch: DataFrame, idCol: String, text: Column,
+      path: String): Unit = {
     // bump the RAW base total, not the delta-folded readMeta view: the
     // streamed counter files stay in countersDir and re-fold on every
     // read, so writing a folded total back as the base would count

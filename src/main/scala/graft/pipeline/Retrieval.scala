@@ -254,9 +254,18 @@ object Retrieval {
     * republish of the union (LexIndexSpec pins it). Single-writer,
     * like the ANN appends; route concurrent writers through a
     * versioned root ([[graft.core.Versions]]).
+    *
+    * Appends are coupled (postings + counter bumps) and, like
+    * takedowns, must not land inside a [[compactIndexVersioned]]
+    * window — a batch landing after the compact's snapshot would be
+    * absent from the flipped version while its counters ride along,
+    * or be lost wholesale. The append takes the store's maintenance
+    * lock ([[graft.core.MaintLock]]) and raises
+    * [[graft.core.MaintLock.StoreBusy]] while a window is open;
+    * retry after it closes.
     */
   def appendIndex(newDocs: DataFrame, idCol: String, text: Column,
-      path: String): Unit = {
+      path: String): Unit = graft.core.MaintLock.withLock(path, "appendIndex") {
     val meta = readLexMeta(path)
     val buckets = meta("buckets").toInt
     allPostings(newDocs, idCol, text)

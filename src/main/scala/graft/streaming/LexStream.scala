@@ -53,9 +53,25 @@ object LexStream {
 
   /** One micro-batch: stage + marker + promote + counter delta.
     * Returns (docs, tokens) added, or None for a replay.
+    *
+    * Runs under the store's maintenance lock
+    * ([[graft.core.MaintLock]]): a streamed batch landing inside a
+    * [[Retrieval.compactIndexVersioned]] window would promote into
+    * the OLD version after its snapshot — marked applied in the
+    * checkpoint, absent from the flipped store, silently lost. With
+    * the lock the batch raises StoreBusy instead; the stream's retry
+    * after the flip re-appends it against the new version (markers
+    * are per-version, so the replay guard does not skip it).
     */
   def appendBatch(spark: SparkSession, batch: DataFrame, checkpointDir: String,
-      batchId: Long, idCol: String, text: Column, root: String): Option[(Long, Long)] = {
+      batchId: Long, idCol: String, text: Column, root: String): Option[(Long, Long)] =
+    graft.core.MaintLock.withLock(root, "LexStream.appendBatch") {
+      appendBatchLocked(spark, batch, checkpointDir, batchId, idCol, text, root)
+    }
+
+  private def appendBatchLocked(spark: SparkSession, batch: DataFrame,
+      checkpointDir: String, batchId: Long, idCol: String, text: Column,
+      root: String): Option[(Long, Long)] = {
     val meta = Retrieval.readLexMeta(root)
     val buckets = meta("buckets").toInt
     val b = batch.select(col(idCol).as("id"), text.as("text"))

@@ -40,9 +40,24 @@ object LmStream {
 
   /** One micro-batch: stage + marker + promote + counter delta.
     * Returns the batch's token count, or None for a replay.
+    *
+    * Runs under the store's maintenance lock
+    * ([[graft.core.MaintLock]], same rationale as
+    * [[LexStream.appendBatch]]): a batch landing inside an
+    * [[LmIndex.compactVersioned]] window would be marked applied yet
+    * absent from the flipped version — with the lock it raises
+    * StoreBusy and the stream's retry re-appends it against the new
+    * version.
     */
   def appendBatch(spark: SparkSession, batch: DataFrame, checkpointDir: String,
-      batchId: Long, idCol: String, text: Column, root: String): Option[Long] = {
+      batchId: Long, idCol: String, text: Column, root: String): Option[Long] =
+    graft.core.MaintLock.withLock(root, "LmStream.appendBatch") {
+      appendBatchLocked(spark, batch, checkpointDir, batchId, idCol, text, root)
+    }
+
+  private def appendBatchLocked(spark: SparkSession, batch: DataFrame,
+      checkpointDir: String, batchId: Long, idCol: String, text: Column,
+      root: String): Option[Long] = {
     LmIndex.readMeta(root): Unit // kind guard
     val b = batch.select(col(idCol).as("id"), text.as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -80,6 +80,62 @@ class MaintLockSpec extends GraftSuite {
     assert(!Sidecar.exists(MaintLock.lockPath(live)))
   }
 
+  test("appends are writers too: batch and streamed lexical appends refuse an open window") {
+    val root = graft.queries.SessionPublish.tempDir("maint-lex-append") + "/idx"
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val streamed = docs.filter(col("doc_id") % 2 === 1)
+    Retrieval.publishIndex(base, "doc_id", col("text"), root, buckets = 8)
+    val nBefore = Retrieval.readLexMeta(root)("n").toLong
+    val ckpt = graft.queries.SessionPublish.tempDir("maint-lex-append-ckpt")
+    holdingLock(root) {
+      intercept[MaintLock.StoreBusy] {
+        Retrieval.appendIndex(streamed, "doc_id", col("text"), root)
+      }
+      intercept[MaintLock.StoreBusy] {
+        graft.streaming.LexStream.appendBatch(spark, streamed, ckpt, 0L,
+          "doc_id", col("text"), root)
+      }
+    }
+    assert(Retrieval.readLexMeta(root)("n").toLong === nBefore,
+      "refused appends must leave the counters untouched")
+    // window closed: the SAME streamed batch retries and lands exactly once
+    assert(graft.streaming.LexStream.appendBatch(spark, streamed, ckpt, 0L,
+      "doc_id", col("text"), root).nonEmpty, "retry after the window must commit")
+    assert(graft.streaming.LexStream.appendBatch(spark, streamed, ckpt, 0L,
+      "doc_id", col("text"), root).isEmpty, "second retry is a replay no-op")
+    assert(Retrieval.readLexMeta(root)("n").toLong === docs.count(),
+      "the retried batch must be counted exactly once")
+    assert(!Sidecar.exists(MaintLock.lockPath(root)))
+  }
+
+  test("LM and CDC appends refuse an open window") {
+    val lmRoot = graft.queries.SessionPublish.tempDir("maint-lm-append")
+    LmIndex.publish(docs, "doc_id", col("text"), lmRoot)
+    val batch = docs.filter(col("doc_id") === 2L)
+    holdingLock(lmRoot) {
+      intercept[MaintLock.StoreBusy] {
+        LmIndex.append(batch, "doc_id", col("text"), lmRoot)
+      }
+      intercept[MaintLock.StoreBusy] {
+        graft.streaming.LmStream.appendBatch(spark, batch,
+          graft.queries.SessionPublish.tempDir("maint-lm-append-ckpt"), 0L,
+          "doc_id", col("text"), lmRoot)
+      }
+    }
+    val cdcRoot = graft.queries.SessionPublish.tempDir("maint-cdc-append")
+    Cdc.publishChunkStore(docs, "doc_id", col("text"), avgChunk = 32, cdcRoot)
+    holdingLock(cdcRoot) {
+      intercept[MaintLock.StoreBusy] {
+        Cdc.appendChunkStore(batch, "doc_id", col("text"), cdcRoot)
+      }
+    }
+    // windows closed: all three go through and release their locks
+    LmIndex.append(batch, "doc_id", col("text"), lmRoot)
+    Cdc.appendChunkStore(batch, "doc_id", col("text"), cdcRoot)
+    assert(!Sidecar.exists(MaintLock.lockPath(lmRoot)))
+    assert(!Sidecar.exists(MaintLock.lockPath(cdcRoot)))
+  }
+
   test("CDC takedown during a simulated compact window raises, then succeeds") {
     val root = graft.queries.SessionPublish.tempDir("maint-cdc")
     graft.core.Versions.publish(root) { v1 =>
