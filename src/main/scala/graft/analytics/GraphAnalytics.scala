@@ -3,7 +3,6 @@ package graft.analytics
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.GraphSnapshot
@@ -304,6 +303,15 @@ object GraphAnalytics {
     val adj = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val joined = o.join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
+    // Two branches over one union, BY MEASUREMENT (r16): a single-pass
+    // form (intersect once, explode (id, t) STRUCT credits from the
+    // same row) was tried and measured 4× the executor time with 5 s
+    // of GC — Generate over an array<struct> allocates an InternalRow
+    // per credit where these two branches explode primitive longs.
+    // The double evaluation of the join pipeline is the cheaper side
+    // of that trade at every probed scale; what made this query slow
+    // pre-r16 was the coalesce floor (this stage ran at 6 of 32
+    // tasks), fixed session-wide in core/Graft.
     val endpoints = joined.select(
       explode(array(col("src"), col("dst"))).as("id"),
       when(col("nv").isNull, lit(0L))
@@ -661,10 +669,16 @@ object GraphAnalytics {
 
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // edge frames checkpoint DISK_ONLY: |E|-sized, read once per
-    // round — caching them in memory would evict nothing useful and
-    // compete with the aggregation hash maps that actually need RAM
-    val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // edge frames checkpoint MEMORY_AND_DISK (r16 optimization): the
+    // |E| frame is re-scanned TWICE per peel round, and DISK_ONLY made
+    // every scan pay deserialization + decompression — measured 9-16 s
+    // of executor time per round at sf0.1 against a 4M-row frame.
+    // MEMORY_AND_DISK is the scale-adaptive level: it serves scans
+    // from deserialized memory while the frame fits and degrades to
+    // exactly the old disk behavior when it does not (the unified
+    // memory manager evicts cached blocks under execution pressure, so
+    // the aggregation hash maps still win when RAM is short).
+    val edgeLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // each round is ONE job: the convergence metric rides the eager
     // localCheckpoint as an observed metric (CollectMetrics) instead
     // of a second count() action over the checkpointed partitions
@@ -681,7 +695,7 @@ object GraphAnalytics {
         .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
         .distinct(),
-      count(lit(1)), diskOnly)
+      count(lit(1)), edgeLevel)
     if (nE0 == 0)
       return (e0.select(col("u").as("id"), lit(0L).as("degree")).limit(0), 0)
     // FRONTIER-INCREMENTAL peel: the full |E| degree aggregation runs
@@ -749,8 +763,10 @@ object GraphAnalytics {
     * an oscillation-prone graph by round parity — callers choose
     * `rounds`, and the gate's oracle unrolls exactly that many).
     *
-    * Per round: one (node, label) count groupBy and one
-    * node-partitioned argmax window — everything keyed by node id,
+    * Per round: one (node, label) count groupBy and one argmax
+    * aggregation (max over (count, −label) structs — the
+    * deterministic tie-break as a hash aggregate, r16) — everything
+    * keyed by node id,
     * nothing global; `localCheckpoint` keeps lineage one round deep.
     * Input edges are made undirected and simple here; self-loops
     * dropped.
@@ -764,13 +780,19 @@ object GraphAnalytics {
       .localCheckpoint()
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("lab", col("id")).localCheckpoint()
-    val w = Window.partitionBy(col("a")).orderBy(col("c").desc, col("lab").asc)
     for (_ <- 1 to rounds) {
+      // argmax as an aggregation, not a window (r16 optimization):
+      // max(struct(c, -lab)) is lexicographic — largest count, ties to
+      // the SMALLEST label (negation flips the order) — identical to
+      // the old row_number() OVER (ORDER BY c DESC, lab ASC) = 1 pick,
+      // but it partial-aggregates map-side and drops the window's
+      // per-round sort (guide §2.3/§2.4: aggregate before you shuffle,
+      // and a codegen'd hash aggregate over a sort-based window).
       val winners = und
         .join(labels.toDF("b", "lab"), Seq("b"))
         .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("a").as("id"), col("lab").as("nl"))
+        .groupBy(col("a")).agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("a").as("id"), (-col("m.nl")).as("nl"))
       val next = labels.join(winners, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
         .localCheckpoint()
@@ -1010,8 +1032,8 @@ object GraphAnalytics {
     * stream `(start, step, node)` with step 0 = the start itself —
     * the sentence corpus a skip-gram embedding trains on.
     *
-    * Per step: one frontier-to-edges join plus a start-partitioned
-    * argmin window — work proportional to Σ deg(frontier), never the
+    * Per step: one frontier-to-edges join plus a start-keyed argmin
+    * aggregation (min over (hash, neighbor) structs) — work proportional to Σ deg(frontier), never the
     * whole graph; `localCheckpoint` per step. Walks never strand:
     * every frontier node has ≥ 1 neighbor by construction of the
     * undirected edge set.
@@ -1031,9 +1053,13 @@ object GraphAnalytics {
         .select(col("start"), col("v"),
           graft.pipeline.TextOps.hash32(t,
             concat_ws("|", col("start"), col("u"), col("v"))).as("h"))
-      val w = Window.partitionBy(col("start")).orderBy(col("h").asc, col("v").asc)
-      cur = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("start"), col("v").as("cur")).localCheckpoint()
+      // argmin as an aggregation (r16 optimization, the LPA rewrite's
+      // twin): min(struct(h, v)) picks the smallest hash, ties to the
+      // smallest neighbor id — identical to the old row_number() OVER
+      // (ORDER BY h, v) = 1, with map-side partial aggregation instead
+      // of a per-step partitioned sort.
+      cur = cand.groupBy(col("start")).agg(min(struct(col("h"), col("v"))).as("m"))
+        .select(col("start"), col("m.v").as("cur")).localCheckpoint()
       out = out.unionAll(cur.select(col("start"), lit(t.toLong).as("step"),
         col("cur").as("node")))
     }

@@ -46,18 +46,27 @@ object Classifier {
   final case class Model(bias: Double, weights: Array[Double],
       mean: Array[Double], std: Array[Double], losses: Seq[Double])
 
-  /** IRLS / Newton (what R's `glm` runs): per iteration ONE
-    * aggregation computes the full Hessian X^T R X (R = p(1−p)), the
-    * gradient, and the loss — (d+1)(d+2)/2 + (d+1) + 1 sums through
-    * the partial-agg tree — then the driver solves the damped ridge
-    * system ((H + λI) Δ = g, breeze, microseconds at pipeline d).
-    * Quadratic convergence: ~8 iterations where gradient descent
-    * needed hundreds, which matters because iteration cost is
-    * job-launch dominated at sample sizes this small. The ridge λ
-    * keeps the Hessian invertible under perfect separation (where ML
-    * weights diverge); iteration stops early when the loss stops
-    * moving. Input capped by the deterministic id-hash sample (the
-    * [[Ivf.train]]/[[Pca.train]] contract).
+  /** IRLS / Newton (what R's `glm` runs): the cluster computes the
+    * (bounded, id-hash-sampled) feature frame and its exact
+    * standardization moments; the Newton loop itself runs on the
+    * DRIVER over the collected sample (r16 optimization). The r15
+    * form aggregated the Hessian/gradient/loss through Catalyst every
+    * iteration — correct, but each of the ~25 iterations re-planned
+    * and re-compiled a fresh 36-expression aggregate (its literals
+    * change per step), measured ~190 ms of pure driver
+    * planning/codegen per iteration against sub-millisecond task
+    * time: 57 jobs, 4.8 s of inter-job driver gaps, 0.6 s of executor
+    * time. Collecting the sample once is the [[Ivf.train]] /
+    * [[Pca.train]] contract (bounded by `maxTrainRows` — at the 1M
+    * cap with pipeline-scale d the collect is tens of MB, far under
+    * the driver-result bound), and the loop is the same damped ridge
+    * Newton step: ~(d+2)²/2 fused multiply-adds per row per
+    * iteration, milliseconds at the cap. Per-term arithmetic is
+    * unchanged; only the summation ORDER differs (sequential instead
+    * of partition-tree), which is within the operator's existing
+    * determinism contract — trained weights were already "per
+    * partitioning", and the gate renders whatever weights were
+    * trained as literals on both engines.
     */
   def trainLogistic(df: DataFrame, idCol: String, features: Seq[(String, Column)],
       label: Column, iters: Int = 25, ridge: Double = 1e-4,
@@ -70,7 +79,9 @@ object Classifier {
       if (every == 1) df
       else df.filter(pmod(hash(col(idCol)), lit(every)) === 0)
 
-    val feats = sample.select(
+    // spread: the per-doc feature extraction (lexicon scans) is the
+    // CPU of this pass and inherits scan parallelism otherwise
+    val feats = TextOps.spread(sample, col(idCol)).select(
       (label.cast("double").as("y") +:
         features.zipWithIndex.map { case ((_, c), j) => c.as(s"f$j") }): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -88,39 +99,70 @@ object Classifier {
         math.max(math.sqrt(math.max(v, 0.0)), 1e-9)
       }
 
+      // ONE collect of the persisted sample: y plus the standardized
+      // design row (x_j = (f_j − mean_j)/std_j, the identical
+      // per-term IEEE arithmetic the per-iteration Columns computed)
+      val rows = feats.collect()
+      val nn = rows.length
+      val ys = new Array[Double](nn)
+      val xs = new Array[Double](nn * d)
+      var i = 0
+      while (i < nn) {
+        val r = rows(i)
+        ys(i) = r.getDouble(0)
+        var j = 0
+        while (j < d) { xs(i * d + j) = (r.getDouble(1 + j) - mean(j)) / std(j); j += 1 }
+        i += 1
+      }
+
       val dd = d + 1 // bias as coordinate 0
       var beta = new Array[Double](dd)
       val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
       var it = 0
       var stop = false
       while (it < iters && !stop) {
-        val xs = lit(1.0) +:
-          (0 until d).map(j => (col(s"f$j") - lit(mean(j))) / lit(std(j)))
-        val z = xs.zipWithIndex.foldLeft(lit(0.0): Column) {
-          case (acc, (x, j)) => acc + lit(beta(j)) * x
-        }
-        val p = lit(1.0) / (lit(1.0) + exp(-z))
-        val r = p * (lit(1.0) - p)
-        val err = col("y") - p
-        val gradCols = (0 until dd).map(j => sum(err * xs(j)).as(s"g$j"))
-        val hessCols = for { a <- 0 until dd; b <- a until dd }
-          yield sum(r * xs(a) * xs(b)).as(s"h${a}_$b")
-        val lossCol = sum(-(col("y") * log(greatest(p, lit(1e-12))) +
-          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12))))).as("loss")
-        val row = feats.agg(gradCols.head, (gradCols.tail ++ hessCols :+ lossCol): _*)
-          .head()
-        val g = breeze.linalg.DenseVector.tabulate(dd)(j => row.getDouble(j))
+        val g = new Array[Double](dd)
         val h = breeze.linalg.DenseMatrix.zeros[Double](dd, dd)
-        var idx = dd
-        for { a <- 0 until dd; b <- a until dd } {
-          h(a, b) = row.getDouble(idx); h(b, a) = h(a, b); idx += 1
+        var loss = 0.0
+        i = 0
+        while (i < nn) {
+          var z = beta(0)
+          var j = 0
+          while (j < d) { z += beta(j + 1) * xs(i * d + j); j += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val r = p * (1.0 - p)
+          val err = ys(i) - p
+          g(0) += err
+          var a = 0
+          while (a < d) { g(a + 1) += err * xs(i * d + a); a += 1 }
+          // upper triangle of X^T R X with the bias as coordinate 0
+          h(0, 0) += r
+          a = 0
+          while (a < d) {
+            h(0, a + 1) += r * xs(i * d + a)
+            var b = a
+            while (b < d) {
+              h(a + 1, b + 1) += r * xs(i * d + a) * xs(i * d + b); b += 1
+            }
+            a += 1
+          }
+          loss += -(ys(i) * math.log(math.max(p, 1e-12)) +
+            (1.0 - ys(i)) * math.log(math.max(1.0 - p, 1e-12)))
+          i += 1
         }
-        (0 until dd).foreach(j => h(j, j) += ridge * n)
-        val delta = h \ g
+        // mirror the triangle, damp, solve — unchanged from r15
+        var a = 0
+        while (a < dd) {
+          var b = a + 1
+          while (b < dd) { h(b, a) = h(a, b); b += 1 }
+          h(a, a) += ridge * n
+          a += 1
+        }
+        val delta = h \ breeze.linalg.DenseVector(g)
         beta = Array.tabulate(dd)(j => beta(j) + delta(j))
-        val loss = row.getDouble(idx) / n
-        stop = losses.lastOption.exists(prev => math.abs(prev - loss) < 1e-10)
-        losses += loss
+        val mloss = loss / n
+        stop = losses.lastOption.exists(prev => math.abs(prev - mloss) < 1e-10)
+        losses += mloss
         it += 1
       }
       Model(beta(0), beta.drop(1), mean, std, losses.toSeq)

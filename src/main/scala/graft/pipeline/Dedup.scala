@@ -161,9 +161,14 @@ object Dedup {
   /** Universal-family member j over precomputed words. */
   private def hj(a: Column, b: Column, j: Int): Column = (a + lit(j.toLong) * b) % M32
 
-  /** (id, s) exploded distinct shingles. */
+  /** (id, s) exploded distinct shingles. The shingle+md5 pass is the
+    * CPU of every minhash/simhash caller, so it runs over the
+    * parallelism-spread frame ([[TextOps.spread]] — a no-op at
+    * production scan widths).
+    */
   private def explodedShingles(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(TextOps.shingles(text, n)).as("s"))
+    TextOps.spread(df.select(col(idCol).as("id"), text.as("__t")), col("id"))
+      .select(col("id"), explode(TextOps.shingles(col("__t"), n)).as("s"))
 
   /** MinHash signatures via explode + one groupBy: (id, h0..h{n-1}).
     * Shingles and md5s are computed exactly once per (doc, shingle).
@@ -379,7 +384,8 @@ object Dedup {
     */
   private def verifyPairs(cand: DataFrame, docs: DataFrame,
       threshold: Double, shingleN: Int): DataFrame = {
-    val sh = docs.select(col("id"), TextOps.shingles(col("t"), shingleN).as("sh"))
+    val sh = TextOps.spread(docs, col("id"))
+      .select(col("id"), TextOps.shingles(col("t"), shingleN).as("sh"))
     cand
       .join(sh.withColumnRenamed("id", "da").withColumnRenamed("sh", "sha"), Seq("da"))
       .join(sh.withColumnRenamed("id", "db").withColumnRenamed("sh", "shb"), Seq("db"))
@@ -599,8 +605,9 @@ object Dedup {
     */
   def decontaminate(docs: DataFrame, idCol: String, text: Column,
       isBenchmark: Column, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), isBenchmark.as("bench"),
-      explode(TextOps.shingles(text, shingleN)).as("s"))
+    val sh = TextOps.spread(docs, col(idCol))
+      .select(col(idCol).as("id"), isBenchmark.as("bench"),
+        explode(TextOps.shingles(text, shingleN)).as("s"))
     val bench = broadcast(
       sh.filter(col("bench")).select(col("s"), col("id").as("bench_id")).distinct())
     sh.filter(!col("bench")).select(col("id"), col("s"))
@@ -637,7 +644,7 @@ object Dedup {
     val bb = broadcast(bandTable(bench, idCol, text, numHashes, bands, shingleN)
       .select(col("band"), col("id").as("bench_id")))
     val cand = cb.join(bb, Seq("band")).select(col("id"), col("bench_id")).distinct()
-    val cs = corpus
+    val cs = TextOps.spread(corpus, col(idCol))
       .select(col(idCol).as("id"), explode(TextOps.shingles(text, shingleN)).as("s"))
       .join(cand.select(col("id")).distinct(), Seq("id"), "left_semi")
     val bs = broadcast(bench
@@ -671,8 +678,9 @@ object Dedup {
   def decontaminateBloom(docs: DataFrame, idCol: String, text: Column,
       isBenchmark: Column, shingleN: Int = 3, bitsPerKey: Int = 10,
       broadcastVerify: Boolean = true): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), isBenchmark.as("bench"),
-      explode(TextOps.shingles(text, shingleN)).as("s"))
+    val sh = TextOps.spread(docs, col(idCol))
+      .select(col(idCol).as("id"), isBenchmark.as("bench"),
+        explode(TextOps.shingles(text, shingleN)).as("s"))
     val bench = sh.filter(col("bench")).select(col("s"), col("id").as("bench_id")).distinct()
     // the two driver actions (size, then bitset fold) share one scan
     val benchS = bench.select(col("s")).distinct()
@@ -1100,8 +1108,9 @@ object Dedup {
     * exists in them).
     */
   def positionalSpans(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame = {
-    val ts = TextOps.tokens(text)
-    df.select(col(idCol).as("id"),
+    val base = TextOps.spread(df.select(col(idCol).as("id"), text.as("__t")), col("id"))
+    val ts = TextOps.tokens(col("__t"))
+    base.select(col("id"),
         explode(when(size(ts) >= n,
             transform(sequence(lit(1), size(ts) - (n - 1)),
               i => concat_ws(" ", slice(ts, i, lit(n)))))
@@ -1151,12 +1160,15 @@ object Dedup {
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, text: Column,
       n: Int, minDocs: Int): DataFrame = {
+    // spread once; the span pass runs TWICE over this frame (heavy
+    // count + covered starts) and the final rebuild is per-doc CPU too
+    val d0 = TextOps.spread(df, col(idCol))
     val ts = TextOps.tokens(text)
     val spanArr = when(size(ts) >= n,
         transform(sequence(lit(1), size(ts) - (n - 1)),
           i => concat_ws(" ", slice(ts, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    val spans = df.select(col(idCol).as("id"), posexplode(spanArr).as(Seq("s", "span")))
+    val spans = d0.select(col(idCol).as("id"), posexplode(spanArr).as(Seq("s", "span")))
       .select(col("id"), col("s"), spanHash(col("span")).as("h"))
     val heavy = spans
       .groupBy(col("h"))
@@ -1173,8 +1185,8 @@ object Dedup {
     val covered = coalesce(col("ss"), array().cast("array<int>"))
     val kept = filter(ts, (_, i) =>
       !exists(covered, s => s <= i && i < s + n))
-    df.join(starts, df(idCol) === starts("__rrs_id"), "left")
-      .select(df(idCol),
+    d0.join(starts, d0(idCol) === starts("__rrs_id"), "left")
+      .select(d0(idCol),
         concat_ws(" ", kept).as("clean_text"),
         (size(ts) - size(kept)).cast("long").as("n_removed"))
   }

@@ -64,8 +64,16 @@ object Pca {
     require(dOut >= 1 && dOut <= d, s"dOut=$dOut out of range for dim $d")
     val v = col(vecCol)
 
+    // spread (r16): the d(d+1)/2-per-row outer-product explode is the
+    // train CPU and otherwise runs at the scan's parallelism (one
+    // task on a single-row-group sample). Partial sums move from one
+    // partition to `cores`, which is within the operator's existing
+    // determinism contract (moments were already partition-ordered
+    // double sums; the gate renders the trained matrix as literals).
+    val sp = TextOps.spread(sample, col(idCol))
+
     // first moments: one (pos, sum, count) row per dimension
-    val firsts = sample
+    val firsts = sp
       .select(posexplode(v).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
@@ -89,7 +97,7 @@ object Pca {
       transform(sequence(i, lit(d - 1)), j =>
         struct(i.as("i"), j.as("j"),
           (element_at(v, i + 1).cast("double") * element_at(v, j + 1).cast("double")).as("xy")))))
-    val seconds = sample
+    val seconds = sp
       .select(explode(pairs).as("p"))
       .groupBy(col("p.i"), col("p.j"))
       .agg(sum(col("p.xy")).as("sxy"))

@@ -14,6 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Conditional parallelism spread for per-document CPU-heavy passes
+    * (r16 optimization; guide §2.5 "input skew: one huge unsplittable
+    * file ... repartition immediately after the read"): a scan-stage
+    * pass (shingle md5s, span building, feature extraction) inherits
+    * the INPUT's parallelism, and a single-row-group parquet file
+    * caps that at one task regardless of cores — measured 2 s serial
+    * stages behind a sub-MB documents scan while 31 cores idled.
+    * When the frame's planned parallelism already reaches the
+    * session's core count — every production layout — this is a
+    * NO-OP: no exchange is added at scale. Below it, one hash
+    * repartition on the id column (deterministic row placement, so no
+    * sort-before-repartition pass and retry-safe under §2.5's
+    * SPARK-38388 caveat) buys a full-width stage for the price of a
+    * tiny local shuffle.
+    */
+  def spread(df: org.apache.spark.sql.DataFrame, key: Column): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target, key)
+  }
+
   /** Whitespace tokens of a single-space-normalized text. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -652,6 +672,11 @@ object TextOps {
     * w, w1, w2) — zero shuffle, the context words are `element_at`
     * lookups on the in-row token array.
     */
+  // NO spread here (r16, measured): the token posexplode is cheap per
+  // row — every LM/DSIR line that routed through a spread exchange
+  // REGRESSED 1.4-2.6× (the repartition + per-call planning cost more
+  // than the serial scan stage it parallelized). Spread pays only for
+  // md5/shingle/outer-product-heavy passes.
   private[pipeline] def positionedTokens(df: org.apache.spark.sql.DataFrame,
       idCol: String, text: Column): org.apache.spark.sql.DataFrame = df
     .select(col(idCol), tokens(text).as("ts"))

@@ -38,7 +38,13 @@ object AnalyticsQueries extends QueryModule {
   private def sharedPartsEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val t = Tables(s, dir)
-    val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+    // lineitem is spread before the join (r16 optimization): the
+    // single-row-group test layout caps the scan-join stage at ~1
+    // task; spread is a no-op on any multi-split production layout
+    val cp = t.orders.join(
+        graft.pipeline.TextOps.spread(
+          t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
     cp.as("a")
       .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
@@ -66,7 +72,10 @@ object AnalyticsQueries extends QueryModule {
   private def sharedPartsWeighted(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val t = Tables(s, dir)
-    val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+    val cp = t.orders.join(
+        graft.pipeline.TextOps.spread(
+          t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
     cp.as("a")
       .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
@@ -225,7 +234,9 @@ object AnalyticsQueries extends QueryModule {
       "q_tri_count",
       "supplier co-shipment graph: nodes, edges, triangles (degree-oriented count)",
       (s, dir) => {
-        val li = Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        val li = graft.pipeline.TextOps.spread(
+          Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey"))
         // the edge build (self-join + distinct) feeds THREE branches
         // (nodes, edges, triangles) — cut it once instead of letting
         // the crossJoin plan re-run it per branch
@@ -260,13 +271,18 @@ object AnalyticsQueries extends QueryModule {
       "q_tri_local",
       "per-supplier triangle participation + local clustering coefficient",
       (s, dir) => {
-        val li = Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        val li = graft.pipeline.TextOps.spread(
+          Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey"))
+        // no .distinct() (r16 optimization): clusteringCoefficients
+        // canonicalizes (least/greatest + distinct) anyway — the
+        // query-side distinct was a second full exchange of the pair
+        // stream for nothing
         val edges = li.as("a")
           .join(li.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_suppkey") < col("b.l_suppkey"))
           .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-          .distinct()
         GraphAnalytics.clusteringCoefficients(edges)
       },
       Some("""WITH e AS MATERIALIZED (
@@ -524,7 +540,10 @@ object AnalyticsQueries extends QueryModule {
       "500-core of the customer co-purchase graph: surviving customers + core degree",
       (s, dir) => {
         val t = Tables(s, dir)
-        val cp = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        val cp = t.orders.join(
+            graft.pipeline.TextOps.spread(
+              t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
         // SPARK_GRAFT_KCORE_MIN_SHARED (default 1 = every co-purchase
         // pair, the gate's shape) bounds the GRAPH BUILD, not the peel:
@@ -537,8 +556,12 @@ object AnalyticsQueries extends QueryModule {
         val pairs = cp.as("a")
           .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
         val edges =
+          // no .distinct() here (r16 optimization): kCore canonicalizes
+          // its input with its own distinct — the query-side one was a
+          // second full exchange + aggregation of the engine's largest
+          // derived frame for an already-deduplicated stream
           if (minShared <= 1)
-            pairs.select(col("a.c").as("src"), col("b.c").as("dst")).distinct()
+            pairs.select(col("a.c").as("src"), col("b.c").as("dst"))
           else pairs.groupBy(col("a.c"), col("b.c"))
             .agg(count(lit(1)).as("shared")).filter(col("shared") >= minShared)
             .select(col("a.c").as("src"), col("b.c").as("dst"))
@@ -805,6 +828,10 @@ object AnalyticsQueries extends QueryModule {
       "2-round integer-exact HITS over the customer->supplier graph",
       (s, dir) => {
         val t = Tables(s, dir)
+        // deliberately NOT spread (r16, measured): hits is the
+        // fixed-latency line — its edge build feeds a distinct +
+        // checkpoint whose cost is stage latency, not scan CPU, and
+        // the extra exchange measured ~1 s SLOWER end to end
         val edges = t.orders
           .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
