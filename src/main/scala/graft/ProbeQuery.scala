@@ -45,8 +45,15 @@ object ProbeQuery {
           .getOrElse(-1L)
         val (runMs, gcMs) = Option(si.taskMetrics)
           .map(m => (m.executorRunTime, m.jvmGCTime)).getOrElse((0L, 0L))
+        // AQE submits every stage from the same CompletableFuture
+        // frame, so si.name is useless for attribution — pull the
+        // first graft.* frame out of the long-form callsite instead
+        val site = si.details.linesIterator
+          .map(_.trim)
+          .find(l => l.startsWith("graft.") && !l.startsWith("graft.ProbeQuery"))
+          .getOrElse(si.name.takeWhile(_ != '\n'))
         rows.synchronized {
-          rows += StageRow(rep, si.stageId, si.name.takeWhile(_ != '\n').take(60),
+          rows += StageRow(rep, si.stageId, site.take(90),
             wall, runMs, gcMs, si.numTasks)
         }
       }

@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.GraphSnapshot
@@ -262,9 +262,20 @@ object GraphAnalytics {
     // plans common subtrees twice, so cut once (also gives AQE real
     // size stats — the per-vertex adj side is |V| rows and broadcasts
     // when it fits)
-    val o = degreeOrient(canonicalEdges(edges)).localCheckpoint()
+    val o0 = degreeOrient(canonicalEdges(edges)).localCheckpoint()
+    // Pin the intersect-stage width (r16, guide §2.5): the sorted-
+    // intersect CPU is quadratic in degree while the exchange feeding
+    // it is a few MB, so AQE (which sizes partitions by bytes)
+    // coalesces the hottest stage of the query onto a handful of
+    // tasks. `repartition(P, key)` carries REPARTITION_BY_NUM, which
+    // AQE never coalesces. Conditional on the MATERIALIZED checkpoint
+    // width, so any production-scale input (whose checkpoint already
+    // spans the machine) keeps today's plan; `.rdd` on a checkpointed
+    // frame is a LogicalRDD lookup, not a job.
+    val o = widenPinned(o0, col("src"))
     val adj = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    o.join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+    val j1 = o.join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+    maybeRepartition(j1, o0, col("dst"))
       // a dst with no out-edges closes no wedge: left join, null -> 0
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
       .select(when(col("nv").isNull, lit(0L))
@@ -299,9 +310,14 @@ object GraphAnalytics {
     val e = canonicalEdges(edges).localCheckpoint()
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val o = degreeOrient(e).localCheckpoint()
+    val o0 = degreeOrient(e).localCheckpoint()
+    // pinned width for the intersect stages — the [[triangleCount]]
+    // rationale verbatim (this is the same join pipeline, evaluated
+    // twice)
+    val o = widenPinned(o0, col("src"))
     val adj = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val joined = o.join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+    val j1 = o.join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+    val joined = maybeRepartition(j1, o0, col("dst"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
     // Two branches over one union, BY MEASUREMENT (r16): a single-pass
     // form (intersect once, explode (id, t) STRUCT credits from the
@@ -666,6 +682,34 @@ object GraphAnalytics {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false): Unit
       case _ => ()
     }
+
+  /** Pin a MATERIALIZED (checkpointed) frame to full machine width by
+    * `key` when it is narrower — the explosive-stage fix (guide §2.5):
+    * AQE coalesces by shuffle bytes and cannot see that the stage fed
+    * by a small exchange amplifies per-row CPU quadratically (sorted-
+    * adjacency intersects, wedge/pair self-joins). The explicit
+    * partition count makes the exchange REPARTITION_BY_NUM, which AQE
+    * leaves alone; same-key downstream groupBy/joins reuse the
+    * partitioning, so this REPLACES the exchange that was already in
+    * the plan rather than adding one. No-op whenever the checkpoint
+    * already spans the machine — i.e. on any production-scale input.
+    */
+  private[graft] def widenPinned(cp: DataFrame, key: Column): DataFrame = {
+    val p = cp.sparkSession.sparkContext.defaultParallelism
+    if (cp.rdd.getNumPartitions >= p) cp else cp.repartition(p, key)
+  }
+
+  /** Companion to [[widenPinned]] for a DERIVED frame that cannot be
+    * cheaply inspected: pin `df` to machine width by `key` iff the
+    * materialized `gauge` frame (the checkpoint the plan grew from)
+    * was narrow. Replaces the ENSURE_REQUIREMENTS exchange the next
+    * same-key join would insert anyway, at pinned width.
+    */
+  private[graft] def maybeRepartition(df: DataFrame, gauge: DataFrame,
+      key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (gauge.rdd.getNumPartitions >= p) df else df.repartition(p, key)
+  }
 
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")

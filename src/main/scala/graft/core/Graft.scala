@@ -26,28 +26,25 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // Coalescing floor (r16 optimization, guide §2.2/§2.5): AQE
-      // sizes post-shuffle partitions by SHUFFLE BYTES, which is blind
-      // to downstream per-row amplification — a small exchange feeding
-      // an explosive stage (band/wedge self-joins, sorted-adjacency
-      // intersects, co-purchase pair generation) gets coalesced to a
-      // handful of tasks and runs a multi-second CPU stage on 1/3 of
-      // the machine (measured: the q_tri_local intersect stage at 6 of
-      // 32 tasks, 13.7 s executor time behind a 9 MB exchange). The
-      // default 1 MB minPartitionSize floor is what bites; 256 KB keeps
-      // tiny-but-hot exchanges parallel. 256 KB, not lower, BY SWEEP
-      // (64 KB / 256 KB / 1 MB probed on the two extremes): per-task
-      // fixed cost makes sub-256 KB partitions a net loss on
-      // latency-class iterative queries (q_graph_hits median 5.6 s at
-      // 64 KB vs 3.6 s at 256 KB ≈ 1 MB), while the CPU-heavy
-      // small-exchange stages keep their win (q_tri_local 3.9 s at
-      // 256 KB vs 6.9 s at 1 MB). Scale-safe by construction: the
-      // floor only matters when a shuffle carries less than
-      // cores×1 MB — production shuffles never do, and the
-      // bytes-per-partition target still governs them. Env-overridable
-      // for deployments that want the stock floor back.
+      // Coalescing floor stays at the STOCK 1 MB, by full-map A/B
+      // measurement (r16, guide §1.2 "configs last"): a session-wide
+      // 256 KB floor was tried first for the explosive small-exchange
+      // stages (band/wedge self-joins, sorted-adjacency intersects —
+      // AQE sizes partitions by shuffle BYTES and is blind to per-row
+      // CPU amplification), and it did fix them (q_tri_local 3.5 s vs
+      // 7.1 s), but the same floor fragments EVERY small exchange, and
+      // the 128-line bench showed the tax on the latency-class
+      // majority: q_text_winnow_store_delete 0.92→1.63 s, q_graph_hits
+      // 2.41→3.39 s, q_pregel_hops 2.07→2.95 s, the whole LM/winnow
+      // family +40-75% (BENCH_r16_sessionD/E + the committed
+      // floor-A/B). The amplification problem is therefore fixed WHERE
+      // THE OPERATOR KNOWS ITS AMPLIFICATION — pinned-width
+      // `repartition(P, key)` (REPARTITION_BY_NUM is never coalesced
+      // by AQE) applied conditionally when the materialized input is
+      // narrower than the machine — not with a global knob.
+      // Env-overridable for experiments.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION_BYTES", "262144"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION_BYTES", "1048576"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -39,6 +39,13 @@ object Select {
     */
   private def gramBuckets(df: DataFrame, idCol: String, text: Column,
       buckets: Int): DataFrame = {
+    // deliberately NOT spread (r16, measured): repartitioning the text
+    // ahead of the gram explode blew executor time up ~10× — the
+    // uni+bi unionAll below evaluates this subtree TWICE, so a spread
+    // here ships the full text through an exchange twice and re-runs
+    // the explode on both branches; fused into the scan, the double
+    // evaluation is nearly free (q_select_dsir 3.1 s → 4.1 s with the
+    // spread, reverted)
     val tr = TextOps.positionedTokens(df, idCol, text)
     val uni = tr.select(col(idCol), col("w").as("g"))
     val bi = tr.filter(col("pos") >= 1)

@@ -31,7 +31,24 @@ object TextOps {
     */
   def spread(df: org.apache.spark.sql.DataFrame, key: Column): org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target, key)
+    // Exchange-rooted frames are left alone (r16 fix): under AQE,
+    // `.rdd` materializes every upstream query stage — asking a
+    // derived frame for its width EXECUTES its shuffles and then
+    // throws the work away when the real query re-plans (measured on
+    // q_pipeline_pretrain: the exact-dedup window exchange ran twice,
+    // 5.2 s vs 4.6 s baseline). Post-shuffle width is already governed
+    // by AQE's parallelismFirst coalescing, which is exactly the knob
+    // this helper exists to bypass for SCAN-rooted frames, where the
+    // planned width is the file-split count: known without running
+    // anything, and the single-row-group test layout caps it at 1-2
+    // tasks regardless of the CPU the fused pass carries.
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
   }
 
   /** Whitespace tokens of a single-space-normalized text. */

@@ -41,11 +41,21 @@ object AnalyticsQueries extends QueryModule {
     // lineitem is spread before the join (r16 optimization): the
     // single-row-group test layout caps the scan-join stage at ~1
     // task; spread is a no-op on any multi-split production layout
-    val cp = t.orders.join(
-        graft.pipeline.TextOps.spread(
-          t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    // cp is checkpointed then PINNED to machine width by the join key
+    // (r16, guide §2.5): the (c, p) frame is a few MB after distinct,
+    // so AQE coalesces the exchange feeding the pair-generation
+    // self-join to ~10 tasks while that stage amplifies rows
+    // quadratically per part (measured 7.6 s executor on 10 tasks).
+    // The pinned exchange is reused by BOTH sides of the self-join;
+    // no-op at production widths (widenPinned contract).
+    val cp = GraphAnalytics.widenPinned(
+      t.orders.join(
+          graft.pipeline.TextOps.spread(
+            t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(true),
+      col("p"))
     cp.as("a")
       .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
       .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
@@ -72,11 +82,16 @@ object AnalyticsQueries extends QueryModule {
   private def sharedPartsWeighted(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val t = Tables(s, dir)
-    val cp = t.orders.join(
-        graft.pipeline.TextOps.spread(
-          t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    // checkpoint + pinned width before the pair-generation self-join —
+    // the [[sharedPartsEdges]] rationale verbatim
+    val cp = GraphAnalytics.widenPinned(
+      t.orders.join(
+          graft.pipeline.TextOps.spread(
+            t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(true),
+      col("p"))
     cp.as("a")
       .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
       .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
@@ -540,11 +555,16 @@ object AnalyticsQueries extends QueryModule {
       "500-core of the customer co-purchase graph: surviving customers + core degree",
       (s, dir) => {
         val t = Tables(s, dir)
-        val cp = t.orders.join(
-            graft.pipeline.TextOps.spread(
-              t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        // checkpoint + pinned width before the pair-generation
+        // self-join — the sharedPartsEdges rationale verbatim
+        val cp = GraphAnalytics.widenPinned(
+          t.orders.join(
+              graft.pipeline.TextOps.spread(
+                t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+              col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+            .localCheckpoint(true),
+          col("p"))
         // SPARK_GRAFT_KCORE_MIN_SHARED (default 1 = every co-purchase
         // pair, the gate's shape) bounds the GRAPH BUILD, not the peel:
         // the self-join's pair volume is Σd(p)² and exceeds this VM's

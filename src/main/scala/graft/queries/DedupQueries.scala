@@ -594,14 +594,29 @@ object DedupQueries extends QueryModule {
         val q = corpus.filter(size(graft.pipeline.TextOps.tokens(col("text"))) >= 10)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("text")).orderBy(col("doc_id"))
-        val exact = q.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
+        // widen the post-window survivor stream before the minhash
+        // signature pass (r16, guide §2.5): the window exchange
+        // carries only a few MB of text, so AQE coalesces it to 1-4
+        // tasks while the downstream shingle+md5-per-perm CPU is the
+        // heaviest per-row work in the pipeline (probe: a 1.5 s
+        // single-task stage). Gauged on the SCAN width of the docs
+        // table — pinned only when the whole corpus fits a couple of
+        // file splits, i.e. never at production scale.
+        val exact = graft.analytics.GraphAnalytics.maybeRepartition(
+          q.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn"),
+          docs, col("doc_id"))
         val pairs = Dedup.nearDuplicates(exact, "doc_id", col("text"), 0.7)
         // nd feeds both the contamination derivation and the final
-        // anti-join — checkpoint once (same rationale as `clean`)
-        val nd = exact.join(
-          pairs.select(col("db").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
+        // anti-join — checkpoint once (same rationale as `clean`),
+        // then widen for the same reason as `exact`: the checkpoint
+        // inherits the narrow anti-join width and the contamination
+        // branch re-explodes every surviving doc's shingles
+        val nd = graft.analytics.GraphAnalytics.widenPinned(
+          exact.join(
+            pairs.select(col("db").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+            .localCheckpoint(true),
+          col("doc_id"))
         val benchSh = broadcast(bench
           .select(explode(graft.pipeline.TextOps.shingles(col("text"), 3)).as("s"))
           .distinct())
