@@ -48,20 +48,24 @@ object AnalyticsQueries extends QueryModule {
     // quadratically per part (measured 7.6 s executor on 10 tasks).
     // The pinned exchange is reused by BOTH sides of the self-join;
     // no-op at production widths (widenPinned contract).
-    val cp = GraphAnalytics.widenPinned(
-      t.orders.join(
-          graft.pipeline.TextOps.spread(
-            t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-        .localCheckpoint(true),
-      col("p"))
-    cp.as("a")
+    val cp0 = t.orders.join(
+        graft.pipeline.TextOps.spread(
+          t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
+    val cp = GraphAnalytics.widenPinned(cp0, col("p"))
+    val out = cp.as("a")
       .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
       .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 4)
       .select(col("a.c").as("src"), col("b.c").as("dst"))
       .localCheckpoint()
+    // the edge checkpoint above is the only consumer — release cp's
+    // blocks immediately (bench reps otherwise stack a few MB per rep
+    // in the block manager, pressuring every cached frame downstream)
+    GraphAnalytics.freeCheckpoint(cp0)
+    out
   }
 
   /** SQL twin of [[sharedPartsEdges]]: `te` (u < v), its undirected
@@ -83,22 +87,23 @@ object AnalyticsQueries extends QueryModule {
       dir: String): org.apache.spark.sql.DataFrame = {
     val t = Tables(s, dir)
     // checkpoint + pinned width before the pair-generation self-join —
-    // the [[sharedPartsEdges]] rationale verbatim
-    val cp = GraphAnalytics.widenPinned(
-      t.orders.join(
-          graft.pipeline.TextOps.spread(
-            t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-        .localCheckpoint(true),
-      col("p"))
-    cp.as("a")
+    // the [[sharedPartsEdges]] rationale verbatim (incl. the release)
+    val cp0 = t.orders.join(
+        graft.pipeline.TextOps.spread(
+          t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
+    val cp = GraphAnalytics.widenPinned(cp0, col("p"))
+    val out = cp.as("a")
       .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
       .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 4)
       .select(col("a.c").as("src"), col("b.c").as("dst"),
         greatest(lit(1L), lit(11L) - least(lit(10L), col("shared"))).as("w"))
       .localCheckpoint()
+    GraphAnalytics.freeCheckpoint(cp0)
+    out
   }
 
   /** SQL twin of [[sharedPartsWeighted]]: `tew(u, v, w)` and its
@@ -557,14 +562,13 @@ object AnalyticsQueries extends QueryModule {
         val t = Tables(s, dir)
         // checkpoint + pinned width before the pair-generation
         // self-join — the sharedPartsEdges rationale verbatim
-        val cp = GraphAnalytics.widenPinned(
-          t.orders.join(
-              graft.pipeline.TextOps.spread(
-                t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
-              col("o_orderkey") === col("l_orderkey"))
-            .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-            .localCheckpoint(true),
-          col("p"))
+        val cp0 = t.orders.join(
+            graft.pipeline.TextOps.spread(
+              t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(true)
+        val cp = GraphAnalytics.widenPinned(cp0, col("p"))
         // SPARK_GRAFT_KCORE_MIN_SHARED (default 1 = every co-purchase
         // pair, the gate's shape) bounds the GRAPH BUILD, not the peel:
         // the self-join's pair volume is Σd(p)² and exceeds this VM's
@@ -586,6 +590,9 @@ object AnalyticsQueries extends QueryModule {
             .agg(count(lit(1)).as("shared")).filter(col("shared") >= minShared)
             .select(col("a.c").as("src"), col("b.c").as("dst"))
         val (core, rounds) = GraphAnalytics.kCore(edges, k = 500)
+        // kCore materialized its own e0 checkpoint from the pair
+        // stream above — cp's blocks are dead now; release them
+        GraphAnalytics.freeCheckpoint(cp0)
         State.kcoreRounds = Some(rounds)
         core.select(col("id"), col("degree"))
       },
