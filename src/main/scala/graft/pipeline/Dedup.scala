@@ -716,7 +716,17 @@ object Dedup {
   def simhashByDoc(df: DataFrame, idCol: String, text: Column, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 64, s"simhash width must be 1..64, got $bits")
     val words = if (bits <= 32) 1 else 2
-    val toks = df.select(col(idCol).as("id"), explode(TextOps.tokens(text)).as("t"))
+    // spread before the md5-per-token explode ONLY on the two-word
+    // (64-bit) path (r16, measured both ways): at words=2 the
+    // fingerprint pass is the 1-task 0.6 s scan stage the sweep probe
+    // flagged and the spread wins ~25% (hamming_wide 1.27→0.97,
+    // tables 1.36→1.05); at words=1 the single md5 is cheap enough
+    // that shipping the text through the extra exchange LOSES
+    // (q_dedup_simhash 0.47→0.81, reverted to unspread). The
+    // repartition is BY id, so the bit-sum groupBy below reuses the
+    // pinned partitioning instead of adding an exchange.
+    val in = if (words == 2) TextOps.spread(df, col(idCol)) else df
+    val toks = in.select(col(idCol).as("id"), explode(TextOps.tokens(text)).as("t"))
       .select(col("id") +:
         (0 until words).map(w => TextOps.hash32(w, col("t")).as(s"h$w")): _*)
     def bitOf(i: Int) = shiftright(col(s"h${i / 32}"), i % 32) % 2

@@ -546,7 +546,22 @@ object Retrieval {
       .otherwise(array().cast("array<int>"))
     val starts = filter(cand,
       i => concat_ws(" ", slice(ts, i, lit(n))) === lit(ph))
-    docs
+    // Substring PREFILTER before the start-position scan (r16, guide
+    // §2.3 "cheap necessary condition first"): a token-slice match
+    // implies `text` contains the space-joined phrase VERBATIM — the
+    // matched tokens are consecutive in the split, so their source
+    // segments are single-space separated (a double space would
+    // insert an empty token and break adjacency; concat_ws keeps
+    // empty strings, so it cannot fake a match either). contains() is
+    // one substring search per doc vs O(tokens·n) per-position string
+    // builds — the sweep probe showed the unfiltered pass as a 1-task
+    // 1.8 s scan stage; with the prefilter the expensive pass touches
+    // only candidate docs, still at scan speed, still zero shuffle.
+    // (A repartition-based fix was tried first and measured WORSE:
+    // the size(ss) > 0 predicate is pushed below any repartition, so
+    // the full pass ran in the narrow scan stage anyway AND re-ran
+    // post-exchange.)
+    docs.filter(text.contains(lit(ph)))
       .select(col(idCol), starts.as("ss"))
       .filter(size(col("ss")) > 0)
       .select(col(idCol),

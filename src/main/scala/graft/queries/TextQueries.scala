@@ -392,7 +392,12 @@ object TextQueries extends QueryModule {
       "q_sketch_hll",
       "HLL registers (b=6) over the corpus 3-gram shingle stream",
       (s, dir) => {
-        val sh = Tables(s, dir).documents
+        // spread before the shingle explode (r16): hllRegisters pays
+        // an md5 per shingle — the dedup-family CPU shape — and the
+        // fused single-split scan ran it as a 1-task 1.6 s stage
+        // (sweep probe). Spreading the ~4 MB of text is cheap; the
+        // exploded shingle stream would not be.
+        val sh = TextOps.spread(Tables(s, dir).documents, col("doc_id"))
           .select(explode(TextOps.shingles(col("text"), 3)).as("s"))
         graft.pipeline.Sketch.hllRegisters(sh, col("s"))
       },
